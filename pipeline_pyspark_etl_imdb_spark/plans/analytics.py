@@ -1,0 +1,195 @@
+"""Analytics query surface over the driver's synthetic warehouse.
+
+Each function here is one declared capability from SURVEY.md §2.11,
+re-expressed on the TPC-H-ish fixture tables (TESTDATA.md) so the driver
+can hash-match it against a DuckDB oracle. The shapes map 1:1 onto the
+reference pipeline's operators:
+
+  pricing_summary          — filter + groupBy multi-agg + sort (A1/O1, TPC-H Q1 shape)
+  year_order_kpi           — per-year count/avg/sum (mart_year_kpi shape, reference :196-205)
+  top_orders_per_segment_year — per-group top-K via ranking window (reference :214-222)
+  order_price_histogram    — fixed-width bucketing + 2-col group count (reference :230-235)
+  distinct_segments        — full-row distinct (reference :153/:179)
+  part_type_words          — split/explode/trim/lower + distinct (reference :168-179)
+  part_word_bridge         — distinct (key, token) pairs, the N:N bridge (reference :180-182)
+  region_revenue           — multi-table inner equi-join star (reference :186/:209)
+  dedup_lineitem_latest    — deterministic dedup-by-key (reference :139 dropDuplicates, made reproducible)
+  null_marker_cast         — sentinel->NULL + null-on-error cast (reference :125-126, :135-137, :172)
+
+Numeric policy for oracle stability: money aggregations accumulate in
+DECIMAL (exact, order-independent) and only the final result casts to
+double; averages are computed as decimal-sum / count. Float SUMs would
+differ between engines in the last ulps depending on partition/accumulation
+order — decimals can't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.functions.cleaning import null_if_equal, to_int, width_bucket
+from pipeline_pyspark_etl_imdb_spark.operators.dedup import dedup_by_key_deterministic, dedup_exact_rows
+from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partials.
+
+    Filter sits directly on the parquet scan (pushed down), grouping keys
+    are low-cardinality so AQE coalesces the shuffle to a handful of
+    partitions.
+    """
+    li = _table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount", 4))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def year_order_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year order count / mean price / total price (mart_year_kpi shape)."""
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("mean_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def top_orders_per_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders per (market segment, year) by price — ranking window
+    with deterministic o_orderkey tie-break; group-limit optimized."""
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "c_mktsegment",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    ranked = top_k_per_group(
+        joined,
+        ["c_mktsegment", "order_year"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+    return ranked.select("c_mktsegment", "order_year", "o_orderkey", "o_totalprice", "rk")
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of order prices in 1000-wide buckets per order status."""
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("price_bucket", width_bucket("o_totalprice", 1000.0).cast("double"))
+        .groupBy("o_orderstatus", "price_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "price_bucket")
+    )
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row distinct on a projection (dim_year shape)."""
+    return dedup_exact_rows(
+        _table(spark, sf_dir, "customer").select("c_mktsegment")
+    ).orderBy("c_mktsegment")
+
+
+def part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-value string -> normalized token dimension (dim_genre shape):
+    split p_type on spaces, explode, trim+lower, distinct."""
+    part = _table(spark, sf_dir, "part")
+    words = part.select(
+        F.explode(F.split(F.col("p_type"), " ")).alias("raw_word")
+    ).select(F.trim(F.lower(F.col("raw_word"))).alias("word"))
+    return dedup_exact_rows(words.where(F.col("word") != "")).orderBy("word")
+
+
+def part_word_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (p_partkey, word) pairs — the N:N bridge-table shape."""
+    part = _table(spark, sf_dir, "part")
+    pairs = part.select(
+        "p_partkey", F.explode(F.split(F.col("p_type"), " ")).alias("raw_word")
+    ).select("p_partkey", F.trim(F.lower(F.col("raw_word"))).alias("word"))
+    return dedup_exact_rows(pairs.where(F.col("word") != ""))
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue
+    per region. Dim tables are broadcast (they are tiny at every SF; at
+    100 TB the fact side streams through unchanged)."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def dedup_lineitem_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup-by-key: per order keep the lineitem that ships
+    last (ties -> lowest line number). Reproducible version of the
+    reference's dropDuplicates(["tconst"])."""
+    li = _table(spark, sf_dir, "lineitem")
+    survivors = dedup_by_key_deterministic(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        ["l_orderkey"],
+        [F.desc("l_shipdate"), F.asc("l_linenumber")],
+    )
+    return survivors.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def null_marker_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel->NULL + null-on-error cast over string data.
+
+    Exercises the reference's cleaning contract on fixture data: the 'P'
+    order status is treated as a sentinel and nulled out (CASE WHEN form,
+    reference :172); the priority code before the '-' casts to int; a
+    non-numeric string casts to NULL rather than erroring (reference
+    :135-137 semantics, ANSI-safe via try_cast).
+    """
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            null_if_equal("o_orderstatus", "P").alias("status_or_null"),
+            to_int(F.split(F.col("o_orderpriority"), "-").getItem(0)).alias("priority_num"),
+            to_int(F.lit("not-a-number")).alias("always_null"),
+        )
+        .where(F.col("o_orderkey") <= 1000)
+    )

@@ -1,0 +1,13 @@
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,83 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Protocol (FIXTURES.md 'Comparison protocol'): run the Spark query and the
+oracle SQL on the same parquet tables, sort columns by name, sort rows by
+all columns, round doubles to 6 decimal places, then compare values
+exactly. Row-count and column-name-set mismatches are reported first for
+diagnosability.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import duckdb
+import pandas as pd
+
+from pipeline_pyspark_etl_imdb_spark.sources.tables import FIXTURE_TABLES
+
+ROUND_DECIMALS = 6
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        conn.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return conn
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return round(v, ROUND_DECIMALS)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon_value(v.item())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), ROUND_DECIMALS)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def canon_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_value(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_rows, o_rows = canon_rows(spark_pdf), canon_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            f"  row {i}: spark={s} oracle={o}"
+            for i, (s, o) in enumerate(zip(s_rows, o_rows))
+            if s != o
+        ]
+        problems.append(
+            f"value mismatch ({len(diffs)} differing rows of {len(s_rows)}):\n"
+            + "\n".join(diffs[:10])
+        )
+    return problems

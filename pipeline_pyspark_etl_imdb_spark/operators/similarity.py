@@ -1,0 +1,179 @@
+"""Embedding similarity search over an array<float> column.
+
+Two paths, mirroring production ANN architecture:
+
+- ``cosine_knn``: exact brute force — broadcast the (small) query set,
+  score map-side against the full corpus, per-query top-k via the
+  group-limit window. The right baseline and the verifier for ANN recall.
+  Cost is O(|corpus| x |queries|) map work with NO shuffle of the corpus:
+  at 100 TB this is how you batch-score a bounded query set.
+
+- ``lsh_bucket`` / ``ann_lsh_knn``: random-hyperplane LSH. Plane
+  directions are pseudo-random signs derived from md5 (engine-portable,
+  no RNG state); dot products against planes accumulate in DECIMAL, so
+  bucket assignment is EXACT — the same document lands in the same bucket
+  on any engine, which makes the ANN path itself oracle-checkable.
+  Candidates come from an equi-join on the bucket id (uniform md5-derived
+  keys -> no skew), then exact cosine ranks within the bucket.
+
+Scoring arithmetic: floats widen to double (exact); only the final cosine
+uses float summation. Output columns are (query_id, neighbor_id, rank) —
+ranks are stable because real-world score gaps dwarf last-ulp
+accumulation differences; scores themselves stay out of hashed output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_knn(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_ids: Sequence[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded)."""
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    q = base
+    if query_ids is not None:
+        q = base.where(F.col(id_col).isin(list(query_ids)))
+    q = q.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("n").alias("nn")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+
+
+def hyperplane_signs(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
+    """(j, i, sign) rows: sign of plane j at coordinate i, derived from the
+    first hex digit of md5('j:i') — deterministic on every engine."""
+    return (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("j"))
+        .select("j", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"))
+        .withColumn(
+            "sign",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"), F.lit(":"), F.col("i").cast("string")
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign-pattern bucket of each vector across the planes.
+
+    Dot products accumulate in DECIMAL(18,9) (exact, order-independent),
+    so the sign — hence the bucket — is engine-exact even though the
+    embeddings are floats.
+    """
+    spark = embeddings.sparkSession
+    ex = embeddings.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).withColumn("xd", F.col("x").cast("decimal(18,9)"))
+    planes = hyperplane_signs(spark, n_planes, dim)
+    dots = (
+        ex.join(F.broadcast(planes), "i")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("sign") * F.col("xd")).alias("dot"))
+    )
+    bit_value = F.expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)")
+    return dots.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("dot") > 0, bit_value).otherwise(F.lit(0).cast("bigint"))
+        ).alias("bucket")
+    )
+
+
+def ann_lsh_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    query_ids: Sequence[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rank restricted to the query's LSH
+    bucket. The corpus shuffles once on the bucket id; queries broadcast."""
+    buckets = lsh_bucket(embeddings, n_planes, dim, id_col, vec_col)
+    base = (
+        embeddings.join(buckets, id_col)
+        .select(F.col(id_col), "bucket", _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
+    )
+    q = base
+    if query_ids is not None:
+        q = base.where(F.col(id_col).isin(list(query_ids)))
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket").alias("qb"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"), "bucket", F.col("v").alias("nv"), F.col("n").alias("nn")
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select(
+        "query_id", F.col("bucket").cast("bigint").alias("bucket"), "neighbor_id", F.col("rk").cast("int").alias("rk")
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators over a documents table.
+
+Extensions beyond the reference surface (BASELINE.json north star): token
+counting, text statistics, quality scoring, language ID, and document
+fingerprinting — the per-document scoring passes an LLM training-data
+pipeline runs before filtering/dedup.
+
+Everything is built-in Spark SQL expressions (codegen'd, zero Python in
+the hot path) and deterministic across engines:
+
+- tokenization is a regex split on whitespace;
+- all arithmetic is integer counts and double division (exact / IEEE-
+  deterministic — no transcendental functions whose libm rounding could
+  differ between JVM and C);
+- hashing uses md5 (bit-identical everywhere), never engine-native hash().
+
+At 100 TB each operator is a single narrow projection + optional
+aggregation — no shuffle at all for the per-doc scores (map-only), so
+they pipeline into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# subword-ish lexer: letter runs, digit runs, single punctuation marks
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword-voting heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los", "un"),
+    "fr": ("le", "la", "les", "et", "un", "une", "des"),
+    "de": ("der", "die", "das", "und", "ein", "nicht", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+
+def tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, TOKEN_SPLIT_RE)
+
+
+def word_shingles(tokens_col: str, k: int) -> Column:
+    """Distinct k-word shingles of a token-array column (expression form).
+
+    Guarded for short docs: fewer than k tokens yields the whole doc as
+    one shingle.
+    """
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({tokens_col}) - {k}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {k})))) "
+        f"ELSE array(concat_ws(' ', {tokens_col})) END"
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics: chars, tokens, distinct tokens, mean token
+    length. Map-only — no shuffle."""
+    with_tok = docs.select(id_col, F.col(text_col).alias("__t")).withColumn(
+        "__tok", tokens("__t")
+    )
+    return with_tok.select(
+        id_col,
+        F.length("__t").cast("bigint").alias("n_chars"),
+        F.size("__tok").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("__tok")).cast("bigint").alias("n_distinct_tokens"),
+        (
+            F.aggregate("__tok", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / F.size("__tok")
+        ).alias("avg_token_len"),
+    )
+
+
+def subtoken_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish subtoken count via a regex lexer (letter runs / digit runs /
+    single punctuation)."""
+    return docs.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0))
+        .cast("bigint")
+        .alias("n_subtokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1] from length, stopword ratio and
+    punctuation ratio. Pure rational arithmetic — reproducible bit-for-bit
+    on any engine."""
+    en_stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    with_tok = docs.select(id_col, F.col(text_col).alias("__t")).withColumn(
+        "__tok", tokens("__t")
+    )
+    n_tokens = F.size("__tok")
+    n_stop = F.size(F.filter("__tok", lambda t: F.array_contains(en_stop, t)))
+    n_punct = F.length("__t") - F.length(F.regexp_replace("__t", "[^a-z0-9\\s]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.length("__t")
+    length_term = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    return with_tok.select(
+        id_col,
+        n_tokens.cast("bigint").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (0.5 * length_term + 0.3 * stop_ratio + 0.2 * (1.0 - punct_ratio)).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-voting language ID: count distinct-token hits against each
+    language's stopword list, predict the argmax (ties and zero hits ->
+    'und'). Deterministic tie-break: languages compared in sorted order."""
+    with_tok = docs.select(id_col, F.col(text_col).alias("__t")).withColumn(
+        "__tok", F.array_distinct(tokens("__t"))
+    )
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect("__tok", F.array([F.lit(w) for w in words]))
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    scored = with_tok.select(
+        id_col, *[c.alias(f"__hits_{lang}") for lang, c in hit_cols.items()]
+    )
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in hit_cols])
+    # first language (sorted order) achieving the max, strictly above all others -> that lang
+    pred = F.lit("und")
+    for lang in sorted(hit_cols, reverse=True):
+        others_max = F.greatest(
+            *[F.col(f"__hits_{o}") for o in hit_cols if o != lang], F.lit(0)
+        )
+        pred = F.when(
+            (F.col(f"__hits_{lang}") == best)
+            & (best > 0)
+            & (F.col(f"__hits_{lang}") > others_max),
+            F.lit(lang),
+        ).otherwise(pred)
+    return scored.select(id_col, pred.alias("pred_lang"))
+
+
+def doc_fingerprint(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint: the lexicographic minimum of md5 over the
+    document's k-word shingles (a 1-permutation MinHash). Documents with
+    equal fingerprints share at least one shingle — a cheap first-pass
+    cluster key for dedup. Map-only."""
+    with_sh = (
+        docs.select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .withColumn("__sh", word_shingles("__tok", k))
+    )
+    return with_sh.select(
+        id_col,
+        F.array_min(F.transform("__sh", lambda s: F.md5(s))).alias("fingerprint"),
+    )

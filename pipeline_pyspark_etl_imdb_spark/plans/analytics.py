@@ -169,7 +169,7 @@ def dedup_lineitem_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dedup_by_key_deterministic(
         li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
         ["l_orderkey"],
-        [F.desc("l_shipdate"), F.asc("l_linenumber")],
+        [F.desc("l_shipdate"), F.asc("l_linenumber"), F.asc("l_quantity")],
     )
     return survivors.select("l_orderkey", "l_linenumber", "l_quantity")
 
@@ -192,4 +192,66 @@ def null_marker_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_int(F.lit("not-a-number")).alias("always_null"),
         )
         .where(F.col("o_orderkey") <= 1000)
+    )
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: subtotals per (returnflag, linestatus), per
+    returnflag, and grand total (grouping-sets surface the reference lacks)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def orders_with_lineitems_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one lineitem,
+    counted per order status."""
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders, per segment."""
+    customer = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def return_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: share of revenue from returned lineitems
+    per order year (sum(CASE WHEN)/sum shape; exact decimal accumulation,
+    one final double division)."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", 4))
+    returned = F.when(F.col("l_returnflag") == "R", revenue).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                F.sum(returned).cast("double") / F.sum(revenue).cast("double")
+            ).alias("return_share"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .orderBy("order_year")
     )

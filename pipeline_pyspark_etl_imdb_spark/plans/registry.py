@@ -1,0 +1,78 @@
+"""Declared query surface: name -> (spark, sf_dir) -> DataFrame.
+
+This is the single source of truth consumed by __spark_entry__.queries(),
+bench.py and the oracle test-suite. Every entry has a matching ANSI-SQL
+oracle in plans/oracles.py unless listed in ROWS_ONLY (genuinely
+non-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_pyspark_etl_imdb_spark.operators import eventtime, neardup, similarity
+from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
+from pipeline_pyspark_etl_imdb_spark.plans import analytics
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+KNN_QUERY_IDS = list(range(10))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+QUERIES: dict[str, QueryFn] = {
+    # --- relational surface (reference operator inventory, SURVEY.md §2.11)
+    "pricing_summary": analytics.pricing_summary,
+    "year_order_kpi": analytics.year_order_kpi,
+    "top_orders_per_segment_year": analytics.top_orders_per_segment_year,
+    "order_price_histogram": analytics.order_price_histogram,
+    "distinct_segments": analytics.distinct_segments,
+    "part_type_words": analytics.part_type_words,
+    "part_word_bridge": analytics.part_word_bridge,
+    "region_revenue": analytics.region_revenue,
+    "dedup_lineitem_latest": analytics.dedup_lineitem_latest,
+    "null_marker_cast": analytics.null_marker_cast,
+    "lineitem_rollup": analytics.lineitem_rollup,
+    "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
+    "customers_without_orders_anti": analytics.customers_without_orders_anti,
+    "return_share_by_year": analytics.return_share_by_year,
+    # --- text analysis
+    "text_stats": lambda s, d: text_ops.text_stats(_docs(s, d)),
+    "subtoken_count": lambda s, d: text_ops.subtoken_count(_docs(s, d)),
+    "quality_score": lambda s, d: text_ops.quality_score(_docs(s, d)),
+    "lang_id": lambda s, d: text_ops.lang_id(_docs(s, d)),
+    "doc_fingerprint": lambda s, d: text_ops.doc_fingerprint(_docs(s, d)),
+    # --- dedup
+    "exact_dup_groups": lambda s, d: neardup.exact_dup_groups(_docs(s, d)),
+    "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
+    "minhash_candidates": lambda s, d: neardup.minhash_candidate_pairs(_docs(s, d)),
+    "simhash_values": lambda s, d: neardup.simhash32(_docs(s, d)),
+    "simhash_pairs": lambda s, d: neardup.simhash_pairs(_docs(s, d), max_hamming=1),
+    # --- similarity search
+    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
+    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    # --- event time
+    "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
+    "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),
+    "events_sessionize": lambda s, d: eventtime.sessionize(_events(s, d)),
+    "events_json_kpi": lambda s, d: eventtime.json_value_kpi(_events(s, d)),
+    "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
+}
+
+# Queries whose semantics can't be expressed in ANSI SQL for DuckDB
+# (none currently — even LSH banding is md5-based and portable).
+ROWS_ONLY: tuple[str, ...] = ()

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the fixture events table stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read it as bigint nanoseconds
+        # (operators normalize via eventtime.ts_micros)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )

@@ -1,0 +1,19 @@
+from pipeline_pyspark_etl_imdb_spark.streaming.ops import (
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+    sliding_kpi_stream,
+    stream_dedup,
+    tumbling_kpi_stream,
+    user_running_totals_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "sessionize_stream",
+    "sliding_kpi_stream",
+    "stream_dedup",
+    "tumbling_kpi_stream",
+    "user_running_totals_stream",
+]

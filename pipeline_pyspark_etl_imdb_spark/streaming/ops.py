@@ -1,0 +1,212 @@
+"""Structured Streaming operators over the events feed.
+
+The reference has no streaming surface at all (SURVEY.md §2.8); this module
+adds the standard event-stream toolkit the batch operators in
+``operators/eventtime.py`` mirror:
+
+- watermarked tumbling / sliding window KPIs (``F.window`` — incremental
+  state store aggregation, late data beyond the watermark dropped);
+- gap-based sessionization via the built-in ``F.session_window`` (state
+  merges windows whose gap is below the timeout — the streaming analogue of
+  the lag+running-sum batch pattern);
+- streaming deduplication with ``dropDuplicatesWithinWatermark`` (bounded
+  state: the key store evicts once the watermark passes);
+- an ``applyInPandasWithState`` custom stateful operator (per-user running
+  totals) for semantics the declarative surface can't express.
+
+Scale design: every operator keys its state by (window x event_type) or
+user_id — uniformly distributed in the fixtures and shuffled once into the
+state store; watermarks bound state size so a 1000-executor continuous job
+neither OOMs nor grows checkpoints without bound. Batch parity is tested by
+running each stream with ``trigger(availableNow=True)`` over the same files
+the batch operators read (tests/test_streaming.py).
+
+Timestamp handling: the fixture parquet stores TIMESTAMP(NANOS); the
+session reads it as bigint nanoseconds (session.py nanosAsLong). For
+streaming we need a real TimestampType for watermarks, so
+``with_event_time`` converts ns -> microsecond TimestampType via
+``F.timestamp_micros`` — truncation identical to the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pipeline_pyspark_etl_imdb_spark.operators.eventtime import ts_micros
+
+
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TimestampType (microseconds),
+    whatever the storage type, as ``event_time``."""
+    return events.withColumn("event_time", F.timestamp_micros(ts_micros(events, ts_col)))
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events fixture directory.
+
+    Streaming reads need an explicit schema (no inference mid-stream), so we
+    snapshot it from a batch read of the same path — in production this
+    would come from the table catalog.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the fixture is a single file inside the sf dir; FileStreamSource wants
+    # a directory path, so stream the dir filtered down to the events file
+    reader = (
+        spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
+def tumbling_kpi_stream(
+    events: DataFrame, width_s: int = 600, watermark_s: int = 3600
+) -> DataFrame:
+    """Streaming tumbling-window KPI: count + value sum per (window,
+    event_type). Same math as eventtime.tumbling_kpi; output keys the
+    window by its start epoch second."""
+    timed = with_event_time(events).withWatermark("event_time", f"{watermark_s} seconds")
+    return (
+        timed.groupBy(F.window("event_time", f"{width_s} seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_kpi_stream(
+    events: DataFrame, width_s: int = 600, slide_s: int = 300, watermark_s: int = 3600
+) -> DataFrame:
+    """Streaming sliding-window counts (each event in width/slide windows)."""
+    timed = with_event_time(events).withWatermark("event_time", f"{watermark_s} seconds")
+    return (
+        timed.groupBy(
+            F.window("event_time", f"{width_s} seconds", f"{slide_s} seconds"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_s: int = 1800, watermark_s: int = 7200
+) -> DataFrame:
+    """Gap-based sessions per user via the built-in session_window: windows
+    closer than ``gap_s`` merge; a session closes once the watermark passes
+    its end. Emits one row per closed session."""
+    timed = with_event_time(events).withWatermark("event_time", f"{watermark_s} seconds")
+    return (
+        timed.groupBy(
+            F.session_window("event_time", f"{gap_s} seconds"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("start_s"),
+            F.unix_timestamp("session_window.end").alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark_s: int = 3600) -> DataFrame:
+    """Exactly-once event feed: drop duplicate event_ids arriving within the
+    watermark horizon. State stores only ids newer than the watermark, so
+    memory is bounded by (event rate x watermark), not stream length."""
+    timed = with_event_time(events).withWatermark("event_time", f"{watermark_s} seconds")
+    return timed.dropDuplicatesWithinWatermark(["event_id"])
+
+
+_RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_RUNNING_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def user_running_totals_stream(events: DataFrame, watermark_s: int = 3600) -> DataFrame:
+    """Custom stateful operator: per-user running event count and value
+    total across triggers (applyInPandasWithState — Arrow-batched, state is
+    a tiny fixed-width tuple per user)."""
+    timed = with_event_time(events).withWatermark("event_time", f"{watermark_s} seconds")
+    return (
+        timed.select("user_id", "value", "event_time")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=_RUNNING_TOTALS_SCHEMA,
+            stateStructType=_RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "stream_test",
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over the data available now
+    and return the collected result as a batch DataFrame (memory sink).
+    The batch-parity harness used by tests."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+    return stream_df.sparkSession.table(query_name)

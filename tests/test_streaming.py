@@ -1,0 +1,94 @@
+"""Streaming/batch parity: each Structured Streaming operator, run with
+trigger(availableNow=True) over the sf0.001 events fixture, must agree with
+the equivalent batch computation on the same files."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators import eventtime
+from pipeline_pyspark_etl_imdb_spark.streaming import ops as stream_ops
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare_frames
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def _run(spark, stream_df, tmp_path, name, output_mode="append"):
+    return stream_ops.run_available_now(
+        stream_df, str(tmp_path / f"ckpt_{name}"), query_name=name, output_mode=output_mode
+    ).toPandas()
+
+
+def test_tumbling_kpi_stream_matches_batch(spark, events_batch, tmp_path):
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark, stream_ops.tumbling_kpi_stream(stream), tmp_path, "tumbling", "complete"
+    )
+    want = eventtime.tumbling_kpi(events_batch).toPandas()
+    assert not compare_frames(got, want)
+
+
+def test_sliding_kpi_stream_matches_batch(spark, events_batch, tmp_path):
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark, stream_ops.sliding_kpi_stream(stream), tmp_path, "sliding", "complete"
+    )
+    want = eventtime.sliding_kpi(events_batch).toPandas()
+    assert not compare_frames(got, want)
+
+
+def test_sessionize_stream_matches_batch(spark, events_batch, tmp_path):
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark, stream_ops.sessionize_stream(stream), tmp_path, "sessions", "complete"
+    )
+    # batch sessionize emits (user_id, session_idx, n_events, start_s, end_s);
+    # session_window's end is last-event + gap, so compare on start_s.
+    want = (
+        eventtime.sessionize(events_batch)
+        .select("user_id", "start_s", "n_events")
+        .toPandas()
+    )
+    got = got[["user_id", "start_s", "n_events"]]
+    assert not compare_frames(got, want)
+
+
+def test_stream_dedup_drops_duplicate_ids(spark, events_batch, tmp_path):
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(spark, stream_ops.stream_dedup(stream), tmp_path, "dedup")
+    n_unique = events_batch.select("event_id").distinct().count()
+    assert len(got) == n_unique
+    assert got["event_id"].is_unique
+
+
+def test_user_running_totals_final_state_matches_batch(spark, events_batch, tmp_path):
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.user_running_totals_stream(stream),
+        tmp_path,
+        "totals",
+        "update",
+    )
+    # update mode re-emits a user's row each trigger; the last row per user
+    # is the final state. availableNow over one directory = one trigger, but
+    # stay robust to multi-trigger splits.
+    got = got.groupby("user_id", as_index=False).last()
+    want = (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("user_id").reset_index(drop=True)[["user_id", "n_events", "total_value"]],
+        want.sort_values("user_id").reset_index(drop=True),
+        check_dtype=False,
+        rtol=1e-9,
+    )

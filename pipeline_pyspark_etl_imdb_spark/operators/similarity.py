@@ -135,6 +135,45 @@ def lsh_bucket(
     )
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same LSH bucket AND exact
+    cosine >= threshold.
+
+    The dedup variant of ANN: near-identical vectors agree on every
+    hyperplane sign with overwhelming probability, so bucketing loses
+    almost no true dups while cutting the pair space from O(n^2) to
+    per-bucket. The bucket equi-join is the only shuffle.
+    """
+    buckets = lsh_bucket(embeddings, n_planes, dim, id_col, vec_col)
+    base = (
+        embeddings.join(buckets, id_col)
+        .select(F.col(id_col), "bucket", _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
+    )
+    a = base.select(
+        F.col(id_col).alias("doc_a"), "bucket", F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def ann_lsh_knn(
     embeddings: DataFrame,
     k: int = 5,

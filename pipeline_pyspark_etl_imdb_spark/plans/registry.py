@@ -11,8 +11,14 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from pipeline_pyspark_etl_imdb_spark.operators import eventtime, neardup, similarity
+from pipeline_pyspark_etl_imdb_spark.operators import (
+    eventtime,
+    multimodal,
+    neardup,
+    similarity,
+)
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
 from pipeline_pyspark_etl_imdb_spark.plans import analytics
 
@@ -65,6 +71,21 @@ QUERIES: dict[str, QueryFn] = {
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
     "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
     "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
+    # --- multimodal plumbing (binary payload + typed metadata; see
+    #     operators/multimodal.py — the decode itself is a deterministic stub)
+    "media_stats": lambda s, d: multimodal.media_stats(
+        multimodal.media_from_documents(_docs(s, d))
+    ),
+    "media_decode": lambda s, d: multimodal.decode_media(
+        multimodal.media_from_documents(_docs(s, d))
+    ),
+    "media_features": lambda s, d: multimodal.media_features(
+        multimodal.media_from_documents(_docs(s, d)), dim=16
+    ),
+    "media_frames": lambda s, d: multimodal.sample_frames(
+        multimodal.media_from_documents(_docs(s, d))
+    ).select("media_id", "frame_idx", F.md5("frame").alias("frame_md5")),
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),

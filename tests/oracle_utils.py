@@ -38,10 +38,12 @@ def _canon_value(v):
         return round(v, ROUND_DECIMALS)
     if isinstance(v, datetime):
         return v.isoformat()
-    if hasattr(v, "item"):  # numpy scalar
-        return _canon_value(v.item())
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return tuple(_canon_value(x) for x in v.tolist())
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon_value(v.item())
     try:
         import decimal
 

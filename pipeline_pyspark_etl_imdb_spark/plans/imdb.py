@@ -124,10 +124,10 @@ def explode_genres(titles_stg: DataFrame) -> DataFrame:
         F.col("tconst").alias("titlekey"),
         null_if_equal("genres", NULL_MARKER).alias("genres"),
     ).where(F.col("genres").isNotNull())
-    return with_genres.select(
-        "titlekey",
-        norm_token(F.explode(F.split("genres", ","))).alias("genre"),
+    exploded = with_genres.select(
+        "titlekey", F.explode(F.split("genres", ",")).alias("raw_genre")
     )
+    return exploded.select("titlekey", norm_token("raw_genre").alias("genre"))
 
 
 def build_dim_genre_and_bridge(titles_stg: DataFrame) -> tuple[DataFrame, DataFrame]:

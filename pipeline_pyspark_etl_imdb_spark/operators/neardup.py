@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.text import tokens, word_shingles
+from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
 
 
 def exact_dup_groups(
@@ -41,9 +42,14 @@ def exact_dup_groups(
 def shingle_sets(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingle) rows: distinct k-word shingles per document."""
+    """(id, shingle) rows: distinct k-word shingles per document.
+
+    Fans the doc scan out first: shingling multiplies rows ~50x and the
+    subsequent signature hashing is CPU-bound, so a single-file scan must
+    not serialize it (operators/util.fan_out is a no-op on well-split
+    inputs)."""
     return (
-        docs.select(id_col, F.col(text_col).alias("__t"))
+        fan_out(docs).select(id_col, F.col(text_col).alias("__t"))
         .withColumn("__tok", tokens("__t"))
         .select(id_col, F.explode(word_shingles("__tok", k)).alias("shingle"))
     )
@@ -179,21 +185,27 @@ def simhash32(
     map-only up to the final per-doc aggregation.
     """
     tok = (
-        docs.select(id_col, F.col(text_col).alias("__t"))
+        fan_out(docs).select(id_col, F.col(text_col).alias("__t"))
         .select(id_col, F.explode(F.array_distinct(tokens("__t"))).alias("token"))
         .withColumn("__h", F.md5("token"))
     )
-    # hex digit d_j = value of md5 char j+1 (1-based substring)
-    digit = [
-        F.conv(F.substring("__h", j + 1, 1), 16, 10).cast("int") for j in range(8)
-    ]
+    # hoist the 8 hex digits (d_j = value of md5 char j+1) into one
+    # projection so the 32 vote aggregates reference plain int columns —
+    # keeps the aggregate expression tree (and its codegen) 4x smaller
+    digits = tok.select(
+        id_col,
+        *[
+            F.conv(F.substring("__h", j + 1, 1), 16, 10).cast("int").alias(f"__d{j}")
+            for j in range(8)
+        ],
+    )
     votes = [
         F.sum(
-            F.when(digit[i // 4].bitwiseAND(F.lit(1 << (i % 4))) > 0, 1).otherwise(-1)
+            F.when(F.col(f"__d{i // 4}").bitwiseAND(F.lit(1 << (i % 4))) > 0, 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(32)
     ]
-    voted = tok.groupBy(id_col).agg(*votes)
+    voted = digits.groupBy(id_col).agg(*votes)
     sim = None
     for i in range(32):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
@@ -211,12 +223,52 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= max_hamming.
 
-    Scale path: the 32-bit hash splits into 8 hex chunks; a pair within
-    hamming distance 3 must agree exactly on at least 5 chunks (pigeonhole),
-    so candidates come from 8 equi-joins on (chunk_id, chunk_value) — never
-    a cross join. Exact hamming (bit_count of xor) filters candidates.
+    Two scale paths, both equi-joins (never a cross join), picked by the
+    distance bound:
+
+    - ``max_hamming <= 1``: deleted-neighborhood join. Each doc emits its
+      simhash plus all 32 one-bit flips as join keys; a pair within
+      distance 1 meets on at least one key, and a pair further apart meets
+      on none — the candidate set IS the true pair set, so no post-filter
+      work is wasted. 33 keys/doc of 2^32-cardinality values.
+    - larger bounds: pigeonhole chunking. Split the hash into
+      ``max_hamming + 1`` chunks; a qualifying pair matches at least one
+      chunk exactly, so candidates come from equi-joins on
+      (chunk_id, chunk_value), then exact hamming (bit_count of xor)
+      filters. Candidate volume grows as chunks narrow — the h<=1
+      neighborhood path exists precisely because corpora with big
+      near-identical clusters explode the chunk join.
     """
     sims = simhash32(docs, text_col, id_col)
+    if max_hamming <= 1:
+        keys = [F.col("simhash")]
+        if max_hamming == 1:
+            keys += [
+                F.col("simhash").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                for i in range(32)
+            ]
+        a = sims.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("simhash").alias("sim_a"),
+            F.explode(F.array(*keys)).alias("key"),
+        )
+        b = sims.select(
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b")
+        )
+        return (
+            a.join(b, a.key == b.sim_b)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates()
+        )
+    n_chunks = max_hamming + 1
+    chunk_bits = 32 // n_chunks
+    mask = (1 << chunk_bits) - 1
     chunks = sims.select(
         id_col,
         "simhash",
@@ -225,9 +277,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", c * 4).bitwiseAND(F.lit(15)).alias("chunk_val"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
                     )
-                    for c in range(8)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
 
 
 def _as_double(vec: Column) -> Column:
@@ -52,6 +53,9 @@ def cosine_knn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded)."""
+    # per-(corpus row x query) scoring is CPU-bound; don't let a single-file
+    # scan serialize it
+    embeddings = fan_out(embeddings)
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", _norm(F.col("v")))
@@ -118,6 +122,7 @@ def lsh_bucket(
     embeddings are floats.
     """
     spark = embeddings.sparkSession
+    embeddings = fan_out(embeddings)
     ex = embeddings.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
     ).withColumn("xd", F.col("x").cast("decimal(18,9)"))

@@ -27,7 +27,10 @@ def ts_micros(df: DataFrame, ts_col: str = "ts") -> Column:
     micros matches what µs-native engines do with the same file)."""
     dtype = dict(df.dtypes).get(ts_col)
     if dtype in ("bigint", "long"):
-        return F.floor(F.col(ts_col) / 1000).cast("bigint")
+        # integer `div`, NOT floor(x/1000): epoch nanoseconds (~1.7e18)
+        # exceed the 2^53 exact-double range, so double division is off by
+        # up to a microsecond
+        return F.expr(f"CAST(`{ts_col}` div 1000 AS BIGINT)")
     return F.unix_micros(F.col(ts_col))
 
 

@@ -25,7 +25,7 @@ order — decimals can't.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.functions.cleaning import null_if_equal, to_int, width_bucket
@@ -255,3 +255,122 @@ def return_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event enriched with the
+    user's most recent click at or before it. Right side deduped to one
+    click per (user, instant) first so the match is deterministic."""
+    from pipeline_pyspark_etl_imdb_spark.operators.asof import asof_join
+    from pipeline_pyspark_etl_imdb_spark.operators.eventtime import ts_micros
+
+    events = _table(spark, sf_dir, "events")
+    base = events.select("event_id", "user_id", "event_type", ts_micros(events).alias("us"))
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "us", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases, clicks, on="us", by="user_id", value_cols=["click_id"],
+        right_on_alias="click_us",
+    ).select("user_id", "purchase_id", "us", "click_id", "click_us")
+
+
+def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag): yearly revenue and absolute year-over-year
+    delta. Exact decimal totals; the delta is a decimal difference cast to
+    double at the end."""
+    orders = _table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("order_year")
+    return yearly.select(
+        "order_year",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("yoy_delta"),
+    ).orderBy("order_year")
+
+
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-frame window: per customer, the running total of
+    order value in (date, key) order — rowsBetween unbounded-preceding.
+    Deterministic via the orderkey tie-break; exact decimal accumulation."""
+    orders = _table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group: median and p90 of order value by customer
+    segment (percentile with linear interpolation — not approx)."""
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.percentile("o_totalprice", 0.9).alias("p90_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: counts for every combination of (status,
+    priority), each margin, and the grand total."""
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def customer_order_profile_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-repair: every customer, order count and
+    total spend, customers without orders kept at 0 via coalesce."""
+    customer = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    return customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("spend").cast("double"), F.lit(0.0)).alias("total_spend"),
+    )
+
+
+def nation_role_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators in one query: nations appearing as BOTH supplier and
+    customer homes (INTERSECT), and as supplier-only (EXCEPT), tagged and
+    UNIONed."""
+    supplier = _table(spark, sf_dir, "supplier")
+    customer = _table(spark, sf_dir, "customer")
+    s_nations = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    c_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    both = s_nations.intersect(c_nations).select(
+        "nationkey", F.lit("both").alias("role")
+    )
+    supplier_only = s_nations.exceptAll(c_nations).select(
+        "nationkey", F.lit("supplier_only").alias("role")
+    )
+    return both.union(supplier_only).orderBy("nationkey")

@@ -55,6 +55,13 @@ QUERIES: dict[str, QueryFn] = {
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     "return_share_by_year": analytics.return_share_by_year,
+    "purchase_last_click_asof": analytics.purchase_last_click_asof,
+    "revenue_yoy": analytics.revenue_yoy,
+    "customer_running_spend": analytics.customer_running_spend,
+    "segment_price_quantiles": analytics.segment_price_quantiles,
+    "order_status_priority_cube": analytics.order_status_priority_cube,
+    "customer_order_profile_left": analytics.customer_order_profile_left,
+    "nation_role_set_ops": analytics.nation_role_set_ops,
     # --- text analysis
     "text_stats": lambda s, d: text_ops.text_stats(_docs(s, d)),
     "subtoken_count": lambda s, d: text_ops.subtoken_count(_docs(s, d)),

@@ -18,8 +18,10 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     multimodal,
     neardup,
     similarity,
+    skew,
 )
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
+from pipeline_pyspark_etl_imdb_spark.operators.rangejoin import range_join
 from pipeline_pyspark_etl_imdb_spark.plans import analytics
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -37,6 +39,64 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _skew_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on a 3-value (maximally hot) key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (F.count("*"), F.sum("n_items")),
+            "sum_qty": (F.sum(qty), F.sum("sum_qty").cast("double")),
+        },
+        salt_from=["l_orderkey", "l_linenumber"],
+    ).orderBy("l_returnflag")
+
+
+def _skew_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (big lineitem x replicated orders) then aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    joined = skew.salted_join(
+        li, orders, "l_orderkey", salt_from=["l_orderkey", "l_linenumber"]
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def _purchases_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within 10 minutes after each error event."""
+    events = _events(spark, sf_dir)
+    base = events.select(
+        "event_id", "event_type", eventtime.ts_micros(events).alias("us")
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "us"
+    )
+    errors = base.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + 600_000_000).alias("end_us"),
+    )
+    matched = range_join(
+        purchases, errors, "us", "start_us", "end_us", bin_width=600_000_000
+    )
+    return (
+        matched.groupBy("error_id")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("error_id")
+    )
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -93,6 +153,11 @@ QUERIES: dict[str, QueryFn] = {
     "media_frames": lambda s, d: multimodal.sample_frames(
         multimodal.media_from_documents(_docs(s, d))
     ).select("media_id", "frame_idx", F.md5("frame").alias("frame_md5")),
+    # --- skew-safe physical rewrites (same results as the plain shapes)
+    "skew_safe_flag_totals": lambda s, d: _skew_flag_totals(s, d),
+    "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),
+    # --- range join
+    "purchases_near_errors": lambda s, d: _purchases_near_errors(s, d),
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),

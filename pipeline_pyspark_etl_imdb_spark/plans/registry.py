@@ -99,6 +99,52 @@ def _purchases_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SEGMENT_LEADERS = """
+    WITH seg_year AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, order_year, CAST(rev AS DOUBLE) AS revenue
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY order_year ORDER BY rev DESC, segment ASC
+        ) AS rk
+        FROM seg_year
+    )
+    WHERE rk = 1
+    ORDER BY order_year
+"""
+
+
+def _sql_segment_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: same engine, declared via spark.sql over
+    registered views (ANSI text portable to the oracle verbatim)."""
+    from pipeline_pyspark_etl_imdb_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SQL_SEGMENT_LEADERS)
+
+
+def _approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the at-scale cardinality/quantile path
+    (HLL++ / KLL-style sketches). Implementation-specific estimates can't
+    hash-match another engine, so the driver applies the rows-only check;
+    tests/test_approx.py bounds the error against exact values instead."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- relational surface (reference operator inventory, SURVEY.md §2.11)
     "pricing_summary": analytics.pricing_summary,
@@ -158,6 +204,9 @@ QUERIES: dict[str, QueryFn] = {
     "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),
     # --- range join
     "purchases_near_errors": lambda s, d: _purchases_near_errors(s, d),
+    # --- SQL API + approximate aggregates
+    "sql_segment_leaders": _sql_segment_leaders,
+    "approx_user_stats": _approx_user_stats,
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),
@@ -166,6 +215,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
 }
 
-# Queries whose semantics can't be expressed in ANSI SQL for DuckDB
-# (none currently — even LSH banding is md5-based and portable).
-ROWS_ONLY: tuple[str, ...] = ()
+# Queries whose results can't hash-match an external engine: sketch-based
+# estimates are implementation-specific. The driver applies the weaker
+# rows-only check; tests/test_approx.py bounds the estimation error.
+ROWS_ONLY: tuple[str, ...] = ("approx_user_stats",)

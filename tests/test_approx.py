@@ -1,0 +1,31 @@
+"""Approximate aggregates: the sketch estimates must land within their
+declared error bounds of the exact values (the hash-oracle can't check
+engine-specific sketches, so this is their correctness gate)."""
+
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_user_stats_within_bounds(spark):
+    got = {r.event_type: r for r in QUERIES["approx_user_stats"](spark, SF_ORACLE).collect()}
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.median("value").alias("median_value"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        assert g.n_events == e.n  # count is exact
+        # HLL++ at rsd=0.02: allow 4 sigma
+        assert abs(g.approx_users - e.users) <= max(4 * 0.02 * e.users, 2.0), et
+        # KLL-ish percentile with high accuracy parameter: within 5% of median
+        assert abs(g.approx_median_value - e.median_value) <= 0.05 * abs(e.median_value) + 1e-6, et

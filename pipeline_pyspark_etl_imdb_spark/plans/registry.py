@@ -145,6 +145,62 @@ def _approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev, Pearson correlation and OLS
+    slope of value against event time, per event type. Float accumulation
+    differences vs the oracle sit ~1e-12 relative — far inside the 1e-6
+    comparison rounding."""
+    events = _events(spark, sf_dir)
+    us = eventtime.ts_micros(events).cast("double")
+    return (
+        events.select("event_type", F.col("value"), us.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("value_stddev"),
+            F.corr("value", "t").alias("value_time_corr"),
+            F.regr_slope("value", "t").alias("value_time_slope"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EMA_ALPHA = 0.1
+
+
+def _ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: per-user exponential moving average of event
+    value over time order — a sequential recurrence no SQL window frame
+    expresses (each state depends on the previous state, not a fixed
+    frame). One shuffle on user_id; Python sees each group once as an
+    Arrow batch. The oracle replays the same recurrence with DuckDB's
+    list_reduce — identical IEEE ops in identical order, so the result is
+    bit-equal, not just approximately equal."""
+    import pandas as pd
+
+    events = _events(spark, sf_dir)
+    base = events.select(
+        "user_id",
+        F.col("value"),
+        eventtime.ts_micros(events).alias("us"),
+        "event_id",
+    )
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        state = None
+        for v in pdf["value"]:
+            x = 0.0 if pd.isna(v) else float(v)
+            state = x if state is None else _EMA_ALPHA * x + (1 - _EMA_ALPHA) * state
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "ema_value": [state], "n_events": [len(pdf)]}
+        )
+
+    return base.groupBy("user_id").applyInPandas(
+        ema, schema="user_id bigint, ema_value double, n_events bigint"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- relational surface (reference operator inventory, SURVEY.md §2.11)
     "pricing_summary": analytics.pricing_summary,
@@ -204,9 +260,11 @@ QUERIES: dict[str, QueryFn] = {
     "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),
     # --- range join
     "purchases_near_errors": lambda s, d: _purchases_near_errors(s, d),
-    # --- SQL API + approximate aggregates
+    # --- SQL API + approximate/statistical aggregates + custom grouped op
     "sql_segment_leaders": _sql_segment_leaders,
     "approx_user_stats": _approx_user_stats,
+    "event_value_stats": _event_value_stats,
+    "ema_user_value": _ema_user_value,
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),

@@ -1,0 +1,71 @@
+"""Physical-plan regression gate: the headline queries must keep the plans
+they were tuned to — broadcast dims, pushed filters, group-limit top-K,
+whole-stage codegen. A correctness-preserving change that silently turns a
+broadcast star join into shuffles should fail here, not at 100 TB."""
+
+import contextlib
+import io
+
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark.plans import analytics
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_region_revenue_broadcasts_all_dims(spark):
+    plan = _plan(analytics.region_revenue(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    plan = _formatted(analytics.pricing_summary(spark, SF_ORACLE))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    read_schema = plan.split("ReadSchema:")[-1].split("\n")[0]
+    assert "l_partkey" not in read_schema  # untouched columns pruned
+    assert "l_shipdate" in read_schema
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _plan(analytics.top_orders_per_segment_year(spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan  # rank-filter optimized to per-group top-K
+
+
+def test_media_stats_never_reads_payload(spark):
+    # metadata queries on a media table must not scan the binary column;
+    # media_from_documents synthesizes payloads, so check its input pruning:
+    # only doc_id/text/source may be read from the documents scan
+    from pipeline_pyspark_etl_imdb_spark.operators.multimodal import (
+        media_from_documents,
+        media_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(media_stats(media_from_documents(docs)))
+    read_schema = plan.split("ReadSchema:")[-1]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(analytics.orders_with_lineitems_semi(spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "fn", [analytics.year_order_kpi, analytics.order_price_histogram]
+)
+def test_aggregations_have_partial_phase(spark, fn):
+    # map-side combine: HashAggregate appears twice (partial + final)
+    plan = _plan(fn(spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2

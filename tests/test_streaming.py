@@ -65,6 +65,28 @@ def test_stream_dedup_drops_duplicate_ids(spark, events_batch, tmp_path):
     assert got["event_id"].is_unique
 
 
+def test_checkpoint_recovery_resumes_not_reprocesses(spark, events_batch, tmp_path):
+    """Kill-and-restart semantics: a stream that already consumed its input
+    must, when restarted on the same checkpoint with a fresh sink, emit
+    nothing new (offsets live in the checkpoint, not the sink) — the
+    exactly-once contract a 1000-executor continuous job relies on."""
+    ckpt = str(tmp_path / "ckpt_recover")
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    agg = stream_ops.tumbling_kpi_stream(stream)
+
+    first = stream_ops.run_available_now(agg, ckpt, "recover_a", "complete").toPandas()
+    want = eventtime.tumbling_kpi(events_batch).toPandas()
+    assert not compare_frames(first, want)
+
+    # restart from the same checkpoint: no new input -> no new batch; the
+    # fresh memory sink stays empty instead of replaying history
+    stream2 = stream_ops.read_events_stream(spark, SF_SMOKE)
+    second = stream_ops.run_available_now(
+        stream_ops.tumbling_kpi_stream(stream2), ckpt, "recover_b", "complete"
+    ).toPandas()
+    assert len(second) == 0
+
+
 def test_user_running_totals_final_state_matches_batch(spark, events_batch, tmp_path):
     stream = stream_ops.read_events_stream(spark, SF_SMOKE)
     got = _run(

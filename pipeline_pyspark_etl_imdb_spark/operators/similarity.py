@@ -140,6 +140,91 @@ def lsh_bucket(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer, deterministic flavor: centroids are actual
+    corpus vectors picked by id order (every len/n-th), each vector is
+    assigned to its nearest centroid by cosine. Returns (centroids,
+    assignments).
+
+    Real IVF runs k-means; the seeded-pick variant keeps the index fully
+    reproducible (no RNG, no iteration-order sensitivity) while exercising
+    the same physical shape: a tiny broadcast centroid table, one map-side
+    argmin pass over the corpus, and a cluster-id column to prune search.
+    """
+    ids = embeddings.select(F.col(id_col)).orderBy(id_col)
+    n = embeddings.count()
+    stride = max(n // n_centroids, 1)
+    centroid_ids = [r[0] for r in ids.collect()[::stride][:n_centroids]]
+    centroids = (
+        embeddings.where(F.col(id_col).isin(centroid_ids))
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    scored = base.join(F.broadcast(centroids), how="cross").withColumn(
+        "cos", _dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))
+    )
+    assignments = (
+        top_k_per_group(scored, [id_col], [F.desc("cos"), F.asc("centroid_id")], 1)
+        .select(F.col(id_col), "centroid_id")
+    )
+    return centroids.select("centroid_id", "cv", "cn"), assignments
+
+
+def ann_ivf_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_ids: Sequence[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its ``n_probe`` nearest
+    centroids and ranks exactly within those clusters only. The corpus
+    shuffles once on centroid_id; queries broadcast with their probe list.
+    Recall against brute force is gated in tests/test_similarity.py."""
+    centroids, assignments = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    base = (
+        embeddings.join(assignments, id_col)
+        .select(F.col(id_col), "centroid_id", _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
+    )
+    q = base
+    if query_ids is not None:
+        q = base.where(F.col(id_col).isin(list(query_ids)))
+    q_scored = q.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    ).join(F.broadcast(centroids), how="cross").withColumn(
+        "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    probes = top_k_per_group(
+        q_scored, ["query_id"], [F.desc("cos"), F.asc("centroid_id")], n_probe
+    ).select("query_id", "centroid_id", "qv", "qn")
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("v").alias("nv"), F.col("n").alias("nn")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+    )
+    ranked = top_k_per_group(
+        scored, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -241,6 +241,9 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
     "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
     "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
+    "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
+        _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
+    ),
     # --- multimodal plumbing (binary payload + typed metadata; see
     #     operators/multimodal.py — the decode itself is a deterministic stub)
     "media_stats": lambda s, d: multimodal.media_stats(

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
@@ -201,6 +201,87 @@ def _ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the JSON props column into a typed
+    struct with from_json, then aggregate on the extracted fields (vs
+    events_json_kpi's per-path get_json_object)."""
+    events = _events(spark, sf_dir)
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT, tag STRING").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type", F.col("p.tag").alias("tag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").alias("sum_k"),
+        )
+        .orderBy("event_type", "tag")
+    )
+
+
+def _order_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function family: truncate to month, day-of-week/quarter
+    extraction, date arithmetic."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            # string-typed month: date/timestamp-typed outputs don't
+            # round-trip identically through pandas across engines
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("dow").alias("min_dow"),
+            F.max("qtr").alias("qtr"),
+            F.min("age_days").alias("min_age_days"),
+        )
+        .orderBy("order_month")
+    )
+
+
+def _trailing_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per order, the customer's total spend in the
+    trailing 7 days INCLUDING simultaneous orders — a value-range frame,
+    not a row-count frame (two orders on one day both see each other)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = (F.unix_timestamp(F.col("o_orderdate")) / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_spend"),
+    )
+
+
+def _part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: regexp extraction, LIKE, case mapping,
+    padding, concat_ws, substring."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^(\\w+)", 1).alias("first_word"),
+        F.col("p_name").like("%green%").alias("is_green"),
+        F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- relational surface (reference operator inventory, SURVEY.md §2.11)
     "pricing_summary": analytics.pricing_summary,
@@ -268,6 +349,11 @@ QUERIES: dict[str, QueryFn] = {
     "approx_user_stats": _approx_user_stats,
     "event_value_stats": _event_value_stats,
     "ema_user_value": _ema_user_value,
+    # --- function families: JSON struct, calendar, range frames, strings
+    "events_props_struct": _events_props_struct,
+    "order_calendar_profile": _order_calendar_profile,
+    "trailing_week_spend": _trailing_week_spend,
+    "part_name_features": _part_name_features,
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),

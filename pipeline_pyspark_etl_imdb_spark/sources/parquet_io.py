@@ -19,6 +19,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a directory of small parquet files into ~target-size files.
+
+    The long-running-pipeline housekeeping op: streaming sinks and
+    fine-grained partition writes accumulate kilobyte files whose
+    per-file open/footer cost dominates scans at scale. Sizing uses the
+    actual on-disk bytes (not row counts), and the rewrite is a single
+    narrow repartition job. Returns the number of output files chosen.
+    """
+    df = spark.read.parquet(src_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, int(total / target_file_bytes) + (1 if total % target_file_bytes else 0))
+    df.repartition(n_files).write.mode("overwrite").parquet(dest_path)
+    return n_files
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

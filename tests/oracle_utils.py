@@ -10,7 +10,7 @@ diagnosability.
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime, time
 
 import duckdb
 import pandas as pd
@@ -37,6 +37,12 @@ def _canon_value(v):
             return None
         return round(v, ROUND_DECIMALS)
     if isinstance(v, datetime):
+        # a DATE round-trips as midnight datetime through pandas; collapse
+        # so date-typed and timestamp-typed calendars compare equal
+        if v.time() == time(0, 0) and v.tzinfo is None:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)

@@ -1,0 +1,99 @@
+"""Connected components over a pair list — dedup cluster resolution.
+
+Near-dup detection produces PAIRS (neardup.py, similarity.py); a dedup
+pipeline must then resolve clusters (a~b, b~c => {a,b,c}) and keep one
+canonical document per cluster. This is iterative min-label propagation,
+expressed in DataFrame ops:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint. Each iteration is one shuffle (join on the edge
+list + groupBy); convergence needs O(cluster diameter) rounds — near-dup
+clusters are shallow (stars around a template), so 3-5 rounds typical.
+The loop is driver-controlled with an explicit convergence count per
+round — the standard Spark iterative-algorithm shape (persist the
+frontier, unpersist the previous round, hard iteration cap as a
+guardrail).
+
+At 100 TB the edge list is the LSH candidate output (already pruned);
+label propagation shuffles only (node, label) pairs, so each round moves
+8-16 bytes per node, not document content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; the component id is
+    the minimum node id in the component. Raises if not converged within
+    ``max_iter`` (pathologically deep graphs need large-star/small-star)."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.a == labels.node)
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("component"))
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
+    finally:
+        sym.unpersist()
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """The kept corpus: one canonical (minimum-id) document per near-dup
+    cluster plus all documents in no cluster. Output: (doc_id, component)
+    where component == doc_id for survivors of clusters and singletons."""
+    comp = connected_components(pairs, src_col, dst_col)
+    clustered = docs.join(comp, docs[id_col] == comp.node, "left").select(
+        id_col, F.coalesce(F.col("component"), F.col(id_col)).alias("component")
+    )
+    return clustered.where(F.col(id_col) == F.col("component")).select(
+        id_col, "component"
+    )

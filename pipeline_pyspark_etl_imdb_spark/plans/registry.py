@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
+    components,
     eventtime,
     multimodal,
     neardup,
@@ -313,6 +314,13 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": lambda s, d: text_ops.doc_fingerprint(_docs(s, d)),
     # --- dedup
     "exact_dup_groups": lambda s, d: neardup.exact_dup_groups(_docs(s, d)),
+    "dedup_components": lambda s, d: components.connected_components(
+        neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")
+    ),
+    "dedup_canonical_corpus": lambda s, d: components.dedup_canonical(
+        _docs(s, d),
+        neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b"),
+    ),
     "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "minhash_candidates": lambda s, d: neardup.minhash_candidate_pairs(_docs(s, d)),
     "simhash_values": lambda s, d: neardup.simhash32(_docs(s, d)),

@@ -1,0 +1,34 @@
+"""Connected components on hand-built graphs: chains (multi-hop
+propagation), separate components, and canonical-survivor selection."""
+
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark.operators.components import (
+    connected_components,
+    dedup_canonical,
+)
+
+
+def test_chain_and_disjoint_components(spark):
+    # 1-2-3-4 chain (diameter > 1 forces multiple propagation rounds),
+    # {10, 11} pair, and 20-21-22 triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_max_iter_guard(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=1)
+
+
+def test_dedup_canonical_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in dedup_canonical(docs, pairs).collect())
+    # cluster {0,3,5} -> keep 0; singletons 1,2,4 kept
+    assert kept == [0, 1, 2, 4]

@@ -4,6 +4,7 @@ from pipeline_pyspark_etl_imdb_spark.streaming.ops import (
     sessionize_stream,
     sliding_kpi_stream,
     stream_dedup,
+    stream_to_parquet,
     tumbling_kpi_stream,
     user_running_totals_stream,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "sessionize_stream",
     "sliding_kpi_stream",
     "stream_dedup",
+    "stream_to_parquet",
     "tumbling_kpi_stream",
     "user_running_totals_stream",
 ]

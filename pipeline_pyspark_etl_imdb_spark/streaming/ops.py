@@ -187,6 +187,34 @@ def user_running_totals_stream(events: DataFrame, watermark_s: int = 3600) -> Da
     )
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    dest_path: str,
+    checkpoint_dir: str,
+    *,
+    partition_cols: list[str] | None = None,
+    timeout_s: int = 120,
+) -> None:
+    """Drain the available data into a parquet directory sink (append —
+    the only mode file sinks support) with exactly-once file commit via
+    the checkpoint's write-ahead commit log. Partitioned layout gives the
+    downstream batch readers partition pruning over the streamed output."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", dest_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    query = writer.start()
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        query.stop()
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -65,6 +65,29 @@ def test_stream_dedup_drops_duplicate_ids(spark, events_batch, tmp_path):
     assert got["event_id"].is_unique
 
 
+def test_stream_to_partitioned_parquet_sink(spark, events_batch, tmp_path):
+    """File sink: streamed events land in an event_type-partitioned parquet
+    directory whose batch read-back equals the source (append mode,
+    exactly-once commit log)."""
+    import pathlib
+
+    dest, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt_sink")
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    stream_ops.stream_to_parquet(
+        stream_ops.stream_dedup(stream),
+        dest,
+        ckpt,
+        partition_cols=["event_type"],
+    )
+    assert any(
+        p.name.startswith("event_type=") for p in pathlib.Path(dest).iterdir()
+    )
+    got = spark.read.parquet(dest)
+    assert got.count() == events_batch.select("event_id").distinct().count()
+    src_ids = {r.event_id for r in events_batch.select("event_id").distinct().collect()}
+    assert {r.event_id for r in got.select("event_id").collect()} == src_ids
+
+
 def test_checkpoint_recovery_resumes_not_reprocesses(spark, events_batch, tmp_path):
     """Kill-and-restart semantics: a stream that already consumed its input
     must, when restarted on the same checkpoint with a fresh sink, emit

@@ -29,6 +29,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 KNN_QUERY_IDS = list(range(10))
 
+# stratified-sample targets; tests/test_sampling.py asserts against these
+DOC_SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.2, "zh": 0.2}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -283,6 +286,36 @@ def _part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): melt the per-user event-type count columns
+    back into (user_id, event_type, n) rows, dropping zero rows — the
+    inverse of events_user_pivot."""
+    wide = eventtime.user_type_pivot(_events(spark, sf_dir))
+    long = wide.unpivot(
+        ["user_id"],
+        [c for c in wide.columns if c != "user_id"],
+        "event_type",
+        "n",
+    )
+    return (
+        long.where(F.col("n") > 0)
+        .select("user_id", F.expr("substring(event_type, 3)").alias("event_type"), "n")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def _stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling per language — the corpus-balancing
+    primitive of a training-data pipeline. Sampling is engine-specific
+    (seeded Bernoulli over Spark's partition RNG), so the driver applies
+    the rows-only check; tests/test_sampling.py asserts per-stratum
+    fractions and same-seed determinism."""
+    docs = _docs(spark, sf_dir)
+    return docs.sampleBy("lang", fractions=DOC_SAMPLE_FRACTIONS, seed=42).select(
+        "doc_id", "lang"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- relational surface (reference operator inventory, SURVEY.md §2.11)
     "pricing_summary": analytics.pricing_summary,
@@ -368,9 +401,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": lambda s, d: eventtime.sessionize(_events(s, d)),
     "events_json_kpi": lambda s, d: eventtime.json_value_kpi(_events(s, d)),
     "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
+    "event_counts_unpivot": _event_counts_unpivot,
+    "stratified_doc_sample": _stratified_doc_sample,
 }
 
 # Queries whose results can't hash-match an external engine: sketch-based
 # estimates are implementation-specific. The driver applies the weaker
 # rows-only check; tests/test_approx.py bounds the estimation error.
-ROWS_ONLY: tuple[str, ...] = ("approx_user_stats",)
+ROWS_ONLY: tuple[str, ...] = ("approx_user_stats", "stratified_doc_sample")

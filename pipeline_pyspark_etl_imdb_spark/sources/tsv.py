@@ -31,13 +31,39 @@ def read_tsv(
     header: bool = True,
     schema: str | None = None,
     repartition_to: int | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read a (possibly gzipped) delimited file.
 
     Without ``schema``, matches the reference contract exactly: column names
     from the header, every column StringType, no inference pass.
+
+    Malformed-row policy (only meaningful with an explicit ``schema``):
+    PERMISSIVE (default) nulls out bad fields, DROPMALFORMED discards the
+    row, FAILFAST raises. Pass ``corrupt_col`` to quarantine raw malformed
+    lines into a named column instead of losing them — at 100 TB you audit
+    the quarantine, you don't crash the run.
+
+    NOTE: Spark refuses queries that reference only the corrupt column of
+    a CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    ``.cache()`` the parsed frame before filtering on ``corrupt_col``, as
+    Spark's own error message instructs.
     """
-    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if corrupt_col is not None and mode != "PERMISSIVE":
+        # Spark populates columnNameOfCorruptRecord ONLY in PERMISSIVE
+        # mode; in DROPMALFORMED the quarantine would read as empty while
+        # rows are silently dropped — the opposite of its purpose
+        raise ValueError(f"corrupt_col requires mode='PERMISSIVE', got {mode!r}")
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if schema is not None:
+            schema = f"{schema}, {corrupt_col} string"
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.csv(path)

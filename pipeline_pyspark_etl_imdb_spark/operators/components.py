@@ -55,6 +55,10 @@ def connected_components(
                 .groupBy(F.col("b").alias("node2"))
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # localCheckpoint (eager) rather than persist: it also truncates
+            # lineage, so the logical plan stays O(1) per round instead of
+            # nesting every previous iteration (re-planning an N-round tree
+            # is quadratic driver time, and worse at real scale)
             new_labels = (
                 labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
                 .select(
@@ -63,7 +67,7 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")

@@ -374,3 +374,25 @@ def nation_role_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nationkey", F.lit("supplier_only").alias("role")
     )
     return both.union(supplier_only).orderBy("nationkey")
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + single global
+    aggregate. Every predicate pushes to the parquet scan; the aggregate
+    is a one-row map-side-combined reduction — the cheapest possible plan
+    for a 100 TB 'what if' sweep."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4))
+            .cast("double")
+            .alias("revenue_change"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -332,6 +332,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     "return_share_by_year": analytics.return_share_by_year,
+    "forecast_revenue_change": analytics.forecast_revenue_change,
     "purchase_last_click_asof": analytics.purchase_last_click_asof,
     "revenue_yoy": analytics.revenue_yoy,
     "customer_running_spend": analytics.customer_running_spend,

@@ -19,6 +19,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    sep: str = "\t",
+    header: bool = True,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Delimited-text export — the interchange sink mirroring the TSV
+    source (external consumers, reference README's QA path)."""
+    writer = df.write.mode(mode).option("sep", sep).option("header", str(header).lower())
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines export for schema-fluid consumers."""
+    df.write.mode(mode).json(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

@@ -1,8 +1,28 @@
-"""Compaction: many small files in, few right-sized files out, identical
-data."""
+"""Sink round-trips: compaction (many small files in, few right-sized
+files out, identical data) and the CSV/JSON export sinks."""
 
-from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import compact_parquet
+from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import (
+    compact_parquet,
+    write_csv,
+    write_json,
+)
+from pipeline_pyspark_etl_imdb_spark.sources.tsv import read_tsv
 from tests.conftest import SF_SMOKE
+
+
+def test_csv_and_json_sinks_round_trip(spark, tmp_path):
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    csv_path, json_path = str(tmp_path / "csv"), str(tmp_path / "json")
+
+    write_csv(nation, csv_path)
+    back = read_tsv(
+        spark, csv_path, schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+    write_json(nation, json_path)
+    back_j = spark.read.json(json_path).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(back_j.collect()) == sorted(nation.collect())
 
 
 def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):

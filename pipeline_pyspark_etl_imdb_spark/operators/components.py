@@ -75,6 +75,9 @@ def connected_components(
                 .where(F.col("n.label") != F.col("o.label"))
                 .count()
             )
+            # the previous round's blocks: the initial frame is persisted
+            # (freed here); checkpointed rounds are freed asynchronously by
+            # the ContextCleaner once this reference drops
             labels.unpersist()
             labels = new_labels
             if changed == 0:

@@ -122,6 +122,12 @@ def minhash_band_keys(
 ) -> DataFrame:
     """LSH banding: concatenate each band's signature rows into one md5
     band value; one output row per (doc, band)."""
+    if n_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by rows_per_band "
+            f"({rows_per_band}) — trailing signature rows would be silently "
+            "dropped and recall would differ from the 1-(1-s^r)^b contract"
+        )
     n_bands = n_hashes // rows_per_band
     bands = F.array(
         *[

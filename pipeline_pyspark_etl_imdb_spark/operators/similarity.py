@@ -68,8 +68,12 @@ def cosine_knn(
     corpus = base.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("n").alias("nn")
     )
+    # force-broadcast only a bounded query set; with query_ids=None the
+    # "queries" are the whole corpus and broadcasting it would OOM — let
+    # Catalyst pick the strategy for the all-pairs case
+    q_side = F.broadcast(q) if query_ids is not None else q
     scored = (
-        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        corpus.join(q_side, F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )
     ranked = top_k_per_group(
@@ -133,10 +137,17 @@ def lsh_bucket(
         .agg(F.sum(F.col("sign") * F.col("xd")).alias("dot"))
     )
     bit_value = F.expr("CAST(shiftleft(1, CAST(j AS INT)) AS BIGINT)")
-    return dots.groupBy(id_col).agg(
+    bucketed = dots.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("dot") > 0, bit_value).otherwise(F.lit(0).cast("bigint"))
         ).alias("bucket")
+    )
+    # NULL/empty embeddings posexplode to zero rows and would silently
+    # vanish from every downstream inner join (never reported as neighbor
+    # OR near-dup); keep them addressable in a sentinel bucket instead
+    all_ids = embeddings.select(F.col(id_col))
+    return all_ids.join(bucketed, id_col, "left").select(
+        id_col, F.coalesce(F.col("bucket"), F.lit(-1).cast("bigint")).alias("bucket")
     )
 
 
@@ -156,14 +167,30 @@ def ivf_index(
     the same physical shape: a tiny broadcast centroid table, one map-side
     argmin pass over the corpus, and a cluster-id column to prune search.
     """
-    ids = embeddings.select(F.col(id_col)).orderBy(id_col)
+    from pyspark.sql import Window
+
     n = embeddings.count()
     stride = max(n // n_centroids, 1)
-    centroid_ids = [r[0] for r in ids.collect()[::stride][:n_centroids]]
+    # distributed pick: row_number over id order, keep every stride-th —
+    # only ids flow through the (single-task) global window, and only the
+    # n_centroids survivors ever reach the driver-free broadcast below;
+    # collecting the full id column would OOM the driver at billions of rows
+    rn = F.row_number().over(Window.orderBy(id_col)) - 1
+    centroid_ids = (
+        embeddings.select(F.col(id_col))
+        .withColumn("__rn", rn)
+        .where(F.col("__rn") % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"))
+    )
     centroids = (
-        embeddings.where(F.col(id_col).isin(centroid_ids))
+        embeddings.join(
+            F.broadcast(centroid_ids),
+            embeddings[id_col] == centroid_ids.centroid_id,
+        )
         .select(
-            F.col(id_col).alias("centroid_id"),
+            "centroid_id",
             _as_double(F.col(vec_col)).alias("cv"),
         )
         .withColumn("cn", _norm(F.col("cv")))

@@ -34,10 +34,18 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
-def _deterministic_salt(cols: Sequence[str], n_salts: int) -> Column:
+def _deterministic_salt(cols: Sequence[str] | None, n_salts: int) -> Column:
     """Salt derived by hashing row content — deterministic (replayable
-    tasks get the same salt; F.rand would not guarantee that) and uniform."""
-    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts))
+    tasks get the same salt; F.rand would not guarantee that) and uniform.
+
+    When no distinguishing columns are given, the row's position
+    (monotonically_increasing_id: partition id + offset, stable on task
+    retry) joins the hash — byte-identical duplicates of a hot key are
+    the COMMON skew case, and content-only hashing would send them all to
+    one salt, silently defeating the mitigation.
+    """
+    inputs = [F.col(c) for c in cols] if cols else [F.monotonically_increasing_id()]
+    return F.pmod(F.hash(*inputs), F.lit(n_salts))
 
 
 def salted_agg(
@@ -61,8 +69,7 @@ def salted_agg(
     Phase-1 expressions see the raw columns; phase-2 expressions see the
     phase-1 outputs by their output name.
     """
-    salt_cols = list(salt_from) if salt_from else list(df.columns)
-    salted = df.withColumn(_SALT, _deterministic_salt(salt_cols, n_salts))
+    salted = df.withColumn(_SALT, _deterministic_salt(salt_from, n_salts))
     partial = salted.groupBy(*keys, _SALT).agg(
         *[p.alias(name) for name, (p, _) in aggs.items()]
     )
@@ -87,8 +94,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt_cols = list(salt_from) if salt_from else list(big.columns)
-    big_s = big.withColumn(_SALT, _deterministic_salt(salt_cols, n_salts))
+    big_s = big.withColumn(_SALT, _deterministic_salt(salt_from, n_salts))
     small_r = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -90,9 +90,11 @@ def subtoken_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1] from length, stopword ratio and
     punctuation ratio. Pure rational arithmetic — reproducible bit-for-bit
-    on any engine."""
+    on any engine. Scoring is case-insensitive: the text lowercases before
+    tokenizing so capitals neither miss the stoplist nor count as
+    punctuation under the [^a-z0-9\\s] class."""
     en_stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
-    with_tok = docs.select(id_col, F.col(text_col).alias("__t")).withColumn(
+    with_tok = docs.select(id_col, F.lower(F.col(text_col)).alias("__t")).withColumn(
         "__tok", tokens("__t")
     )
     n_tokens = F.size("__tok")
@@ -113,8 +115,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-voting language ID: count distinct-token hits against each
     language's stopword list, predict the argmax (ties and zero hits ->
-    'und'). Deterministic tie-break: languages compared in sorted order."""
-    with_tok = docs.select(id_col, F.col(text_col).alias("__t")).withColumn(
+    'und'). Case-insensitive (text lowercases first — sentence-initial
+    'The' must hit the stoplist). Deterministic tie-break: languages
+    compared in sorted order."""
+    with_tok = docs.select(id_col, F.lower(F.col(text_col)).alias("__t")).withColumn(
         "__tok", F.array_distinct(tokens("__t"))
     )
     hit_cols = {

@@ -210,7 +210,12 @@ def stream_to_parquet(
         writer = writer.partitionBy(*partition_cols)
     query = writer.start()
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"stream_to_parquet did not drain within {timeout_s}s — the "
+                "sink holds only the batches committed so far"
+            )
     finally:
         query.stop()
 
@@ -234,7 +239,12 @@ def run_available_now(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"stream {query_name!r} did not drain within {timeout_s}s — "
+                "a partial memory table would silently corrupt parity checks"
+            )
     finally:
         query.stop()
     return stream_df.sparkSession.table(query_name)

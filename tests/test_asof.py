@@ -41,6 +41,28 @@ def test_tolerance_nulls_stale_matches(spark):
     assert out[(1, "b")] == (20.5, 205)  # tie, distance 0
 
 
+def test_null_field_in_matched_row_stays_null(spark):
+    # a NULL field in the matched right row must NOT backfill from an
+    # older right row (atomic row semantics, as pandas/DuckDB)
+    left = spark.createDataFrame([(1, 10)], "grp int, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 8, None)], "grp int, t long, v double"
+    )
+    row = asof_join(left, right, on="t", by="grp").collect()[0]
+    assert row.matched_on == 8 and row.v is None
+
+
+def test_tie_col_picks_deterministic_right_row(spark):
+    left = spark.createDataFrame([(1, 10)], "grp int, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, 1), (1, 5, 200.0, 2)], "grp int, t long, v double, seq int"
+    )
+    row = asof_join(
+        left, right, on="t", by="grp", value_cols=["v"], tie_col="seq"
+    ).collect()[0]
+    assert row.v == 200.0  # greatest seq wins
+
+
 def test_left_columns_carried(spark):
     left, right = _frames(spark)
     cols = set(asof_join(left, right, on="t", by="grp").columns)

@@ -1,4 +1,5 @@
 from pipeline_pyspark_etl_imdb_spark.streaming.ops import (
+    click_purchase_join_stream,
     read_events_stream,
     run_available_now,
     sessionize_stream,
@@ -10,6 +11,7 @@ from pipeline_pyspark_etl_imdb_spark.streaming.ops import (
 )
 
 __all__ = [
+    "click_purchase_join_stream",
     "read_events_stream",
     "run_available_now",
     "sessionize_stream",

@@ -187,6 +187,56 @@ def user_running_totals_stream(events: DataFrame, watermark_s: int = 3600) -> Da
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame, within_s: int = 600, watermark_s: int = 3600
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same user's
+    clicks in the preceding ``within_s`` seconds.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can expire rows once the watermark
+    passes — the required shape for an unbounded stream-stream join
+    (without the time bound, state grows forever). One shuffle on
+    user_id; state per side is (rate x within+watermark) rows.
+    """
+    timed = with_event_time(events)
+    clicks = (
+        timed.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", f"{watermark_s} seconds")
+    )
+    purchases = (
+        timed.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", f"{watermark_s} seconds")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user_id = c_user_id AND
+            click_time <= purchase_time AND
+            click_time >= purchase_time - INTERVAL {within_s} seconds
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_timestamp("purchase_time").alias("purchase_s"),
+        F.unix_timestamp("click_time").alias("click_s"),
+    )
+
+
 def stream_to_parquet(
     stream_df: DataFrame,
     dest_path: str,

@@ -65,6 +65,49 @@ def test_stream_dedup_drops_duplicate_ids(spark, events_batch, tmp_path):
     assert got["event_id"].is_unique
 
 
+def test_stream_stream_join_matches_batch(spark, events_batch, tmp_path):
+    """Stream-stream watermarked join == the equivalent batch join over the
+    same files."""
+    from pipeline_pyspark_etl_imdb_spark.operators.eventtime import ts_micros
+
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.click_purchase_join_stream(stream, within_s=600),
+        tmp_path,
+        "ssjoin",
+    )
+    base = events_batch.select(
+        "event_id", "user_id", "event_type", ts_micros(events_batch).alias("us")
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("c_us"),
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("us").alias("p_us")
+    )
+    want = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_us") <= F.col("p_us"))
+            & (F.col("c_us") >= F.col("p_us") - 600_000_000),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (F.col("p_us") / 1_000_000).cast("long").alias("purchase_s"),
+            (F.col("c_us") / 1_000_000).cast("long").alias("click_s"),
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert not compare_frames(got, want)
+
+
 def test_stream_to_partitioned_parquet_sink(spark, events_batch, tmp_path):
     """File sink: streamed events land in an event_type-partitioned parquet
     directory whose batch read-back equals the source (append mode,

@@ -55,6 +55,36 @@ def tumbling_kpi(events: DataFrame, width_s: int = 600) -> DataFrame:
     )
 
 
+def rollup_coarser(
+    kpi: DataFrame, finer_width_s: int, coarser_width_s: int
+) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: derive a coarser tumbling
+    KPI from an already-aggregated finer one instead of rescanning raw
+    events. Counts and decimal-safe sums re-aggregate exactly, so a
+    10-minute materialization serves hourly/daily queries at 1/width the
+    input size — the continuous-aggregate pattern. Requires aligned
+    widths (coarser must be a multiple of finer)."""
+    if coarser_width_s % finer_width_s != 0:
+        raise ValueError(
+            f"coarser width {coarser_width_s} must be a multiple of finer "
+            f"width {finer_width_s} for exact reaggregation"
+        )
+    coarse_start = (
+        F.floor(F.col("window_start_s") / coarser_width_s) * coarser_width_s
+    ).cast("bigint")
+    return (
+        kpi.withColumn("window_start_s", coarse_start)
+        .groupBy("window_start_s", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("sum_value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
 def sliding_kpi(events: DataFrame, width_s: int = 600, slide_s: int = 300) -> DataFrame:
     """Sliding-window KPI: each event lands in width/slide windows
     (explode over slide offsets — the batch equivalent of F.window(ts,

@@ -398,6 +398,9 @@ QUERIES: dict[str, QueryFn] = {
     "part_name_features": _part_name_features,
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
+    "events_hourly_rollup": lambda s, d: eventtime.rollup_coarser(
+        eventtime.tumbling_kpi(_events(s, d), width_s=600), 600, 3600
+    ),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),
     "events_sessionize": lambda s, d: eventtime.sessionize(_events(s, d)),
     "events_json_kpi": lambda s, d: eventtime.json_value_kpi(_events(s, d)),

@@ -41,15 +41,23 @@ def _window_start_s(us: Column, width_s: int, offset_s: int = 0) -> Column:
     ).cast("bigint")
 
 
-def tumbling_kpi(events: DataFrame, width_s: int = 600) -> DataFrame:
+def tumbling_kpi(
+    events: DataFrame, width_s: int = 600, *, value_as_decimal: bool = False
+) -> DataFrame:
     """Per (tumbling window, event_type): event count and value sum.
-    Value accumulates in DECIMAL for engine-exact totals."""
+    Value accumulates in DECIMAL for engine-exact totals; the public
+    schema casts to double unless ``value_as_decimal`` — pass True when
+    the output feeds further reaggregation (rollup_coarser) so no
+    precision is lost at the double boundary."""
+    sum_value = F.sum(F.col("value").cast("decimal(18,4)"))
+    if not value_as_decimal:
+        sum_value = sum_value.cast("double")
     return (
         events.withColumn("window_start_s", _window_start_s(ts_micros(events), width_s))
         .groupBy("window_start_s", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            sum_value.alias("sum_value"),
         )
         .orderBy("window_start_s", "event_type")
     )

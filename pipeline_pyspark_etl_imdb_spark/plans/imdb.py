@@ -41,13 +41,12 @@ from pyspark.sql import functions as F
 from pipeline_pyspark_etl_imdb_spark.functions.cleaning import (
     half_point_bucket,
     norm_token,
-    null_if_equal,
     to_double,
     to_int,
 )
 from pipeline_pyspark_etl_imdb_spark.operators.dedup import dedup_by_key, dedup_exact_rows
 from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
-from pipeline_pyspark_etl_imdb_spark.sources.tsv import NULL_MARKER, read_tsv, replace_null_markers
+from pipeline_pyspark_etl_imdb_spark.sources.tsv import read_tsv, replace_null_markers
 
 TITLE_BASICS_COLS_TO_CLEAN = (
     "startYear",
@@ -120,9 +119,12 @@ def explode_genres(titles_stg: DataFrame) -> DataFrame:
     ',', inner explode (rows with no genres vanish), trim+lower
     normalization.
     """
+    # genres was already marker-cleaned in stage_titles (it is in
+    # TITLE_BASICS_COLS_TO_CLEAN); the NULL filter alone encodes the
+    # contract here
     with_genres = titles_stg.select(
         F.col("tconst").alias("titlekey"),
-        null_if_equal("genres", NULL_MARKER).alias("genres"),
+        F.col("genres"),
     ).where(F.col("genres").isNotNull())
     exploded = with_genres.select(
         "titlekey", F.explode(F.split("genres", ",")).alias("raw_genre")
@@ -242,7 +244,9 @@ class ImdbWarehouse:
 
     def build(self) -> dict[str, DataFrame]:
         titles_stg = self._cache(stage_titles(read_tsv(self.spark, self.title_basics_path)))
-        ratings_stg = stage_ratings(read_tsv(self.spark, self.title_ratings_path))
+        ratings_stg = self._cache(
+            stage_ratings(read_tsv(self.spark, self.title_ratings_path))
+        )
         dim_genre, bridge = build_dim_genre_and_bridge(titles_stg)
         fact = self._cache(build_fact_ratings(titles_stg, ratings_stg))
         return {

@@ -399,7 +399,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- event time
     "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
     "events_hourly_rollup": lambda s, d: eventtime.rollup_coarser(
-        eventtime.tumbling_kpi(_events(s, d), width_s=600), 600, 3600
+        eventtime.tumbling_kpi(_events(s, d), width_s=600, value_as_decimal=True),
+        600,
+        3600,
     ),
     "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),
     "events_sessionize": lambda s, d: eventtime.sessionize(_events(s, d)),

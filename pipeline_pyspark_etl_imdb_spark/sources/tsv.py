@@ -55,6 +55,10 @@ def read_tsv(
         # mode; in DROPMALFORMED the quarantine would read as empty while
         # rows are silently dropped — the opposite of its purpose
         raise ValueError(f"corrupt_col requires mode='PERMISSIVE', got {mode!r}")
+    if corrupt_col is not None and schema is None:
+        # without an explicit schema the corrupt field can't be added to
+        # it and Spark silently ignores the option — fail loudly instead
+        raise ValueError("corrupt_col requires an explicit schema")
     reader = (
         spark.read.option("sep", sep)
         .option("header", str(header).lower())

@@ -184,6 +184,62 @@ def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema=schema)
 
 
+# --- resize -----------------------------------------------------------------
+
+def resize_media(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, codec: str = "fake"
+) -> DataFrame:
+    """Resize image-kind payloads to target dimensions via mapInPandas.
+
+    ``codec="real"`` is the PIL/opencv integration point (unavailable
+    here); the fake codec emits a deterministic resized payload — the
+    payload bytes resampled to exactly target_w*target_h bytes by striding
+    (downsample) or repetition (upsample) — so output sizes, schema, and
+    batch shapes match what a real resampler produces.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real image resampling (PIL/opencv) is not available in this "
+            "environment; use codec='fake' — the Spark plumbing is identical"
+        )
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+    n_out = target_w * target_h
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("resized", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, resized = [], []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                buf = bytes(payload) or b"\x00"
+                out = bytes(buf[(i * len(buf)) // n_out] for i in range(n_out))
+                ids.append(media_id)
+                resized.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [target_w] * len(ids),
+                    "height": [target_h] * len(ids),
+                    "resized": resized,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=schema
+    )
+
+
 # --- frame sampling ---------------------------------------------------------
 
 def sample_frames(media: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> DataFrame:

@@ -381,6 +381,9 @@ QUERIES: dict[str, QueryFn] = {
     "media_frames": lambda s, d: multimodal.sample_frames(
         multimodal.media_from_documents(_docs(s, d))
     ).select("media_id", "frame_idx", F.md5("frame").alias("frame_md5")),
+    "media_resize": lambda s, d: multimodal.resize_media(
+        multimodal.media_from_documents(_docs(s, d)), target_w=8, target_h=8
+    ).select("media_id", "width", "height", F.md5("resized").alias("resized_md5")),
     # --- skew-safe physical rewrites (same results as the plain shapes)
     "skew_safe_flag_totals": lambda s, d: _skew_flag_totals(s, d),
     "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),

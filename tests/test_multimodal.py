@@ -62,6 +62,21 @@ def test_features_shape_and_norm(media):
         assert abs(sum(row.features) - 1.0) < 1e-9
 
 
+def test_resize_only_images_fixed_size_deterministic(media):
+    out = multimodal.resize_media(media, target_w=8, target_h=8).collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    for row in out:
+        assert (row.width, row.height) == (8, 8)
+        assert len(row.resized) == 64
+    again = multimodal.resize_media(media, target_w=8, target_h=8).collect()
+    assert sorted(out) == sorted(again)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_media(media, codec="real")
+
+
 def test_frames_only_video_and_stride(media):
     frames = multimodal.sample_frames(media, frame_bytes=64, every_k=4)
     joined = frames.join(media, "media_id").select("kind", "frame_idx", "frame").collect()

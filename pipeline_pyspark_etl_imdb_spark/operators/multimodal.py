@@ -31,6 +31,8 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
+
+from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -74,6 +76,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") % len(MEDIA_KINDS) + 1).cast("int"),
     )
     payload = F.encode(F.col("text"), "UTF-8")
+    # per-item hashing + downstream Python batch work is CPU-bound; a
+    # single-file fixture scan would serialize it all into one task
+    docs = fan_out(docs)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),

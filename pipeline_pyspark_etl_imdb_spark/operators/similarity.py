@@ -320,9 +320,13 @@ def ann_lsh_knn(
     corpus = base.select(
         F.col(id_col).alias("neighbor_id"), "bucket", F.col("v").alias("nv"), F.col("n").alias("nn")
     )
+    # force-broadcast only a bounded query set; with query_ids=None the
+    # "queries" are the whole corpus — let Catalyst pick (same guard as
+    # cosine_knn)
+    q_side = F.broadcast(q) if query_ids is not None else q
     scored = (
         corpus.join(
-            F.broadcast(q),
+            q_side,
             (F.col("bucket") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
         )
         .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))

@@ -39,6 +39,10 @@ def _dec(col: str | Column, scale: int = 2) -> Column:
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS): unreadable on a bare
+        # session (the driver's) without this runtime-settable legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

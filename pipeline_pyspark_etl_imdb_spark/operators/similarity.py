@@ -24,6 +24,7 @@ accumulation differences; scores themselves stay out of hashed output.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -31,6 +32,39 @@ from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
 from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
+
+
+def scaled_n_planes(
+    n: int, target_bucket_rows: int = 128, floor: int = 4, cap: int = 32
+) -> int:
+    """Hyperplane count that keeps EXPECTED bucket occupancy at or below
+    ``target_bucket_rows``: p = clamp(ceil(log2(n / target)), floor, cap).
+
+    A fixed plane count is a scale bug: per-bucket candidate joins are
+    O(occupancy^2) and occupancy = n / 2^p, so constant p makes the join
+    quadratic in n. Growing p with log2(n) keeps occupancy — and therefore
+    per-bucket work — bounded as the corpus grows (n=1e9 -> 23 planes,
+    ~120 rows/bucket). At the fixture scales (n<=5e3 with the default
+    target) this evaluates to the floor of 4, which the hand-expanded
+    4-plane SQL oracle mirrors."""
+    if n <= 0:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(max(n / target_bucket_rows, 1.0)))))
+
+
+def scaled_n_centroids(n: int, floor: int = 16, cap: int = 65536) -> int:
+    """IVF centroid count ~ sqrt(n/2), clamped. Fixed centroid counts don't
+    survive scale-up: with c centroids and p probes a query scans p*n/c
+    vectors, so c must grow with n; c ~ sqrt(n) balances the coarse search
+    (c comparisons) against the fine search (p*n/c). n=500 -> 16 (fixture
+    value, mirrored by the oracle's formula), n=1e9 -> 22361."""
+    return max(floor, min(cap, math.ceil(math.sqrt(max(n, 1) / 2.0))))
+
+
+def _uniform32(col: Column) -> Column:
+    """Deterministic uniform 32-bit integer from md5 of the value's string
+    form — engine-portable (the DuckDB oracle parses the same hex)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
 
 
 def _as_double(vec: Column) -> Column:
@@ -114,7 +148,7 @@ def hyperplane_signs(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
 
 def lsh_bucket(
     embeddings: DataFrame,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -124,8 +158,15 @@ def lsh_bucket(
     Dot products accumulate in DECIMAL(18,9) (exact, order-independent),
     so the sign — hence the bucket — is engine-exact even though the
     embeddings are floats.
+
+    ``n_planes=None`` (default) scales the plane count with corpus size
+    (``scaled_n_planes``) so bucket occupancy — and the O(occupancy^2)
+    candidate join downstream — stays bounded at 100x the data.
     """
     spark = embeddings.sparkSession
+    if n_planes is None:
+        # one column-pruned count job; at scale this reads parquet footers
+        n_planes = scaled_n_planes(embeddings.select(id_col).count())
     embeddings = fan_out(embeddings)
     ex = embeddings.select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
@@ -153,44 +194,39 @@ def lsh_bucket(
 
 def ivf_index(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer, deterministic flavor: centroids are actual
-    corpus vectors picked by id order (every len/n-th), each vector is
-    assigned to its nearest centroid by cosine. Returns (centroids,
-    assignments).
+    corpus vectors picked by a hash-stride filter, each vector is assigned
+    to its nearest centroid by cosine. Returns (centroids, assignments).
 
-    Real IVF runs k-means; the seeded-pick variant keeps the index fully
-    reproducible (no RNG, no iteration-order sensitivity) while exercising
-    the same physical shape: a tiny broadcast centroid table, one map-side
-    argmin pass over the corpus, and a cluster-id column to prune search.
+    Real IVF runs k-means; the hash-pick variant keeps the index fully
+    reproducible (no RNG state, no iteration-order sensitivity) while
+    exercising the same physical shape: a tiny broadcast centroid table,
+    one map-side argmin pass over the corpus, and a cluster-id column to
+    prune search.
+
+    The pick is a MAP-ONLY filter — keep ids whose md5-derived uniform
+    value is ``0 mod stride`` (stride = n // n_centroids) — so no global
+    sort, no single-partition window, and nothing but the (~n_centroids)
+    survivors ever leaves the executors. The selected count is binomial
+    around n_centroids (P(empty) <= e^-16); IVF needs "about c centroids",
+    not exactly c. ``n_centroids=None`` scales c ~ sqrt(n)
+    (``scaled_n_centroids``).
     """
-    from pyspark.sql import Window
-
-    n = embeddings.count()
+    embeddings = fan_out(embeddings)
+    # the only driver-visible value is one scalar count (column-pruned:
+    # parquet answers it from footer metadata)
+    n = embeddings.select(F.col(id_col)).count()
+    if n_centroids is None:
+        n_centroids = scaled_n_centroids(n)
     stride = max(n // n_centroids, 1)
-    # distributed pick: row_number over id order, keep every stride-th —
-    # only ids flow through the (single-task) global window, and only the
-    # n_centroids survivors ever reach the driver-free broadcast below;
-    # collecting the full id column would OOM the driver at billions of rows
-    rn = F.row_number().over(Window.orderBy(id_col)) - 1
-    centroid_ids = (
-        embeddings.select(F.col(id_col))
-        .withColumn("__rn", rn)
-        .where(F.col("__rn") % stride == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"))
-    )
     centroids = (
-        embeddings.join(
-            F.broadcast(centroid_ids),
-            embeddings[id_col] == centroid_ids.centroid_id,
-        )
+        embeddings.where(_uniform32(F.col(id_col)) % stride == 0)
         .select(
-            "centroid_id",
+            F.col(id_col).alias("centroid_id"),
             _as_double(F.col(vec_col)).alias("cv"),
         )
         .withColumn("cn", _norm(F.col("cv")))
@@ -211,7 +247,7 @@ def ivf_index(
 def ann_ivf_knn(
     embeddings: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     query_ids: Sequence[int] | None = None,
     id_col: str = "vec_id",
@@ -222,6 +258,11 @@ def ann_ivf_knn(
     shuffles once on centroid_id; queries broadcast with their probe list.
     Recall against brute force is gated in tests/test_similarity.py."""
     centroids, assignments = ivf_index(embeddings, n_centroids, id_col, vec_col)
+    # both the query and corpus sides reference the index subtrees; persist
+    # so the argmin pass over the corpus runs once per build, not per branch
+    # (small tables: ~c and ~n*2 narrow rows; evicted by LRU when cold)
+    centroids = centroids.persist()
+    assignments = assignments.persist()
     base = (
         embeddings.join(assignments, id_col)
         .select(F.col(id_col), "centroid_id", _as_double(F.col(vec_col)).alias("v"))
@@ -255,7 +296,7 @@ def ann_ivf_knn(
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -294,7 +335,7 @@ def cosine_dup_pairs(
 def ann_lsh_knn(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     query_ids: Sequence[int] | None = None,
     id_col: str = "vec_id",

@@ -35,10 +35,11 @@ def test_ivf_recall_vs_bruteforce(emb):
 
 
 def test_ivf_probes_fraction_of_corpus(emb):
-    # the point of IVF: search must touch only ~n_probe/n_centroids of data
+    # the point of IVF: search must touch only ~n_probe/n_centroids of data;
+    # the hash-stride pick yields a binomial count around the target
     _, assignments = similarity.ivf_index(emb, n_centroids=16)
     sizes = [r["count"] for r in assignments.groupBy("centroid_id").count().collect()]
-    assert len(sizes) == 16
+    assert 8 <= len(sizes) <= 32
     assert max(sizes) < emb.count() * 0.5  # no degenerate mega-cluster
 
 
@@ -46,3 +47,29 @@ def test_ivf_index_deterministic(emb):
     a = sorted(similarity.ivf_index(emb, 16)[1].collect())
     b = sorted(similarity.ivf_index(emb, 16)[1].collect())
     assert a == b
+
+
+def test_ivf_plan_has_no_single_partition_exchange(emb):
+    # the centroid pick must stay a map-side filter: a global-window or
+    # global-sort pick funnels every id through ONE task — the exact shape
+    # this test pins out of the plan forever
+    plan = (
+        similarity.ann_ivf_knn(emb, k=K, query_ids=QUERY_IDS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_scaled_params_track_corpus_size():
+    # fixture scales keep today's oracle-checked values...
+    assert similarity.scaled_n_planes(500) == 4
+    assert similarity.scaled_n_centroids(500) == 16
+    # ...while real scales grow: occupancy n/2^p and scan share p*n/c both
+    # stay bounded instead of blowing up quadratically/linearly
+    assert similarity.scaled_n_planes(10**9) == 23
+    assert 2 ** similarity.scaled_n_planes(10**9) >= 10**9 // 256
+    assert similarity.scaled_n_centroids(10**9) == 22361
+    # monotone, clamped
+    assert similarity.scaled_n_planes(0) == 4
+    assert similarity.scaled_n_planes(10**12, cap=32) == 32
+    assert similarity.scaled_n_centroids(1) == 16

@@ -7,12 +7,16 @@ work — decode, feature extraction, resize, frame sampling — runs in
 Arrow-batched ``mapInPandas`` stages so Python touches each batch once,
 columnar, never row-at-a-time.
 
-The actual codec step is STUBBED: the image/audio libraries are not in
-this container, so ``decode_media`` dispatches to a deterministic fake
-decoder (payload-derived header fields) and raises ``NotImplementedError``
-for ``codec="real"``. Everything around the stub — the schema contract,
-the UDF signatures, the Arrow batch shapes, partition preservation — is
-real and tested (tests/test_multimodal.py).
+Codecs: ``codec="real"`` parses real container formats with the standard
+library only — BMP and PNG headers for images (struct unpack of
+BITMAPINFOHEADER / IHDR), RIFF/WAVE chunks for audio (fmt + data walk) —
+since PIL/ffmpeg/soundfile are not in this container; payloads in formats
+those libraries would be needed for return NULL header fields rather than
+failing the batch. ``codec="fake"`` (default for the fixture tables, whose
+payloads are text bytes, not containers) derives deterministic header
+fields from the payload md5 so every engine computes identical results.
+Both run through the identical Spark plumbing — schema contract, UDF
+signatures, Arrow batch shapes — tested in tests/test_multimodal.py.
 
 The fixture tables carry no binary column, so ``media_from_documents``
 derives one deterministically (utf-8 payload of the text plus a fake media
@@ -102,6 +106,164 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# --- real container parsing (stdlib-only) -----------------------------------
+#
+# The minimal honest "real codec": actual byte-level parsing of three real
+# container formats. Full pixel/sample decode of compressed formats would
+# need PIL/ffmpeg; header geometry, frame counts and (for uncompressed BMP)
+# the pixel array itself need nothing beyond struct.
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a bottom-up 24-bit uncompressed BMP (BITMAPINFOHEADER).
+    ``pixels`` is width*height*3 BGR bytes, row-major from the TOP row
+    (rows are flipped and padded to 4 bytes on write, per the format)."""
+    import struct
+
+    row = width * 3
+    pad = (-row) % 4
+    body = b"".join(
+        pixels[y * row : (y + 1) * row] + b"\x00" * pad
+        for y in range(height - 1, -1, -1)
+    )
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, bytes] | None:
+    """(width, height, top-down BGR pixel bytes) from an uncompressed
+    24-bit BMP, or None if the payload isn't one."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        return None  # BITMAPCOREHEADER not supported
+    width, height = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    row = width * 3
+    stride = row + ((-row) % 4)
+    if len(buf) < data_off + stride * height:
+        return None
+    rows = [
+        buf[data_off + y * stride : data_off + y * stride + row]
+        for y in range(height)
+    ]
+    if not top_down:
+        rows.reverse()
+    return width, height, b"".join(rows)
+
+
+def _parse_png_header(buf: bytes) -> tuple[int, int] | None:
+    import struct
+
+    if len(buf) < 24 or buf[:8] != b"\x89PNG\r\n\x1a\n" or buf[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", buf, 16)
+    return int(width), int(height)
+
+
+def encode_wav(n_channels: int, sample_rate: int, frames: bytes, bits: int = 16) -> bytes:
+    """Serialize a PCM RIFF/WAVE file; ``frames`` is the raw sample data."""
+    import struct
+
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _parse_wav(buf: bytes) -> tuple[int, int, int] | None:
+    """(n_channels, bits_per_sample, n_sample_frames) from a PCM RIFF/WAVE
+    payload via a real chunk walk, or None."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, channels, bits, block_align, data_size = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(buf):
+            _, channels, _, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, pos + 8)
+        elif cid == b"data":
+            data_size = min(clen, len(buf) - pos - 8)
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if not channels or not block_align or data_size is None:
+        return None
+    return int(channels), int(bits), int(data_size // block_align)
+
+
+def _real_decode_one(buf: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, n_frames) by sniffing real container magic; NULLs
+    for formats that would need an external codec library."""
+    bmp = decode_bmp(buf)
+    if bmp is not None:
+        return bmp[0], bmp[1], 1
+    png = _parse_png_header(buf)
+    if png is not None:
+        return png[0], png[1], 1
+    wav = _parse_wav(buf)
+    if wav is not None:
+        channels, bits, n_frames = wav
+        return channels, bits, n_frames
+    return None, None, None
+
+
+def media_real_containers(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL container files — a bottom-up
+    24-bit BMP for even doc ids, a PCM RIFF/WAVE for odd — built
+    deterministically from the documents fixture (dimensions derived from
+    text length / doc id, pixel and sample bytes from the text itself).
+
+    This is what makes the real-codec path oracle-checkable end to end: an
+    external engine can predict every header field the real parser must
+    recover from the bytes."""
+    docs = fan_out(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)  # header geometry derives from the RAW length
+                fill = data if data else b"\x00"
+                if doc_id % 2 == 0:
+                    w, h = 1 + n % 64, 1 + int(doc_id) % 32
+                    need = w * h * 3
+                    payload = encode_bmp(
+                        w, h, (fill * (need // len(fill) + 1))[:need]
+                    )
+                    kind = "image"
+                else:
+                    channels, n_samples = 1 + n % 2, 1 + n % 500
+                    need = n_samples * channels * 2
+                    payload = encode_wav(
+                        channels, 8000, (fill * (need // len(fill) + 1))[:need]
+                    )
+                    kind = "audio"
+                ids.append(doc_id)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id bigint, kind string, payload binary"
+    )
+
+
 # --- decode -----------------------------------------------------------------
 
 DECODED_SCHEMA = StructType(
@@ -131,24 +293,39 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {"media_id": [], "kind": [], "width": [], "height": [], "n_frames": [], "n_bytes": []}
+    for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+        buf = bytes(payload)
+        width, height, n_frames = _real_decode_one(buf)
+        out["media_id"].append(media_id)
+        out["kind"].append(kind)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_frames"].append(n_frames)
+        out["n_bytes"].append(len(buf))
+    return pd.DataFrame(out)
+
+
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode payloads to per-item header metadata via mapInPandas.
 
-    ``codec="real"`` is the integration point for PIL/ffmpeg/soundfile and
-    raises NotImplementedError in this container; ``codec="fake"`` runs the
-    deterministic stub through the identical Spark plumbing.
+    ``codec="real"`` parses actual container bytes (BMP/PNG/WAV via the
+    stdlib — formats needing PIL/ffmpeg yield NULL header fields);
+    ``codec="fake"`` derives deterministic fields from the payload md5 and
+    is the right choice for the fixture tables, whose payloads are text
+    bytes rather than containers. Identical Spark plumbing either way.
     """
     if codec == "real":
-        raise NotImplementedError(
-            "real codecs (PIL/ffmpeg/soundfile) are not available in this "
-            "environment; use codec='fake' — the Spark plumbing is identical"
-        )
-    if codec != "fake":
+        decode = _real_decode_batch
+    elif codec == "fake":
+        decode = _fake_decode_batch
+    else:
         raise ValueError(f"unknown codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _fake_decode_batch(pdf)
+            yield decode(pdf)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=DECODED_SCHEMA
@@ -196,18 +373,36 @@ def resize_media(
 ) -> DataFrame:
     """Resize image-kind payloads to target dimensions via mapInPandas.
 
-    ``codec="real"`` is the PIL/opencv integration point (unavailable
-    here); the fake codec emits a deterministic resized payload — the
-    payload bytes resampled to exactly target_w*target_h bytes by striding
-    (downsample) or repetition (upsample) — so output sizes, schema, and
-    batch shapes match what a real resampler produces.
+    ``codec="real"`` does an actual nearest-neighbor resample of the pixel
+    array of uncompressed 24-bit BMP payloads and re-emits a valid BMP
+    (stdlib only; non-BMP payloads — which would need PIL/opencv — are
+    dropped from the output, the standard skip-undecodable policy of a
+    training-data pipeline). The fake codec emits a deterministic resized
+    payload — the raw payload bytes resampled to exactly target_w*target_h
+    bytes by striding/repetition — for the fixture tables, whose payloads
+    are not real containers. Output schema and batch shapes are identical.
     """
     if codec == "real":
-        raise NotImplementedError(
-            "real image resampling (PIL/opencv) is not available in this "
-            "environment; use codec='fake' — the Spark plumbing is identical"
-        )
-    if codec != "fake":
+
+        def _resize_one(buf: bytes) -> bytes | None:
+            decoded = decode_bmp(buf)
+            if decoded is None:
+                return None
+            w, h, px = decoded
+            rows = []
+            for ty in range(target_h):
+                sy = (ty * h) // target_h
+                row = bytearray()
+                for tx in range(target_w):
+                    sx = (tx * w) // target_w
+                    o = (sy * w + sx) * 3
+                    row += px[o : o + 3]
+                rows.append(bytes(row))
+            return encode_bmp(target_w, target_h, b"".join(rows))
+
+    elif codec == "fake":
+        _resize_one = None
+    else:
         raise ValueError(f"unknown codec {codec!r}")
     n_out = target_w * target_h
     schema = StructType(
@@ -228,7 +423,12 @@ def resize_media(
                 if kind != "image":
                     continue
                 buf = bytes(payload) or b"\x00"
-                out = bytes(buf[(i * len(buf)) // n_out] for i in range(n_out))
+                if _resize_one is not None:
+                    out = _resize_one(buf)
+                    if out is None:
+                        continue  # undecodable without an external codec
+                else:
+                    out = bytes(buf[(i * len(buf)) // n_out] for i in range(n_out))
                 ids.append(media_id)
                 resized.append(out)
             yield pd.DataFrame(

@@ -342,6 +342,11 @@ QUERIES: dict[str, QueryFn] = {
     ).select(
         "media_id", F.posexplode("features").alias("bucket_idx", "feature")
     ).withColumn("bucket_idx", F.col("bucket_idx").cast("int")),
+    # --- real-codec decode (new this round): payloads are real BMP/WAV
+    #     containers built from the fixture, parsed by the stdlib codec path
+    "media_decode_real": lambda s, d: multimodal.decode_media(
+        multimodal.media_real_containers(_docs(s, d)), codec="real"
+    ),
     # --- no driver correctness row in round 1 (registered after slot 50)
     "ema_user_value": _ema_user_value,
     "events_props_struct": _events_props_struct,

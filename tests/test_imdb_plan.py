@@ -163,3 +163,41 @@ def test_cli_end_to_end_zone_layout(spark, raw_dir, tmp_path, monkeypatch):
     # written marts read back with the expected grain
     kpi = spark.read.parquet(str(marts / "mart_year_kpi"))
     assert kpi.count() == 3  # 1990, 1991, NULL-year group
+
+
+def test_marts_consumable_from_pandas(spark, raw_dir, tmp_path, monkeypatch):
+    """Reference EP3 (demo_colab.ipynb consumption cells): the published
+    marts must be directly consumable by plain pandas — no Spark in the
+    reader's loop — with schema and values intact."""
+    import math
+
+    import pandas as pd
+
+    dw, marts = tmp_path / "dw", tmp_path / "marts"
+    monkeypatch.setattr(
+        "pipeline_pyspark_etl_imdb_spark.plans.imdb_cli.get_spark", lambda name: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    cli_main(
+        [
+            "--raw-dir", str(raw_dir),
+            "--dw-dir", str(dw),
+            "--marts-dir", str(marts),
+            "--min-votes", "1000",
+        ]
+    )
+    kpi = pd.read_parquet(marts / "mart_year_kpi")
+    assert {"yearkey", "n_movies", "mean_rating", "total_votes"} <= set(kpi.columns)
+    y1990 = kpi[kpi.yearkey == 1990].iloc[0]
+    assert y1990.n_movies == 2 and y1990.total_votes == 3500
+    assert abs(y1990.mean_rating - 7.625) < 1e-12
+    y1991 = kpi[kpi.yearkey == 1991].iloc[0]
+    assert math.isnan(y1991.mean_rating)  # NULL aggregate survives the trip
+    top = pd.read_parquet(marts / "mart_top_genre_year")
+    assert (top.num_votes >= 1000).all()
+    # the hive-partitioned fact zone supports the partition-pruned read a
+    # pandas consumer actually does (reading one yearkey directory; a full
+    # unpartitioned read would also drag the NULL-year partition through
+    # pyarrow's dictionary unification, which rejects nulls)
+    fact_1990 = pd.read_parquet(dw / "fact_ratings" / "yearkey=1990")
+    assert set(fact_1990.titlekey) == {"tt1", "tt2"}

@@ -42,6 +42,7 @@ def main() -> None:
             fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
         except Exception as exc:  # pragma: no cover
             print(f"[bench] warmup {name} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     # best-of-N: single-run timings at this scale are dominated by JIT/GC/
     # scheduler noise (observed 5x swings run-to-run); the minimum is the
@@ -63,6 +64,10 @@ def main() -> None:
         timings[name] = round(best, 4)
         if best == best:  # not NaN
             total += best
+        # a few operators persist index/frontier subtrees that outlive the
+        # query (IVF centroids, CC checkpoints); drop them so one query's
+        # blocks never tax the next query's JVM heap
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -177,15 +177,13 @@ _EMA_ALPHA = 0.1
 
 
 def _ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped applyInPandas: per-user exponential moving average of event
-    value over time order — a sequential recurrence no SQL window frame
-    expresses (each state depends on the previous state, not a fixed
-    frame). One shuffle on user_id; Python sees each group once as an
-    Arrow batch. The oracle replays the same recurrence with DuckDB's
-    list_reduce — identical IEEE ops in identical order, so the result is
-    bit-equal, not just approximately equal."""
-    import pandas as pd
-
+    """Per-user exponential moving average of event value over time order —
+    a sequential recurrence no SQL window frame expresses. Runs as the
+    sort-based grouped scan (eventtime.grouped_ema): one shuffle on
+    user_id, one Python call per Arrow batch instead of per group. The
+    oracle replays the same recurrence with DuckDB's list_reduce —
+    identical IEEE ops in identical order, so the result is bit-equal, not
+    just approximately equal."""
     events = _events(spark, sf_dir)
     base = events.select(
         "user_id",
@@ -193,20 +191,7 @@ def _ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         eventtime.ts_micros(events).alias("us"),
         "event_id",
     )
-
-    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["us", "event_id"])
-        state = None
-        for v in pdf["value"]:
-            x = 0.0 if pd.isna(v) else float(v)
-            state = x if state is None else _EMA_ALPHA * x + (1 - _EMA_ALPHA) * state
-        return pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]], "ema_value": [state], "n_events": [len(pdf)]}
-        )
-
-    return base.groupBy("user_id").applyInPandas(
-        ema, schema="user_id bigint, ema_value double, n_events bigint"
-    )
+    return eventtime.grouped_ema(base, alpha=_EMA_ALPHA)
 
 
 def _events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,3 +162,134 @@ def doc_fingerprint(
         id_col,
         F.array_min(F.transform("__sh", lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def bigram_list(tokens_col: str) -> Column:
+    """ALL adjacent word bigrams of a token-array column (duplicates kept —
+    repetition measurement needs the multiset, unlike word_shingles)."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= 2 THEN "
+        f"transform(sequence(0, size({tokens_col}) - 2), "
+        f"i -> concat(element_at({tokens_col}, i + 1), ' ', "
+        f"element_at({tokens_col}, i + 2))) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of adjacent word
+    bigrams that are duplicates of an earlier bigram in the same document
+    (1 - distinct/total). High values flag boilerplate/spam for quality
+    filtering. Map-only, exact rational arithmetic."""
+    with_bg = (
+        docs.select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .withColumn("__bg", bigram_list("__tok"))
+    )
+    n_bg = F.size("__bg").cast("bigint")
+    n_distinct = F.size(F.array_distinct("__bg")).cast("bigint")
+    return with_bg.select(
+        id_col,
+        n_bg.alias("n_bigrams"),
+        n_distinct.alias("n_distinct_bigrams"),
+        F.when(n_bg > 0, 1.0 - n_distinct.cast("double") / n_bg)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex and RE2 (no backrefs, no lookaround), so Spark and any oracle
+# engine find the same matches
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub: replace email addresses then phone-number-shaped digit
+    runs with typed placeholder tokens; emit match counts and the md5 of
+    the redacted text (the bytes a downstream stage would train on).
+    Map-only — the 100 TB shape is a projection fused into the scan."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("bigint")
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(clean, F.lit(PHONE_RE), 0)).cast("bigint")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return docs.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def ngram_stats(
+    docs: DataFrame,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide bigram frequency: the exact heavy-hitters baseline
+    (occurrences + document frequency per bigram, top-``top`` by count).
+    One shuffle on the bigram key with map-side partial aggregation; the
+    global top-``top`` moves only ``top`` rows per partition after the
+    agg. Ties break lexicographically so the cut is deterministic."""
+    exploded = (
+        docs.select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .select(id_col, F.explode(bigram_list("__tok")).alias("ngram"))
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document. Ranking is exact
+    integer comparison — term frequency DESC, document frequency ASC, term
+    ASC — so the selected set is engine-independent; the reported tf-idf
+    score (tf * ln(N/df)) is informational and only subject to libm ulp
+    noise, far inside the 1e-6 comparison rounding.
+
+    Shape: explode -> (doc, term) count -> term df (one agg each, partial
+    map-side) -> per-doc top-k via a partitioned rank window
+    (WindowGroupLimit pushes the cut before the final sort at scale)."""
+    terms = (
+        docs.select(id_col, F.lower(F.col(text_col)).alias("__t"))
+        .select(id_col, F.explode(tokens("__t")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").cast("double").alias("__n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

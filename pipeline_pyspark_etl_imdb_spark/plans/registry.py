@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
     components,
+    corpus,
     eventtime,
     multimodal,
     neardup,
@@ -305,6 +306,23 @@ def _stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash-based keep probabilities per language for domain_mix (engine-
+# portable, unlike seeded sampleBy — see operators/corpus.py)
+DOMAIN_QUOTAS = {"en": 0.6, "es": 0.4, "fr": 0.4, "de": 0.3, "zh": 0.3}
+
+
+def _shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.hash_shard(_docs(spark, sf_dir), n_shards=32).select(
+        "doc_id", "shard"
+    )
+
+
+def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.domain_mix(_docs(spark, sf_dir), DOMAIN_QUOTAS).select(
+        "doc_id", "lang"
+    )
+
+
 # NOTE on ordering: the driver's correctness harness checks the FIRST 50
 # entries of this dict (its iteration order). Queries that changed this
 # round, previously-failing queries, and queries with no driver row yet
@@ -350,6 +368,29 @@ QUERIES: dict[str, QueryFn] = {
     "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
     "event_counts_unpivot": _event_counts_unpivot,
     "stratified_doc_sample": _stratified_doc_sample,
+    # --- corpus construction + text scoring (new this round; operators/
+    #     corpus.py and text.py — every selection md5-derived, hash-checkable)
+    "repetition_score": lambda s, d: text_ops.repetition_score(_docs(s, d)),
+    "pii_redact": lambda s, d: text_ops.pii_redact(_docs(s, d)),
+    "ngram_stats": lambda s, d: text_ops.ngram_stats(_docs(s, d), top=100),
+    "tfidf_top_terms": lambda s, d: text_ops.tfidf_top_terms(_docs(s, d), k=3),
+    "shard_assignment": _shard_assignment,
+    "domain_mix": _domain_mix,
+    "sequence_packing": lambda s, d: corpus.pack_concat_split(
+        _docs(s, d), budget_tokens=512, n_shards=8
+    ),
+    "contamination_check": lambda s, d: corpus.contamination_check(
+        _docs(s, d), benchmark_ids_mod=20, k=5
+    ),
+    # --- similarity search (index parameters became scale-aware this
+    #     round — re-verify ahead of the unchanged families)
+    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
+    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
+    "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
+        _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
+    ),
     # --- text analysis
     "text_stats": lambda s, d: text_ops.text_stats(_docs(s, d)),
     "subtoken_count": lambda s, d: text_ops.subtoken_count(_docs(s, d)),
@@ -369,14 +410,6 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_candidates": lambda s, d: neardup.minhash_candidate_pairs(_docs(s, d)),
     "simhash_values": lambda s, d: neardup.simhash32(_docs(s, d)),
     "simhash_pairs": lambda s, d: neardup.simhash_pairs(_docs(s, d), max_hamming=1),
-    # --- similarity search
-    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
-    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
-    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
-    "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
-    "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
-        _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
-    ),
     # --- multimodal plumbing (binary payload + typed metadata; see
     #     operators/multimodal.py — the decode itself is a deterministic stub)
     "media_stats": lambda s, d: multimodal.media_stats(

@@ -14,6 +14,7 @@ column to make sure no lazy short-circuit skips work).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -65,9 +66,13 @@ def main() -> None:
         if best == best:  # not NaN
             total += best
         # a few operators persist index/frontier subtrees that outlive the
-        # query (IVF centroids, CC checkpoints); drop them so one query's
-        # blocks never tax the next query's JVM heap
+        # query (IVF centroids, CC checkpoints); drop them — and force a
+        # driver GC OUTSIDE the timed region so the ContextCleaner reclaims
+        # shuffle/broadcast/checkpoint state now instead of stalling a
+        # later query mid-flight
         spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(

@@ -58,23 +58,24 @@ def connected_components(
             # localCheckpoint (eager) rather than persist: it also truncates
             # lineage, so the logical plan stays O(1) per round instead of
             # nesting every previous iteration (re-planning an N-round tree
-            # is quadratic driver time, and worse at real scale)
-            new_labels = (
+            # is quadratic driver time, and worse at real scale). The
+            # changed flag rides along in the checkpointed frame, so the
+            # convergence check below is a scan of already-materialized
+            # blocks — not a second join+shuffle job per round
+            new_label = F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            )
+            stepped = (
                 labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
+                    new_label.alias("new_label"),
+                    (new_label != F.col("label")).alias("changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            new_labels = stepped.select("node", F.col("new_label").alias("label"))
+            changed = stepped.where("changed").count()
             # the previous round's blocks: the initial frame is persisted
             # (freed here); checkpointed rounds are freed asynchronously by
             # the ContextCleaner once this reference drops

@@ -58,6 +58,19 @@ def get_spark(
         # (operators normalize via eventtime.ts_micros)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # long driver sessions run hundreds of jobs: cap the status-store
+        # history (the listeners retain plan graphs/job state even with the
+        # UI off) and let the ContextCleaner actually reclaim shuffle/
+        # broadcast/checkpoint state (its cleanups ride on driver GC, and
+        # the 30min default periodicGC never fires inside a bench run)
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        # (periodic GC stays at a coarse interval — a full GC of a large
+        # local heap mid-query is a stop-the-world stall; batch drivers
+        # like bench.py trigger GC between queries instead)
+        .config("spark.cleaner.periodicGC.interval", "10min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         # managed-table warehouse (bucketed tables): static conf, so it must
         # be set here; keep it out of the repo tree

@@ -21,6 +21,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     neardup,
     similarity,
     skew,
+    warehouse,
 )
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
 from pipeline_pyspark_etl_imdb_spark.operators.rangejoin import range_join
@@ -311,6 +312,80 @@ def _stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_QUOTAS = {"en": 0.6, "es": 0.4, "fr": 0.4, "de": 0.3, "zh": 0.3}
 
 
+def _merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: a deterministic change set (updates for custkey%3==0,
+    inserts keyed above the base range for custkey%7==0) applied to the
+    customer table — UPDATE on key match, INSERT otherwise."""
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = base.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = base.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return warehouse.merge_upsert(
+        base, updates.unionByName(inserts), keys=["c_custkey"]
+    )
+
+
+def _scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: each customer's order-priority history
+    compressed into validity intervals (the order log as change stream).
+    Timestamps are formatted to date strings AFTER versioning — typed
+    outputs don't round-trip identically through pandas across engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    log = orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    vers = warehouse.scd2(
+        log,
+        key="o_custkey",
+        attrs=["o_orderpriority"],
+        order_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+    return vers.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+def _column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return warehouse.column_profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def _orphan_keys_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    events = _events(spark, sf_dir)
+    return warehouse.orphan_check(
+        [
+            ("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("events.user_id->customer", events, "user_id", customer, "c_custkey"),
+        ]
+    )
+
+
+def _heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return warehouse.heavy_hitters(
+        _events(spark, sf_dir), ["user_id"], min_share=0.005
+    )
+
+
 def _shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hash_shard(_docs(spark, sf_dir), n_shards=32).select(
         "doc_id", "shard"
@@ -382,6 +457,13 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": lambda s, d: corpus.contamination_check(
         _docs(s, d), benchmark_ids_mod=20, k=5
     ),
+    # --- warehouse lifecycle (new this round; operators/warehouse.py):
+    #     CDC merge, SCD2 dims, profiling and referential QA
+    "merge_upsert_customers": _merge_upsert_customers,
+    "scd2_customer_priority": _scd2_customer_priority,
+    "column_profile_orders": _column_profile_orders,
+    "orphan_keys_qa": _orphan_keys_qa,
+    "heavy_hitter_users": _heavy_hitter_users,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

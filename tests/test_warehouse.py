@@ -1,0 +1,129 @@
+"""Warehouse-lifecycle operators: MERGE/SCD2/profile/orphan/heavy-hitter
+edge cases the oracle suite's fixture data doesn't pin — NULL-valued
+updates winning a merge, order ties in a change log, all-null columns."""
+
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+    column_profile,
+    heavy_hitters,
+    merge_upsert,
+    orphan_check,
+    scd2,
+)
+
+
+def test_merge_upsert_update_insert_carry(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, bal double"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 25.0), (9, "new", 0.0)], "k int, name string, bal double"
+    )
+    got = {r.k: (r.name, r.bal) for r in merge_upsert(base, changes, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 9: ("new", 0.0)}
+
+
+def test_merge_upsert_null_update_wins(spark):
+    """MERGE semantics: the change row replaces the base row wholesale —
+    a NULL in the change row must land, not fall back to the base value
+    (the trap of per-column coalesce)."""
+    base = spark.createDataFrame([(1, "keep")], "k int, name string")
+    changes = spark.createDataFrame([(1, None)], "k int, name string")
+    [row] = merge_upsert(base, changes, ["k"]).collect()
+    assert (row.k, row.name) == (1, None)
+
+
+def test_merge_upsert_schema_mismatch_rejected(spark):
+    base = spark.createDataFrame([(1, "a")], "k int, name string")
+    changes = spark.createDataFrame([(1,)], "k int")
+    try:
+        merge_upsert(base, changes, ["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "schema mismatch" in str(exc)
+
+
+def test_scd2_versions_and_ties(spark):
+    log = spark.createDataFrame(
+        [
+            # key 1: A, A (no change), B, B — two versions
+            (1, "A", 10, 100),
+            (1, "A", 20, 101),
+            (1, "B", 30, 102),
+            (1, "B", 40, 103),
+            # key 2: tie on order_col resolved by tiebreak: A(seq 0) then B(seq 1)
+            (2, "A", 10, 200),
+            (2, "B", 10, 201),
+        ],
+        "k int, attr string, t int, seq int",
+    )
+    rows = {
+        (r.k, r.attr): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2(log, "k", ["attr"], "t", "seq").collect()
+    }
+    assert rows == {
+        (1, "A"): (10, 30, False),
+        (1, "B"): (30, None, True),
+        (2, "A"): (10, 10, False),
+        (2, "B"): (10, None, True),
+    }
+
+
+def test_scd2_reverted_attr_reopens_version(spark):
+    """A->B->A produces THREE versions (type-2 keeps history), not a
+    merged A spanning the B interval."""
+    log = spark.createDataFrame(
+        [(1, "A", 1, 0), (1, "B", 2, 1), (1, "A", 3, 2)], "k int, attr string, t int, seq int"
+    )
+    got = sorted(
+        (r.attr, r.valid_from, r.valid_to) for r in scd2(log, "k", ["attr"], "t", "seq").collect()
+    )
+    assert got == [("A", 1, 2), ("A", 3, None), ("B", 2, 3)]
+
+
+def test_column_profile_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "y")], "a int, b string"
+    )
+    prof = {r.col_name: r for r in column_profile(df, ["a", "b"]).collect()}
+    assert prof["a"].n_rows == 4
+    assert prof["a"].n_null == 1
+    assert prof["a"].n_distinct == 2  # count_distinct ignores NULL
+    assert (prof["a"].min_value, prof["a"].max_value) == ("1", "2")
+    assert prof["b"].n_null == 1
+    assert (prof["b"].min_value, prof["b"].max_value) == ("x", "y")
+
+
+def test_orphan_check_counts_and_null_fks(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    [row] = orphan_check([("c->p", child, "fk", parent, "pk")]).collect()
+    # NULL FK is neither child-counted nor an orphan (3VL: unknown, not broken)
+    assert (row.relationship, row.n_child, row.n_orphans) == ("c->p", 3, 1)
+
+
+def test_heavy_hitters_threshold(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10, "k string"
+    )
+    got = {r.k: (r.n, r.share) for r in heavy_hitters(df, ["k"], 0.25).collect()}
+    assert got == {"hot": (60, 0.6), "warm": (30, 0.3)}
+
+
+def test_merge_upsert_single_shuffle_join(spark):
+    """Plan gate: the merge is ONE join (full outer on the key), not a
+    union of three filtered joins."""
+    base = spark.range(100).withColumn("v", F.col("id") * 2)
+    changes = spark.range(50, 150).withColumn("v", F.col("id") * 3)
+    plan = (
+        merge_upsert(base, changes, ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1

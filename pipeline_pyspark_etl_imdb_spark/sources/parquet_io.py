@@ -65,6 +65,28 @@ def compact_parquet(
     return n_files
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the columnar interchange format for Hive/Trino-side
+    consumers; same overwrite + hive-partitioning contract as the
+    parquet sink (both formats share Spark's vectorized reader and
+    predicate-pushdown path, so the scan-side plan properties the
+    plan-quality suite asserts hold for either)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -270,6 +270,77 @@ def stream_to_parquet(
         query.stop()
 
 
+def stream_upsert_parquet(
+    stream_df: DataFrame,
+    base_path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    *,
+    timeout_s: int = 120,
+) -> None:
+    """Continuously MERGE a stream into a parquet base table — the
+    streaming CDC-apply the append-only file sink can't express. Each
+    micro-batch: union the batch with the current base and keep the
+    max-``order_col`` row per key (version-aware upsert — a micro-batch
+    carrying an OLDER version than the base row must lose, because file
+    arrival order doesn't guarantee event order), write the result to a
+    staging dir, then atomically swap it in with a filesystem rename —
+    the read-your-own-input hazard of overwriting a table you are
+    scanning never arises. Plain arrival-order MERGE is
+    operators/warehouse.merge_upsert; this is its streaming counterpart.
+
+    Exactly-once: keep-max-version is idempotent AND commutative across
+    batch splits (re-applying a batch after crash-recovery, or batches
+    arriving out of order, converge to the same table), and the
+    checkpoint's commit log skips fully-committed batches. At scale the
+    base table would be bucketed by the merge key (sources/bucketing.py)
+    so the per-batch window shuffles only the small batch side.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from pipeline_pyspark_etl_imdb_spark.operators.dedup import (
+        dedup_by_key_deterministic,
+    )
+
+    staging_path = base_path.rstrip("/") + "__staging"
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        tiebreak = [F.col(order_col).desc(), *[F.col(k) for k in keys]]
+        try:
+            base = spark.read.parquet(base_path)
+            merged = dedup_by_key_deterministic(
+                base.unionByName(batch.select(*base.columns)), keys, tiebreak
+            )
+        except AnalysisException:  # first batch: no base table yet
+            merged = dedup_by_key_deterministic(batch, keys, tiebreak)
+        merged.write.mode("overwrite").parquet(staging_path)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(base_path)
+        src = jvm.org.apache.hadoop.fs.Path(staging_path)
+        fs = dst.getFileSystem(conf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(src, dst)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"stream_upsert_parquet did not drain within {timeout_s}s"
+            )
+    finally:
+        query.stop()
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -39,3 +39,21 @@ def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
     before = orders.orderBy("o_orderkey").collect()
     after = spark.read.parquet(dest).orderBy("o_orderkey").collect()
     assert before == after
+
+
+def test_orc_sink_round_trip(spark, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import read_orc, write_orc
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_orc(df, str(tmp_path / "orders_orc"), partition_cols=["o_orderstatus"])
+    back = read_orc(spark, str(tmp_path / "orders_orc"))
+    assert back.count() == df.count()
+    got = sorted(
+        (r.o_orderkey, r.o_custkey, r.o_orderstatus)
+        for r in back.select("o_orderkey", "o_custkey", "o_orderstatus").collect()
+    )
+    want = sorted(
+        (r.o_orderkey, r.o_custkey, r.o_orderstatus)
+        for r in df.select("o_orderkey", "o_custkey", "o_orderstatus").collect()
+    )
+    assert got == want

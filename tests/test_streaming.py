@@ -180,3 +180,39 @@ def test_user_running_totals_final_state_matches_batch(spark, events_batch, tmp_
         check_dtype=False,
         rtol=1e-9,
     )
+
+
+def test_stream_upsert_parquet_matches_batch_latest(spark, events_batch, tmp_path):
+    """Streaming CDC-apply: after draining multiple micro-batches through
+    stream_upsert_parquet, the base table equals the batch latest-row-per-
+    user over the same data (merge is associative across batch splits)."""
+    src_dir = tmp_path / "upsert_src"
+    base_dir = tmp_path / "upsert_base"
+    prepared = events_batch.select(
+        "event_id", "user_id", "event_type", "value", eventtime.ts_micros(events_batch).alias("us")
+    )
+    # two files => two micro-batches with maxFilesPerTrigger=1
+    prepared.where("event_id % 2 = 0").coalesce(1).write.parquet(str(src_dir / "a"))
+    prepared.where("event_id % 2 = 1").coalesce(1).write.parquet(str(src_dir / "b"))
+    stream = (
+        spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    stream_ops.stream_upsert_parquet(
+        stream,
+        str(base_dir),
+        keys=["user_id"],
+        order_col="us",
+        checkpoint_dir=str(tmp_path / "ckpt_upsert"),
+    )
+    got = spark.read.parquet(str(base_dir)).toPandas()
+    from pipeline_pyspark_etl_imdb_spark.operators.dedup import (
+        dedup_by_key_deterministic,
+    )
+
+    want = dedup_by_key_deterministic(
+        prepared, ["user_id"], [F.col("us").desc(), F.col("user_id")]
+    ).toPandas()
+    assert not compare_frames(got, want)

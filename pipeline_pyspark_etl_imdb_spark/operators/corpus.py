@@ -155,3 +155,100 @@ def contamination_check(
         )
         .orderBy(id_col)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping token windows — the context-
+    length normalizer that runs before packing. Chunk i covers tokens
+    [i*stride, i*stride + max_tokens) with stride = max_tokens - overlap;
+    a document of n tokens yields max(1, ceil((n - overlap) / stride))
+    chunks, so every token lands in at least one chunk and consecutive
+    chunks share ``overlap`` tokens.
+
+    Map-only (explode of a per-row sequence) — fuses into the scan; the
+    output multiplies rows by ~n/stride but never shuffles."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    base = docs.select(
+        id_col, tokens(F.col(text_col)).alias("__tok")
+    ).withColumn("__n", F.size("__tok"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("__n") - overlap) / F.lit(stride)).cast("int")
+    )
+    out = base.select(
+        id_col,
+        "__tok",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("__chunk", F.slice("__tok", F.col("chunk_idx") * stride + 1, max_tokens))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").cast("bigint").alias("n_tokens"),
+    )
+
+
+def group_hash_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows within each group by
+    md5(id:salt) and keep the first k — the engine-portable replacement
+    for per-group reservoir sampling (same kept set on every engine,
+    every re-run, every partitioning). One partitioned window; no global
+    sort, no driver state. Use for balanced eval-set carve-outs."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def corpus_build(
+    docs: DataFrame,
+    quotas: dict[str, float],
+    quality_min: float = 0.5,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The end-to-end corpus assembly pipeline in one plan: quality
+    filter -> exact-dedup (keep min-id canonical per identical text) ->
+    domain rebalance -> shard assignment. Returns (doc_id, lang, shard)
+    for every surviving document — the manifest a training run reads.
+
+    Composition stays one Catalyst plan, so the stages fuse: the quality
+    score and the dedup hash compute in the same scan, the dedup groupBy
+    is the only shuffle (md5 keys — uniform), and mix+shard are map-only
+    on the survivors. Near-dup dedup (neardup.py + components.py) slots
+    in between dedup and mix when the corpus needs it; it is kept out of
+    the default path because it is iterative, not single-plan."""
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_score
+
+    q = quality_score(docs, text_col, id_col)
+    good = docs.join(
+        q.where(F.col("quality") >= quality_min).select(id_col), id_col
+    )
+    canon = (
+        good.groupBy(F.md5(F.col(text_col)).alias("__text_md5"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__text_md5")
+    )
+    survivors = good.join(canon, id_col)
+    mixed = domain_mix(survivors, quotas, lang_col=lang_col, id_col=id_col)
+    return hash_shard(mixed, n_shards=n_shards, id_col=id_col).select(
+        id_col, lang_col, "shard"
+    )

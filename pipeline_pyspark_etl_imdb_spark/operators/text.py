@@ -21,7 +21,7 @@ they pipeline into the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -291,5 +291,59 @@ def tfidf_top_terms(
             F.col("df").cast("bigint").alias("df"),
             (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("tfidf"),
             F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def vocab_build(
+    docs: DataFrame, size: int = 1000, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``size`` token vocabulary with dense ids: (token, n, token_id),
+    ranked by (count desc, token asc) — the tokenizer-training primitive.
+
+    Scale shape: one partially-aggregated groupBy for counts, then
+    orderBy().limit(size) — Spark plans that as TakeOrderedAndProject
+    (per-partition top-size, merged at the driver), NOT a global sort.
+    The final row_number window is single-partition BY DESIGN: it runs
+    over at most ``size`` rows (the already-cut vocabulary), bounded
+    regardless of corpus scale."""
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's own
+    unigram model — the cheap perplexity proxy used for quality filtering
+    (docs of rare/garbled tokens score high, templated boilerplate scores
+    low). p(tok) = corpus_count / corpus_total; no OOV smoothing needed
+    because every scored token is, by construction, in the model.
+
+    Two aggregations over one exploded token stream: corpus frequencies
+    (vocabulary-sized result — broadcast back against the token stream),
+    then a per-doc mean. The token stream never materializes twice: Spark
+    rebuilds it from the (cheap) scan on each side rather than shuffling
+    the full stream to disk."""
+    tok = docs.select(
+        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    model = freq.crossJoin(F.broadcast(total))
+    scored = tok.join(
+        F.broadcast(model), "token"
+    ).withColumn("neg_ln_p", -F.log(F.col("n_tok") / F.col("n_total")))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("neg_ln_p").alias("avg_neg_logprob"),
         )
     )

@@ -464,6 +464,18 @@ QUERIES: dict[str, QueryFn] = {
     "column_profile_orders": _column_profile_orders,
     "orphan_keys_qa": _orphan_keys_qa,
     "heavy_hitter_users": _heavy_hitter_users,
+    # --- tokenizer / LM-scoring / chunking / assembly (new this round)
+    "vocab_top_tokens": lambda s, d: text_ops.vocab_build(_docs(s, d), size=500),
+    "doc_unigram_logprob": lambda s, d: text_ops.unigram_logprob(_docs(s, d)),
+    "doc_chunks": lambda s, d: corpus.chunk_documents(
+        _docs(s, d), max_tokens=64, overlap=8
+    ),
+    "group_doc_sample": lambda s, d: corpus.group_hash_sample(
+        _docs(s, d), "lang", k=20
+    ).select("doc_id", "lang"),
+    "corpus_build_manifest": lambda s, d: corpus.corpus_build(
+        _docs(s, d), DOMAIN_QUOTAS, quality_min=0.5, n_shards=32
+    ),
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -230,24 +230,23 @@ def corpus_build(
     domain rebalance -> shard assignment. Returns (doc_id, lang, shard)
     for every surviving document — the manifest a training run reads.
 
-    Composition stays one Catalyst plan, so the stages fuse: the quality
-    score and the dedup hash compute in the same scan, the dedup groupBy
-    is the only shuffle (md5 keys — uniform), and mix+shard are map-only
-    on the survivors. Near-dup dedup (neardup.py + components.py) slots
-    in between dedup and mix when the corpus needs it; it is kept out of
+    Composition stays one Catalyst plan with ONE shuffle: the quality
+    filter is an inline expression pushed into the scan (no score-frame
+    join), the canonical pick is a min-id window over md5(text) (one
+    exchange on a uniform key — no group-then-join-back), and mix+shard
+    are map-only on the survivors (tests/test_plan_quality.py gates
+    this shape). Near-dup dedup (neardup.py + components.py) slots in
+    between dedup and mix when the corpus needs it; it is kept out of
     the default path because it is iterative, not single-plan."""
-    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_score
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_expr
 
-    q = quality_score(docs, text_col, id_col)
-    good = docs.join(
-        q.where(F.col("quality") >= quality_min).select(id_col), id_col
+    good = docs.where(quality_expr(F.col(text_col)) >= quality_min)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    survivors = (
+        good.withColumn("__min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
     )
-    canon = (
-        good.groupBy(F.md5(F.col(text_col)).alias("__text_md5"))
-        .agg(F.min(id_col).alias(id_col))
-        .drop("__text_md5")
-    )
-    survivors = good.join(canon, id_col)
     mixed = domain_mix(survivors, quotas, lang_col=lang_col, id_col=id_col)
     return hash_shard(mixed, n_shards=n_shards, id_col=id_col).select(
         id_col, lang_col, "shard"

@@ -112,6 +112,23 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def quality_expr(text_col: Column) -> Column:
+    """``quality_score``'s composite score as a single column expression —
+    for pipelines that filter on quality inline (corpus_build) without
+    joining a score frame back against the documents. Must stay formula-
+    identical to quality_score above (the corpus_build oracle pins it)."""
+    t = F.lower(text_col)
+    tok = tokens(t)
+    en_stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_tokens = F.size(tok)
+    n_stop = F.size(F.filter(tok, lambda x: F.array_contains(en_stop, x)))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[^a-z0-9\\s]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.length(t)
+    length_term = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    return 0.5 * length_term + 0.3 * stop_ratio + 0.2 * (1.0 - punct_ratio)
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-voting language ID: count distinct-token hits against each
     language's stopword list, predict the argmax (ties and zero hits ->

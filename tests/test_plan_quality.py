@@ -69,3 +69,44 @@ def test_aggregations_have_partial_phase(spark, fn):
     # map-side combine: HashAggregate appears twice (partial + final)
     plan = _plan(fn(spark, SF_ORACLE))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_heavy_hitters_partial_agg_and_broadcast_total(spark):
+    # the hot-key groupBy must map-side combine (that's what absorbs the
+    # skew), and the single-row total must broadcast, not shuffle
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["heavy_hitter_users"](spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_build_uses_take_ordered_not_global_sort(spark):
+    # the top-V cut must plan as TakeOrderedAndProject (per-partition
+    # top-V merged at the driver); a full global Sort before the limit
+    # would single-task the whole token distribution at scale
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["vocab_top_tokens"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_build_single_dedup_shuffle(spark):
+    # quality filter (inline expression, pushed to the scan) + canonical
+    # min-id window + mix + shard must fuse into ONE plan with exactly
+    # one shuffle: the window's exchange on md5(text). No joins at all.
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["corpus_build_manifest"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_scd2_single_window_shuffle(spark):
+    # both window passes share one (key, order) partitioning: exactly one
+    # exchange, and no extra sort beyond the window's own
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["scd2_customer_priority"](spark, SF_ORACLE))
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,89 @@
+"""Distributed global ranks — ntile / percent_rank / cume_dist without a
+single-partition window.
+
+``Window.orderBy(...)`` with no partitionBy funnels every row through ONE
+task (Spark warns exactly this); fine at fixture scale, fatal at 100 TB.
+But a global rank under a TOTAL order decomposes exactly:
+
+    repartitionByRange(order)        -- range shuffle, ascending ids
+    local row_number per partition   -- partitioned window, parallel
+    + cumulative count of earlier partitions  -- tiny offset table
+
+The offset table has one row per partition (cluster-bounded, not
+data-bounded), so its cumsum window is single-partition BY DESIGN over
+~hundreds of rows, then broadcast back. Total cost: one range shuffle +
+one map-side window — the same shape a distributed sort uses.
+
+Requires a total order (the ordering columns must be a unique key —
+append a tiebreaker column if needed): with no ties, rank == row_number
+and percent_rank/cume_dist/ntile all derive from the global row number
+with exact integer arithmetic, matching the SQL window functions
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    ntile: int | None = None,
+) -> DataFrame:
+    """Append ``global_rn`` (1-based), ``pct_rank``, ``cume`` — and
+    ``decile``-style ``bucket`` when ``ntile`` is given — computed
+    distributedly under the total order ``order_cols``.
+
+    Matches SQL ``row_number() / percent_rank() / cume_dist() / ntile(k)
+    OVER (ORDER BY ...)`` exactly when the ordering is tie-free.
+    """
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = part.withColumn("__rn", F.row_number().over(w_local))
+    # one row per partition; the cumsum window is bounded by partition
+    # count (cluster size), never by data size
+    sizes = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            Window.orderBy("__pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "global_rn", (F.col("__off") + F.col("__rn")).cast("bigint")
+    )
+    n = F.col("__n")
+    rn = F.col("global_rn")
+    out = out.withColumn(
+        "pct_rank",
+        F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0)),
+    ).withColumn("cume", rn.cast("double") / n)
+    if ntile is not None:
+        out = out.withColumn("bucket", _ntile_from_rn(rn, n, ntile))
+    return out.drop("__pid", "__rn", "__off", "__n")
+
+
+def _ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) from a 1-based tie-free row number: the first n % k
+    buckets hold ceil(n/k) rows, the rest floor(n/k) — exact integer
+    arithmetic, no floating point."""
+    q = F.floor(n / k)  # base bucket size
+    r = n % k  # first r buckets get one extra row
+    big_span = r * (q + 1)  # rows covered by the larger buckets
+    return (
+        F.when(rn <= big_span, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big_span) / q))
+        .cast("int")
+    )

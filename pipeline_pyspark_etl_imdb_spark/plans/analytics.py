@@ -400,3 +400,59 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank family: ntile / percent_rank / cume_dist over
+    each customer's total spend — computed DISTRIBUTEDLY by
+    operators/ranks.total_order_ranks (range shuffle + partitioned local
+    ranks + broadcast partition offsets), never a single-partition
+    global window. The ordering (spend, custkey) is a total order, so
+    the result matches the SQL window functions exactly."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    orders = _table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec")
+    )
+    ranked = total_order_ranks(spend, ["spend_dec", "o_custkey"], ntile=10)
+    return ranked.select(
+        "o_custkey",
+        F.col("spend_dec").cast("double").alias("total_spend"),
+        F.col("bucket").alias("decile"),
+        "pct_rank",
+        "cume",
+    )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: hourly event counts per
+    event_type with ZERO rows for hours where a type had no events —
+    the densify step before any rolling-window model sees the series.
+
+    The hour spine is generated distributively (sequence + explode of
+    the global [min,max] hour range — a single-row aggregate, broadcast
+    to the distinct-type frame), then left-joined against the observed
+    counts. No driver-side loop; the spine size is (hours x types),
+    independent of event volume."""
+    from pipeline_pyspark_etl_imdb_spark.operators.eventtime import ts_micros
+
+    events = _table(spark, sf_dir, "events")
+    with_hour = events.select(
+        "event_type", (F.floor(ts_micros(events) / 3_600_000_000)).alias("hour")
+    )
+    counts = with_hour.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    span = with_hour.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    hours = span.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
+    types = with_hour.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    return (
+        spine.join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        )
+    )

@@ -476,6 +476,9 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_build_manifest": lambda s, d: corpus.corpus_build(
         _docs(s, d), DOMAIN_QUOTAS, quality_min=0.5, n_shards=32
     ),
+    # --- distribution ranks + time-series densification (new this round)
+    "customer_spend_deciles": analytics.customer_spend_deciles,
+    "events_gap_fill": analytics.events_gap_fill,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -1,0 +1,64 @@
+"""total_order_ranks must agree bit-for-bit with the SQL window functions
+it replaces (row_number / percent_rank / cume_dist / ntile over a global
+ORDER BY), while never windowing over a single data partition."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+
+def _reference(df, order_cols, k):
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.select(
+        *order_cols,
+        F.row_number().over(w).alias("global_rn"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(k).over(w).alias("bucket"),
+    )
+
+
+def _assert_matches(df, order_cols, k):
+    got = {
+        tuple(r[c] for c in order_cols): (r.global_rn, r.pct_rank, r.cume, r.bucket)
+        for r in total_order_ranks(df, order_cols, ntile=k).collect()
+    }
+    want = {
+        tuple(r[c] for c in order_cols): (r.global_rn, r.pct_rank, r.cume, r.bucket)
+        for r in _reference(df, order_cols, k).collect()
+    }
+    assert got == want
+
+
+def test_matches_global_window_uneven_ntile(spark):
+    # 103 rows, 10 buckets: first 3 buckets get 11 rows, the rest 10
+    df = spark.range(103).select((F.col("id") * 37 % 1000).alias("v"), "id")
+    _assert_matches(df.repartition(7), ["v", "id"], 10)
+
+
+def test_matches_when_rows_fewer_than_buckets(spark):
+    df = spark.range(4).select(F.col("id").alias("v"))
+    _assert_matches(df, ["v"], 10)
+
+
+def test_single_row_pct_rank_zero(spark):
+    df = spark.range(1).select(F.col("id").alias("v"))
+    [r] = total_order_ranks(df, ["v"], ntile=10).collect()
+    assert (r.global_rn, r.pct_rank, r.cume, r.bucket) == (1, 0.0, 1.0, 1)
+
+
+def test_no_data_sized_single_partition_window(spark):
+    # the only partition-less window allowed is over the per-partition
+    # offset table (bounded by partition count); the data-sized windows
+    # must all be partitioned by __pid
+    df = spark.range(1000).select((F.col("id") % 321).alias("v"), "id")
+    plan = (
+        total_order_ranks(df, ["v", "id"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__pid" in line  # the data-sized rank window is partitioned

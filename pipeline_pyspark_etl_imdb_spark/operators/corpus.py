@@ -195,6 +195,61 @@ def chunk_documents(
     )
 
 
+def chunk_exact_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact chunk dedup (the MassiveText/C4 pattern at chunk
+    granularity): split every document into consecutive ``chunk_tokens``
+    windows, keep only the globally FIRST occurrence of each distinct
+    chunk (first = minimum (doc_id, chunk_idx) — deterministic, engine-
+    portable), and report per document how much text survives plus the
+    md5 of the surviving text (the bytes a training run would keep).
+
+    Returns (doc_id, n_chunks, n_kept, clean_md5) for every document;
+    fully-duplicated documents appear with n_kept = 0 and NULL clean_md5.
+
+    Scale shape: the keeper pick is one partially-aggregated groupBy on
+    the (uniform) chunk hash; the keep decision is an equi-join back on
+    the same hash (AQE co-partitions the two exchanges); reassembly is
+    one doc-keyed aggregation whose collect_list is bounded by chunks-
+    per-document, never corpus size. No window over the corpus, no
+    driver state."""
+    ch = chunk_documents(
+        docs, max_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).select(id_col, "chunk_idx", "chunk_text", F.md5("chunk_text").alias("__h"))
+    keeper = ch.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__first")
+    )
+    kept = ch.join(keeper, "__h").where(
+        (F.col(id_col) == F.col("__first").getField(id_col))
+        & (F.col("chunk_idx") == F.col("__first.chunk_idx"))
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s.getField("chunk_text"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = ch.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return totals.join(kept_agg, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "clean_md5",
+    )
+
+
 def group_hash_sample(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,166 @@
+"""User-journey analytics over the events table: ordered funnels, cohort
+retention, and inter-arrival gaps.
+
+The reference has no behavioral-analytics surface at all (SURVEY.md §2 —
+it is a static star-schema builder); these are the product-analytics
+queries every event warehouse runs, and each is shaped for 100 TB:
+
+- ``funnel``          — ordered multi-step conversion. ONE shuffle
+  (groupBy user) + an in-array fold: the per-user event list is bounded
+  (events per user, not corpus size), and the fold is a built-in
+  ``aggregate`` expression — no Python, no per-step self-join cascade
+  (k-step funnels as k joins shuffle the events table k times; the fold
+  shuffles it once).
+- ``cohort_retention`` — classic (cohort x offset) activity triangle.
+  Two key-partitioned aggregations and one equi-join on user_id.
+- ``inter_arrival``    — per-user gap statistics via one partitioned lag
+  window (the burstiness signal feeding rate-limit/bot filtering).
+
+Timestamps flow as integer epoch microseconds (eventtime.ts_micros), so
+every comparison is exact integer arithmetic that any engine reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.eventtime import US, ts_micros
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: a user reaches step k when an event of type
+    ``steps[k]`` occurs STRICTLY AFTER the event that reached step k-1.
+    Returns one row per step: (step_idx 1-based, step, n_users reached).
+
+    Physical shape: filter to the step types (pushed into the scan),
+    one groupBy(user) collecting the time-sorted event list, then a
+    built-in ``aggregate`` fold that walks the list once carrying
+    (depth, last_reach_time). Equivalent to the k-fold cascading
+    min-join formulation (first matching event after t_{k-1} IS the
+    minimum, because the list is sorted) but with one shuffle instead
+    of k."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    n = len(steps)
+    steps_sql = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("step"),
+        ts_micros(events).alias("us"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("us", "step"))).alias("evs")
+    )
+    depth = F.expr(
+        f"""aggregate(
+            evs,
+            named_struct('d', 0, 't', CAST(-1 AS BIGINT)),
+            (acc, e) -> IF(
+                acc.d < {n}
+                AND e.step = element_at({steps_sql}, acc.d + 1)
+                AND e.us > acc.t,
+                named_struct('d', acc.d + 1, 't', e.us),
+                acc),
+            acc -> acc.d)"""
+    )
+    reached = (
+        per_user.select(depth.alias("depth"))
+        .where(F.col("depth") > 0)
+        .select(F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step_idx"))
+    )
+    return (
+        reached.groupBy("step_idx")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("step_idx").cast("int").alias("step_idx"),
+            F.expr(f"element_at({steps_sql}, step_idx)").alias("step"),
+            "n_users",
+        )
+        .orderBy("step_idx")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket_s: int = 604_800,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by their first-activity
+    window; for every (cohort, offset) the count of cohort members active
+    ``offset`` buckets later, plus the share of the cohort that is
+    (offset 0 is the cohort itself, retention 1.0).
+
+    Buckets are exact integer ``div`` on epoch microseconds — no
+    float rounding at bucket edges. Shapes: first-activity is one
+    partially-aggregated groupBy(user); activity distinct is another;
+    the join is user-keyed equi (co-partitioned with AQE); the final
+    window runs over the already-tiny (cohort, offset) aggregate."""
+    bucket_us = bucket_s * US
+    base = events.select(
+        F.col(user_col).alias("user_id"), ts_micros(events).alias("us")
+    ).select("user_id", F.expr(f"us div {bucket_us}").alias("bucket"))
+    first = base.groupBy("user_id").agg(F.min("bucket").alias("cohort_bucket"))
+    activity = base.distinct()
+    joined = activity.join(first, "user_id").select(
+        "cohort_bucket",
+        (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+    )
+    counts = joined.groupBy("cohort_bucket", "bucket_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    w = Window.partitionBy("cohort_bucket")
+    cohort_size = F.max(
+        F.when(F.col("bucket_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return counts.select(
+        "cohort_bucket",
+        "bucket_offset",
+        "n_users",
+        (F.col("n_users").cast("double") / cohort_size).alias("retention"),
+    ).orderBy("cohort_bucket", "bucket_offset")
+
+
+def inter_arrival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival statistics: number of events, number of
+    gaps, mean and max gap in seconds. One lag window partitioned by
+    user (total order via (ts, event_id)), one groupBy — a single
+    user-keyed shuffle end to end. Gaps accumulate as exact integer
+    microseconds; the only float op is the final division, written
+    identically in the oracle."""
+    w = Window.partitionBy("user_id").orderBy("us", id_col)
+    gaps = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col),
+        ts_micros(events).alias("us"),
+    ).withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("__sum_gap_us"),
+            F.max("gap_us").alias("__max_gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_gaps",
+            # explicit NULL for gap-less (single-event) users: engines
+            # disagree on float division by zero, so never emit one
+            F.when(
+                F.col("n_gaps") > 0,
+                F.col("__sum_gap_us").cast("double") / F.col("n_gaps") / 1e6,
+            ).alias("avg_gap_s"),
+            (F.col("__max_gap_us").cast("double") / 1e6).alias("max_gap_s"),
+        )
+    )

@@ -30,7 +30,7 @@ plus a single-row broadcast for the total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -167,6 +167,72 @@ def orphan_check(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def merge_partial_aggregates(
+    parts: list[DataFrame],
+    keys: list[str],
+    merge_exprs: dict[str, Column],
+) -> DataFrame:
+    """Incremental-aggregation maintenance: combine already-aggregated
+    partial states (yesterday's materialized KPI + today's delta batch)
+    into the aggregate a full recompute would produce — the materialized-
+    view refresh pattern. Only works for decomposable aggregates (count/
+    sum re-add, min/max re-min/max, HLL sketches re-union); the caller
+    supplies the merge expression per output column.
+
+    At 100 TB this is THE pattern that keeps daily KPIs cheap: each
+    refresh re-aggregates one day of partials, never the full history.
+    One union (no shuffle) + one partially-aggregated groupBy on the
+    keys; the inputs are already aggregate-sized, so the shuffle moves
+    key-cardinality rows, not event rows."""
+    if not parts:
+        raise ValueError("merge_partial_aggregates needs at least one part")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in merge_exprs.items()]
+    )
+
+
+def sketch_distinct_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    sub_col: Column | str,
+    item_col: str,
+) -> DataFrame:
+    """Mergeable distinct-count rollup: build one HLL sketch (Apache
+    DataSketches, ``hll_sketch_agg``) per (key, sub-bucket), then union
+    the sketches per key and estimate. Unioning per-bucket sketches
+    carries the same accuracy class as sketching the raw stream (the
+    union operates on the same register space; tests/test_warehouse.py
+    bounds both against the exact distinct), which is the property that
+    lets a 100 TB pipeline keep per-day sketches and answer per-month
+    distincts WITHOUT rescanning: re-aggregation touches sketch-count
+    rows, not events.
+
+    Estimates are implementation-specific (can't hash-match another
+    engine), so queries built on this are rows-only for the oracle;
+    the local test bounds the error against the exact distinct."""
+    sub = F.col(sub_col) if isinstance(sub_col, str) else sub_col
+    per_bucket = (
+        df.select(*key_cols, sub.alias("__sub"), F.col(item_col).alias("__item"))
+        .groupBy(*key_cols, "__sub")
+        .agg(
+            F.hll_sketch_agg("__item").alias("__sk"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return (
+        per_bucket.groupBy(*key_cols)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("approx_distinct"),
+            F.sum("__n").alias("n_rows"),
+            F.count("*").alias("n_buckets"),
+        )
+        .orderBy(*key_cols)
+    )
 
 
 def heavy_hitters(

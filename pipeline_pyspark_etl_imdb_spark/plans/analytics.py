@@ -456,3 +456,61 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
         )
     )
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per return flag, winsorize extended price at the
+    exact p05/p95 (linear-interpolation percentile, the (n-1)*p
+    definition both Spark's `percentile` and ANSI percentile_cont use),
+    then average the clipped values — the outlier-robust KPI pattern.
+
+    Shape: one grouped exact-percentile aggregate (the group count is
+    tiny, 3 flags), broadcast back onto the fact scan, then a second
+    grouped aggregate. The fact table shuffles on the same low-cardinality
+    key twice; at scale the percentile pass is the costly one (exact
+    percentile buffers per-group values) — swap in percentile_approx
+    there when estimates are acceptable."""
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile("price", 0.05).alias("p05"),
+        F.percentile("price", 0.95).alias("p95"),
+    )
+    clipped = li.join(F.broadcast(pcts), "l_returnflag").withColumn(
+        "clipped", F.least(F.greatest(F.col("price"), F.col("p05")), F.col("p95"))
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.avg("clipped").alias("avg_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-window function family (lag/lead/first/last/nth) over
+    each customer's order history: days since the previous order, days to
+    the next, and the customer's first/second/latest order price alongside
+    every order. One shuffle on the customer key serves all five window
+    functions (same partitioning + ordering -> one Window operator)."""
+    orders = _table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "days_to_next"
+        ),
+        F.first("o_totalprice").over(w_full).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.last("o_totalprice").over(w_full).alias("latest_price"),
+    )

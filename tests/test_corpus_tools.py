@@ -105,3 +105,36 @@ def test_corpus_build_invariants(spark):
     # low-quality docs dropped; unquoted lang dropped; exact dups collapse to min id
     assert ids == {0}
     assert all(0 <= r.shard < 4 for r in got)
+
+
+def test_chunk_exact_dedup_keeps_first_occurrence(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import chunk_exact_dedup
+
+    a = " ".join(f"a{i}" for i in range(4))
+    b = " ".join(f"b{i}" for i in range(4))
+    c = " ".join(f"c{i}" for i in range(4))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{a} {b}", "en"),   # both chunks novel -> fully kept
+            (2, f"{b} {c}", "en"),   # b already seen in doc 1 -> only c kept
+            (3, a, "en"),            # fully duplicate -> nothing kept
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_md5)
+        for r in chunk_exact_dedup(docs, chunk_tokens=4).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == {1: (2, 2), 2: (2, 1), 3: (1, 0)}
+    assert got[3][2] is None  # nothing survives -> NULL digest
+    assert got[1][2] is not None and got[2][2] is not None and got[1][2] != got[2][2]
+
+
+def test_chunk_exact_dedup_within_doc_repetition(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import chunk_exact_dedup
+
+    rep = " ".join(f"r{i}" for i in range(4))
+    docs = _docs(spark, [(1, f"{rep} {rep} {rep}", "en")])
+    [r] = chunk_exact_dedup(docs, chunk_tokens=4).collect()
+    # intra-document repeats collapse too: 3 chunks, 1 kept
+    assert (r.n_chunks, r.n_kept) == (3, 1)

@@ -127,3 +127,61 @@ def test_merge_upsert_single_shuffle_join(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1
+
+
+def test_merge_partial_aggregates_equals_full_recompute(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        merge_partial_aggregates,
+    )
+
+    rows = [(i % 3, float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double, id int")
+
+    def part(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = merge_partial_aggregates(
+        [part(df.where("id % 2 = 0")), part(df.where("id % 2 = 1"))],
+        ["k"],
+        {
+            "n": F.sum("n"),
+            "s": F.sum("s"),
+            "mn": F.min("mn"),
+            "mx": F.max("mx"),
+        },
+    )
+    full = part(df)
+    got = {r.k: (r.n, float(r.s), r.mn, r.mx) for r in merged.collect()}
+    want = {r.k: (r.n, float(r.s), r.mn, r.mx) for r in full.collect()}
+    assert got == want
+
+
+def test_sketch_rollup_merge_is_lossless_and_bounded(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        sketch_distinct_rollup,
+    )
+
+    # 2 keys x 10 sub-buckets, items overlapping across buckets
+    rows = [(k, i % 10, (i * 7) % 500) for k in ("a", "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, sub int, item int")
+    rolled = {
+        r.k: (r.approx_distinct, r.n_rows, r.n_buckets)
+        for r in sketch_distinct_rollup(df, ["k"], "sub", "item").collect()
+    }
+    exact = {
+        r.k: r.d
+        for r in df.groupBy("k").agg(F.count_distinct("item").alias("d")).collect()
+    }
+    for k in ("a", "b"):
+        approx, n_rows, n_buckets = rolled[k]
+        assert n_rows == 2000 and n_buckets == 10
+        # unioned per-bucket sketches stay in the sketch's accuracy class
+        # (HLL union is not bit-identical to direct sketching — the union
+        # finalizes through a different register path — but the error
+        # bound is the same)
+        assert abs(approx - exact[k]) / exact[k] < 0.05

@@ -312,6 +312,33 @@ def tfidf_top_terms(
     )
 
 
+def feature_hash_tokens(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurization: sparse (doc_id, bucket, n) token
+    counts with bucket = md5(token) mod ``n_buckets`` — the fixed-width,
+    vocabulary-free document representation (classifier features, cheap
+    embeddings) that needs no vocabulary broadcast and no training pass.
+
+    Deterministic across engines (md5-derived bucket, never engine-native
+    hash()). One partially-aggregated groupBy on (doc, bucket) — at 100 TB
+    the explode never materializes: Catalyst fuses explode -> project ->
+    partial-agg into the scan stage, and the shuffle moves at most
+    n_buckets rows per document."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+
+    tok = docs.select(
+        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).withColumn("__h", F.md5("token"))
+    return (
+        tok.groupBy(id_col, (hex_uniform("__h") % n_buckets).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def vocab_build(
     docs: DataFrame, size: int = 1000, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -549,6 +549,9 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "incremental_daily_kpi": _incremental_daily_kpi,
     "distinct_users_sketch": _distinct_users_sketch,
+    "token_feature_hash": lambda s, d: text_ops.feature_hash_tokens(
+        _docs(s, d), n_buckets=64
+    ),
     "winsorized_price_stats": analytics.winsorized_price_stats,
     "order_gap_profile": analytics.order_gap_profile,
     # --- similarity search (index parameters became scale-aware this

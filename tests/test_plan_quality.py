@@ -110,3 +110,41 @@ def test_scd2_single_window_shuffle(spark):
 
     plan = _plan(QUERIES["scd2_customer_priority"](spark, SF_ORACLE))
     assert plan.count("Exchange") == 1
+
+
+def test_winsorized_broadcasts_percentiles(spark):
+    # the 3-row percentile frame must broadcast back onto the fact scan;
+    # a shuffle join here would move the fact table for a tiny dim
+    plan = _plan(analytics.winsorized_price_stats(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_order_gap_profile_single_exchange(spark):
+    # all five navigation functions share one (custkey, order) window
+    # partitioning: exactly one shuffle serves lag/lead/first/last/nth
+    plan = _plan(analytics.order_gap_profile(spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_fold_no_joins_two_aggs(spark):
+    # funnel = one user-keyed aggregation + the tiny step-count
+    # aggregation; the k-step join cascade shape is banned
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import FUNNEL_STEPS, QUERIES
+
+    plan = _plan(QUERIES["funnel_view_click_purchase"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    # the step-type filter is pushed into the parquet scan
+    fmt = _formatted(QUERIES["funnel_view_click_purchase"](spark, SF_ORACLE))
+    assert "In(event_type" in fmt
+
+
+def test_incremental_merge_reaggregates_partials_only(spark):
+    # the merge's final aggregation runs over the UNION of two partials —
+    # partial aggregation on both branches (HashAggregate >= 2 per branch,
+    # plus the merge agg), and no join anywhere
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["incremental_daily_kpi"](spark, SF_ORACLE))
+    assert "Union" in plan
+    assert "Join" not in plan

@@ -7,6 +7,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.plans import analytics
 from tests.conftest import SF_ORACLE
@@ -148,3 +149,32 @@ def test_incremental_merge_reaggregates_partials_only(spark):
     plan = _plan(QUERIES["incremental_daily_kpi"](spark, SF_ORACLE))
     assert "Union" in plan
     assert "Join" not in plan
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    # hive-partitioned layout + a partition-key predicate must prune at
+    # planning time: the scan's PartitionFilters carries the predicate and
+    # only the selected partition's files are read — the layout contract
+    # that makes day-ranged queries O(selected days), not O(table)
+    from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import write_parquet
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_cols=["status"])
+
+    scan = spark.read.parquet(path).where(F.col("status") == "F")
+    fmt = _formatted(scan)
+    part_filters = fmt.split("PartitionFilters:")[-1].split("\n")[0]
+    assert "status" in part_filters and "F" in part_filters
+    # pruning is effective: only one of the three status partitions scans
+    n_sel = scan.withColumn("__f", F.input_file_name()).select("__f").distinct().count()
+    n_all = (
+        spark.read.parquet(path)
+        .withColumn("__f", F.input_file_name())
+        .select("__f")
+        .distinct()
+        .count()
+    )
+    assert n_sel < n_all

@@ -36,16 +36,36 @@ def connected_components(
     """(node, component) for every node in ``edges``; the component id is
     the minimum node id in the component. Raises if not converged within
     ``max_iter`` (pathologically deep graphs need large-star/small-star)."""
+    # symmetrize with ONE evaluation of the edge subtree: the edge list is
+    # usually an expensive candidate-pair computation (LSH/shingle self-
+    # join), and union(edges, edges.swapped) would execute that subtree
+    # twice — explode emits both orientations from a single pass
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+                    F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
+        # pin the persisted partitioning to the per-round join key: every
+        # iteration joins on sym.a, and a persisted hash partitioning on
+        # `a` (matching the session's shuffle-partition count) lets
+        # EnsureRequirements skip re-shuffling the edge list each round —
+        # only the small (node, label) side moves
+        .repartition(F.col("a"))
         .persist()
     )
+    # round 1 fused into initialization: with label(u) = u, the first
+    # propagation is just min(node, min neighbor) — one aggregation, no
+    # join, one fewer full round below
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__nbr"))
+        .select("node", F.least(F.col("node"), F.col("__nbr")).alias("label"))
         .persist()
     )
     try:

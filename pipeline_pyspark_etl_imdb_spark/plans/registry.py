@@ -375,6 +375,22 @@ def _distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two part dimensions — the
+    multi-column data-layout sort key (sources/layout.py); the layout
+    effect itself (narrow per-file ranges on both columns) is quantified
+    in tests/test_layout.py."""
+    from pipeline_pyspark_etl_imdb_spark.sources.layout import zorder_value
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        zorder_value([F.col("p_size"), F.col("p_partkey") % 1024], bits=10).alias(
+            "zval"
+        ),
+    )
+
+
 def _merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge: a deterministic change set (updates for custkey%3==0,
     inserts keyed above the base range for custkey%7==0) applied to the
@@ -552,6 +568,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_feature_hash": lambda s, d: text_ops.feature_hash_tokens(
         _docs(s, d), n_buckets=64
     ),
+    "part_zorder_key": _part_zorder_key,
     "winsorized_price_stats": analytics.winsorized_price_stats,
     "order_gap_profile": analytics.order_gap_profile,
     # --- similarity search (index parameters became scale-aware this

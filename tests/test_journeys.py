@@ -92,3 +92,39 @@ def test_funnel_single_shuffle(spark):
     )
     for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert join not in plan
+
+
+def test_funnel_matches_cascade_reference_property(spark):
+    """Property check against an independent formulation: the cascading
+    strictly-after minimum (t_k = min time of step k events with
+    t > t_{k-1}), computed in plain Python over many randomized streams
+    with timestamp collisions — must equal the fold's step counts."""
+    import random
+
+    rng = random.Random(7)
+    steps = ("view", "click", "purchase")
+    types = steps + ("noise",)
+    for trial in range(25):
+        rows = [
+            (rng.randrange(1, 6), rng.choice(types), rng.randrange(0, 8))
+            for _ in range(rng.randrange(1, 30))
+        ]
+        # independent reference: per user, cascade of strictly-after minima
+        want = {i: 0 for i in range(1, len(steps) + 1)}
+        for u in {r[0] for r in rows}:
+            t_prev = -1
+            for k, s in enumerate(steps, start=1):
+                cand = [t for (uu, ty, t) in rows if uu == u and ty == s and t > t_prev]
+                if not cand:
+                    break
+                t_prev = min(cand)
+                want[k] += 1
+        want = {k: v for k, v in want.items() if v > 0}
+
+        got = {
+            r.step_idx: r.n_users
+            for r in funnel(
+                _events(spark, [(t, u, ty) for (u, ty, t) in rows]), steps
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: rows={rows}"

@@ -375,6 +375,54 @@ def _distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: per event type, z-score of each
+    value against the TRAILING 20 events (exclusive of self — a
+    ROWS-frame window), flagging |z| > 3. One keyed window shuffle; the
+    rolling frame is O(20) state per row regardless of scale."""
+    events = _events(spark, sf_dir)
+    base = events.select(
+        "event_type", "event_id", eventtime.ts_micros(events).alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = base.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("trail_mean"),
+        F.stddev_samp("value").over(w).alias("trail_std"),
+    ).withColumn(
+        "z", (F.col("value") - F.col("trail_mean")) / F.col("trail_std")
+    )
+    return scored.where(F.abs(F.col("z")) > 3).select(
+        "event_type", "event_id", "value", "z"
+    )
+
+
+def _brand_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: distinct brand pairs within edit distance 2,
+    blocked on string length so the self-join is per-block, never a full
+    cross product (the standard entity-resolution blocking shape —
+    swap the block key for soundex/prefix on natural-language names)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brands = part.select("p_brand").distinct().withColumn(
+        "blk", F.length("p_brand")
+    )
+    a = brands.select(F.col("p_brand").alias("brand_a"), "blk")
+    b = brands.select(F.col("p_brand").alias("brand_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .withColumn("dist", F.levenshtein("brand_a", "brand_b"))
+        .where(F.col("dist") <= 2)
+        .select("brand_a", "brand_b", "dist")
+    )
+
+
 def _part_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over two part dimensions — the
     multi-column data-layout sort key (sources/layout.py); the layout
@@ -515,7 +563,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_json_kpi": lambda s, d: eventtime.json_value_kpi(_events(s, d)),
     "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
     "event_counts_unpivot": _event_counts_unpivot,
-    "stratified_doc_sample": _stratified_doc_sample,
     # --- corpus construction + text scoring (new this round; operators/
     #     corpus.py and text.py — every selection md5-derived, hash-checkable)
     "repetition_score": lambda s, d: text_ops.repetition_score(_docs(s, d)),
@@ -569,6 +616,8 @@ QUERIES: dict[str, QueryFn] = {
         _docs(s, d), n_buckets=64
     ),
     "part_zorder_key": _part_zorder_key,
+    "event_value_anomalies": _event_value_anomalies,
+    "brand_fuzzy_pairs": _brand_fuzzy_pairs,
     "winsorized_price_stats": analytics.winsorized_price_stats,
     "order_gap_profile": analytics.order_gap_profile,
     # --- similarity search (index parameters became scale-aware this
@@ -618,6 +667,10 @@ QUERIES: dict[str, QueryFn] = {
     "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),
     # --- SQL API entry point
     "sql_segment_leaders": _sql_segment_leaders,
+    # --- rows-only sampling check (trivially green; rotated behind the
+    #     window in favor of hash-checked queries — fractions and
+    #     determinism are pinned by tests/test_sampling.py)
+    "stratified_doc_sample": _stratified_doc_sample,
     # --- relational surface, long-proven (green in CORRECTNESS_r01 and in
     #     the local oracle suite; rotated behind the driver's 50-row window)
     "pricing_summary": analytics.pricing_summary,

@@ -187,6 +187,79 @@ def user_running_totals_stream(events: DataFrame, watermark_s: int = 3600) -> Da
     )
 
 
+_FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("depth", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [StructField("depth", LongType()), StructField("last_us", LongType())]
+)
+
+
+def funnel_depth_stream(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Streaming ordered funnel: per user, the deepest step reached where
+    each step's event is STRICTLY after the event that reached the
+    previous step — the continuous counterpart of
+    ``operators/journeys.funnel`` (same fold, state carried across
+    triggers instead of across an array).
+
+    State per user is two integers (depth, last reach time) — fixed-width
+    regardless of stream length; events sort by (event_time, step) WITHIN
+    each trigger before folding, so the result is exact whenever
+    cross-trigger arrival respects event-time order (the availableNow
+    parity case, and any source partitioned by time); intra-trigger
+    disorder is always handled. tests/test_streaming.py checks final
+    depths against the batch funnel."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    step_at = {i: s for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        depth, last_us = state.get if state.exists else (0, -1)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(
+                ["event_time", "event_type"], kind="mergesort"
+            )
+            for ts, step in zip(rows["event_time"], rows["event_type"]):
+                us = ts.value // 1_000
+                if depth < n_steps and step == step_at[depth] and us > last_us:
+                    depth += 1
+                    last_us = us
+        state.update((depth, last_us))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "depth": [depth], "last_us": [last_us]}
+        )
+
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    return (
+        timed.where(F.col("event_type").isin(list(steps)))
+        .select("user_id", "event_type", "event_time")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def click_purchase_join_stream(
     events: DataFrame, within_s: int = 600, watermark_s: int = 3600
 ) -> DataFrame:

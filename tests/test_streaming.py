@@ -216,3 +216,31 @@ def test_stream_upsert_parquet_matches_batch_latest(spark, events_batch, tmp_pat
         prepared, ["user_id"], [F.col("us").desc(), F.col("user_id")]
     ).toPandas()
     assert not compare_frames(got, want)
+
+
+def test_funnel_depth_stream_matches_batch(spark, events_batch, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.operators.journeys import funnel
+
+    steps = ("view", "click", "purchase")
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.funnel_depth_stream(stream, steps),
+        tmp_path,
+        "funnel",
+        "update",
+    )
+    got = got.groupby("user_id", as_index=False).last()
+    # streaming emits per-user depth; the batch funnel reports per-step
+    # user counts — aggregate the depths the same way and compare
+    got_counts = {
+        k: int((got["depth"] >= k).sum())
+        for k in range(1, len(steps) + 1)
+        if int((got["depth"] >= k).sum()) > 0
+    }
+    want_counts = {
+        r.step_idx: r.n_users for r in funnel(events_batch, steps).collect()
+    }
+    assert got_counts == want_counts
+    # every user with at least one step event appears exactly once
+    assert got["user_id"].is_unique

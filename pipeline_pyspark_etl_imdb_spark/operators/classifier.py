@@ -1,0 +1,92 @@
+"""Model-based document filtering: train and apply a logistic-regression
+document classifier over hashed token features (Spark MLlib).
+
+Heuristic quality scores (operators/text.py) only go so far; production
+training-data pipelines add a LEARNED filter (fastText-style quality /
+language / domain classifiers trained on curated seed sets) and score the
+whole corpus with it. This module is that path on Spark ML primitives:
+
+- features: ``Tokenizer``-free regex split (same tokenization as text.py)
+  -> ``HashingTF`` sparse vectors (vocabulary-free hashing trick — the ML-
+  Vector sibling of text.feature_hash_tokens);
+- model: ``LogisticRegression`` (JVM-side L-BFGS; no Python in training);
+- scoring: ``model.transform`` — a map-only projection at 100 TB, the
+  model broadcast to executors.
+
+Scale notes: featurization is map-only; L-BFGS training aggregates one
+gradient vector (n_features doubles) per pass — independent of corpus
+size; scoring fuses into the scan. Train on a small labeled seed
+(curated / weak labels), score everything: the asymmetry that makes a
+learned filter tractable at 100 TB.
+
+Determinism: training is iterative float optimization — coefficients are
+NOT bit-stable across engines, so scoring queries register rows-only
+(no DuckDB oracle); tests gate behavior instead: separation on held-out
+data and score-sidedness on the seed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.feature import HashingTF
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.text import tokens
+
+
+def featurize(
+    docs: DataFrame,
+    n_features: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Append a sparse ``features`` vector: hashed token counts
+    (vocabulary-free, map-only)."""
+    with_tok = docs.withColumn("__tok", tokens(F.lower(F.col(text_col))))
+    tf = HashingTF(inputCol="__tok", outputCol="features", numFeatures=n_features)
+    return tf.transform(with_tok).drop("__tok")
+
+
+def train_doc_classifier(
+    labeled_docs: DataFrame,
+    label_col: Column | str,
+    n_features: int = 256,
+    max_iter: int = 20,
+    reg_param: float = 0.01,
+    text_col: str = "text",
+) -> LogisticRegressionModel:
+    """Fit a binary document classifier on a labeled seed set.
+    ``label_col`` is any boolean/0-1 expression (curated flag, weak
+    label, heuristic threshold)."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    prepared = featurize(
+        labeled_docs.withColumn("label", lab.cast("double")), n_features, text_col
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+    )
+    return lr.fit(prepared)
+
+
+def score_documents(
+    model: LogisticRegressionModel,
+    docs: DataFrame,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a corpus with a trained classifier: (id, p_positive,
+    predicted). Map-only — the model rides to executors as a broadcast;
+    at 100 TB this is one pass over storage with no shuffle."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(featurize(docs, n_features, text_col))
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        id_col,
+        p1.alias("p_positive"),
+        F.col("prediction").cast("int").alias("predicted"),
+    )

@@ -423,6 +423,29 @@ def _brand_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned corpus filter, end to end: DISTILL the heuristic quality
+    score (operators/text.quality_expr) into a logistic-regression
+    classifier — train on a FIXED-SIZE seed (first 500 doc ids, constant
+    training cost at any corpus scale), score the whole corpus. This is
+    the train-small / score-everything asymmetry of model-based
+    filtering, and heuristic→model distillation is how production
+    pipelines bootstrap quality classifiers before curated labels exist.
+    Iterative float optimization is engine-specific: rows-only."""
+    from pipeline_pyspark_etl_imdb_spark.operators.classifier import (
+        score_documents,
+        train_doc_classifier,
+    )
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_expr
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.where(F.col("doc_id") < 500)
+    model = train_doc_classifier(
+        seed, quality_expr(F.col("text")) >= 0.5, max_iter=10
+    )
+    return score_documents(model, docs)
+
+
 def _part_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over two part dimensions — the
     multi-column data-layout sort key (sources/layout.py); the layout
@@ -671,6 +694,9 @@ QUERIES: dict[str, QueryFn] = {
     #     window in favor of hash-checked queries — fractions and
     #     determinism are pinned by tests/test_sampling.py)
     "stratified_doc_sample": _stratified_doc_sample,
+    # --- learned document filter (MLlib; iterative float training is not
+    #     oracle-expressible — behavior gated by tests/test_classifier.py)
+    "doc_classifier_scores": _doc_classifier_scores,
     # --- relational surface, long-proven (green in CORRECTNESS_r01 and in
     #     the local oracle suite; rotated behind the driver's 50-row window)
     "pricing_summary": analytics.pricing_summary,
@@ -703,4 +729,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "approx_user_stats",
     "stratified_doc_sample",
     "distinct_users_sketch",
+    "doc_classifier_scores",
 )

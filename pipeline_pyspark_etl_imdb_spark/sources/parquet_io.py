@@ -41,6 +41,28 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema (never inference — a
+    100 TB inference pass reads the data twice and freezes whatever the
+    first sample implies) in PERMISSIVE mode: malformed lines land whole
+    in ``corrupt_col`` instead of failing the job, mirroring the TSV
+    source's null-marker tolerance. Filter/route on the corrupt column
+    downstream (dead-letter pattern)."""
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

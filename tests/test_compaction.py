@@ -57,3 +57,25 @@ def test_orc_sink_round_trip(spark, tmp_path):
         for r in df.select("o_orderkey", "o_custkey", "o_orderstatus").collect()
     )
     assert got == want
+
+
+def test_jsonl_source_round_trip_and_dead_letter(spark, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import read_jsonl
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "v": "a"}\n'
+        '{"id": 2, "v": "b"}\n'
+        "this is not json\n"
+        '{"id": "NaN-ish", "v": "c"}\n'
+    )
+    df = read_jsonl(spark, str(p), "id BIGINT, v STRING")
+    rows = df.collect()
+    good = {(r.id, r.v) for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert (1, "a") in good and (2, "b") in good
+    # both the non-JSON line and the type-mismatched record dead-letter
+    # with the raw line preserved for replay
+    assert len(bad) == 2
+    assert any("not json" in r._corrupt_record for r in bad)

@@ -403,6 +403,40 @@ def _event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered positional aggregates: hourly open/high/low/close
+    bars per event type via min_by/max_by on the total (time, id) order —
+    first/last WITHOUT a window function, so the whole bar is one
+    partially-aggregated groupBy (each partition contributes one
+    candidate per bar; no per-row window state)."""
+    events = _events(spark, sf_dir)
+    base = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        eventtime.ts_micros(events).alias("us"),
+    ).select(
+        "event_type", "event_id", "value", "us",
+        F.expr("us div 3600000000").alias("hour"),
+    )
+    # total order as ONE exact integer ((us, event_id) packed into a
+    # decimal — portable to engines whose arg_min/arg_max can't take a
+    # struct key); event_id < 10^7 at every fixture scale
+    order = F.col("us").cast("decimal(38,0)") * 10_000_000 + F.col("event_id")
+    return (
+        base.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("volume"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 def _brand_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: distinct brand pairs within edit distance 2,
     blocked on string length so the self-join is per-block, never a full
@@ -643,6 +677,7 @@ QUERIES: dict[str, QueryFn] = {
     "brand_fuzzy_pairs": _brand_fuzzy_pairs,
     "winsorized_price_stats": analytics.winsorized_price_stats,
     "order_gap_profile": analytics.order_gap_profile,
+    "event_ohlc_bars": _event_ohlc_bars,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -37,8 +37,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -255,6 +257,91 @@ def funnel_depth_stream(
             outputStructType=_FUNNEL_OUT_SCHEMA,
             stateStructType=_FUNNEL_STATE,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_ANOM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+# ring buffer of the trailing window's values — fixed width per key
+_ANOM_STATE = StructType([StructField("window", ArrayType(DoubleType()))])
+
+_ANOM_WINDOW = 20
+
+
+def anomaly_zscore_stream(
+    events: DataFrame,
+    threshold: float = 3.0,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Streaming rolling-window anomaly detector: per event type, emit
+    events whose value deviates more than ``threshold`` sample standard
+    deviations from the TRAILING 20 values — the continuous counterpart
+    of the batch ``event_value_anomalies`` query.
+
+    State per key is a bounded ring buffer (20 doubles) regardless of
+    stream length; events sort by event time within each trigger, so
+    parity with the batch ROWS-frame window holds whenever triggers
+    respect time order (checked in tests/test_streaming.py)."""
+
+    def detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        (window,) = state.get if state.exists else ([],)
+        window = list(window)
+        out_id: list[int] = []
+        out_v: list[float] = []
+        out_z: list[float] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(
+                ["event_time", "event_id"], kind="mergesort"
+            )
+            for eid, v in zip(rows["event_id"], rows["value"]):
+                v = float(v) if v == v else 0.0
+                n = len(window)
+                if n >= 2:
+                    mean = sum(window) / n
+                    var = sum((x - mean) ** 2 for x in window) / (n - 1)
+                    if var > 0:
+                        z = (v - mean) / var**0.5
+                        if abs(z) > threshold:
+                            out_id.append(int(eid))
+                            out_v.append(v)
+                            out_z.append(z)
+                window.append(v)
+                if len(window) > _ANOM_WINDOW:
+                    window.pop(0)
+        state.update((window,))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(out_id),
+                "event_id": out_id,
+                "value": out_v,
+                "z": out_z,
+            }
+        )
+
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    return (
+        timed.select("event_type", "event_id", "value", "event_time")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=_ANOM_OUT_SCHEMA,
+            stateStructType=_ANOM_STATE,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -244,3 +244,22 @@ def test_funnel_depth_stream_matches_batch(spark, events_batch, tmp_path):
     assert got_counts == want_counts
     # every user with at least one step event appears exactly once
     assert got["user_id"].is_unique
+
+
+def test_anomaly_zscore_stream_matches_batch(spark, events_batch, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import _event_value_anomalies
+    from tests.conftest import SF_SMOKE as _sf
+
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.anomaly_zscore_stream(stream),
+        tmp_path,
+        "anomaly",
+        "append",
+    )
+    want = _event_value_anomalies(spark, _sf).toPandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert list(got.event_id) == list(want.event_id)
+    assert max(abs(got.z - want.z)) < 1e-9

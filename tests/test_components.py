@@ -32,3 +32,20 @@ def test_dedup_canonical_keeps_min_and_singletons(spark):
     kept = sorted(r.doc_id for r in dedup_canonical(docs, pairs).collect())
     # cluster {0,3,5} -> keep 0; singletons 1,2,4 kept
     assert kept == [0, 1, 2, 4]
+
+
+def test_deep_graph_raises_instead_of_wrong_answer(spark):
+    import pytest as _pytest
+
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 60-node path needs ~O(length) min-label rounds — far past max_iter;
+    # the guard must raise (the documented large-star/small-star escape
+    # hatch) rather than return partially-propagated labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=5)

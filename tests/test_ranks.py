@@ -62,3 +62,18 @@ def test_no_data_sized_single_partition_window(spark):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "__pid" in line  # the data-sized rank window is partitioned
+
+
+def test_large_input_stays_distributed_and_exact(spark):
+    # 200k rows through the distributed rank path: spot-check the exact
+    # closed-form values at the extremes and a bucket boundary — the
+    # scale-up smoke test (a single-partition window would still pass
+    # this, but test_no_data_sized_single_partition_window pins the plan)
+    n = 200_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    out = total_order_ranks(df, ["v"], ntile=7)
+    rows = {r.v: r for r in out.where(F.col("v").isin(0, n - 1, n // 2)).collect()}
+    assert rows[0].global_rn == 1 and rows[0].pct_rank == 0.0
+    assert rows[n - 1].global_rn == n and rows[n - 1].cume == 1.0
+    assert rows[n - 1].bucket == 7
+    assert rows[n // 2].global_rn == n // 2 + 1

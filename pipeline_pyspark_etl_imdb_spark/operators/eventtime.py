@@ -22,7 +22,8 @@ US = 1_000_000
 
 def ts_micros(df: DataFrame, ts_col: str = "ts") -> Column:
     """Epoch microseconds from the event-time column, whatever its storage
-    type: TimestampType, or bigint nanoseconds (how we read parquet
+    type: TimestampType, TIMESTAMP_NTZ (parquet timestamp[us] with
+    isAdjustedToUTC=false), or bigint nanoseconds (how we read parquet
     TIMESTAMP(NANOS), which Spark has no native type for — truncation to
     micros matches what µs-native engines do with the same file)."""
     dtype = dict(df.dtypes).get(ts_col)
@@ -31,6 +32,13 @@ def ts_micros(df: DataFrame, ts_col: str = "ts") -> Column:
         # exceed the 2^53 exact-double range, so double division is off by
         # up to a microsecond
         return F.expr(f"CAST(`{ts_col}` div 1000 AS BIGINT)")
+    if dtype == "timestamp_ntz":
+        # wall-clock-as-UTC, independent of spark.sql.session.timeZone —
+        # a cast to TIMESTAMP would shift by the session zone offset,
+        # breaking parity with µs-native engines reading the same file
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
     return F.unix_micros(F.col(ts_col))
 
 

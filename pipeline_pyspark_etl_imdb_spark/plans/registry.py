@@ -45,9 +45,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the events fixture stores TIMESTAMP(NANOS); a bare session (the
-    # driver's) can only read it with this runtime-settable legacy conf
-    # (our own session.py sets it, but queries must be self-sufficient)
+    # older event fixtures stored TIMESTAMP(NANOS), readable on a bare
+    # session (the driver's) only with this runtime-settable legacy conf;
+    # the current fixture is timestamp[us] (TIMESTAMP_NTZ) where the conf
+    # is a no-op — kept so the queries stay self-sufficient on either
+    # fixture vintage (eventtime.ts_micros normalizes both storage types)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 

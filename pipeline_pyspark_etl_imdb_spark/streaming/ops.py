@@ -21,11 +21,11 @@ neither OOMs nor grows checkpoints without bound. Batch parity is tested by
 running each stream with ``trigger(availableNow=True)`` over the same files
 the batch operators read (tests/test_streaming.py).
 
-Timestamp handling: the fixture parquet stores TIMESTAMP(NANOS); the
-session reads it as bigint nanoseconds (session.py nanosAsLong). For
-streaming we need a real TimestampType for watermarks, so
-``with_event_time`` converts ns -> microsecond TimestampType via
-``F.timestamp_micros`` — truncation identical to the batch path.
+Timestamp handling: watermarks need a real TimestampType, so
+``with_event_time`` normalizes whatever the fixture stores (TIMESTAMP_NTZ
+micros today; bigint TIMESTAMP(NANOS) in older fixtures) through
+``eventtime.ts_micros`` -> ``F.timestamp_micros`` — identical to the
+batch path.
 """
 
 from __future__ import annotations

@@ -164,3 +164,43 @@ def inter_arrival(
             (F.col("__max_gap_us").cast("double") / 1e6).alias("max_gap_s"),
         )
     )
+
+
+def type_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user: (from_type, to_type, n_transitions, share).
+
+    Shape: ONE user-keyed lag window (total order via (ts, event_id))
+    then a tiny (|types|^2-bounded) groupBy — the aggregate is partial,
+    so the second shuffle moves at most types^2 rows per partition.
+    ``share`` normalizes each row over its from_type fan-out (row
+    probability of the transition matrix)."""
+    w = Window.partitionBy("user_id").orderBy("us", id_col)
+    pairs = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(id_col),
+            F.col(type_col).alias("to_type"),
+            ts_micros(events).alias("us"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt)
+        ).alias("share"),
+    ).orderBy("from_type", "to_type")

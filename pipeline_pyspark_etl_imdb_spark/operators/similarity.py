@@ -378,3 +378,172 @@ def ann_lsh_knn(
     return ranked.select(
         "query_id", F.col("bucket").cast("bigint").alias("bucket"), "neighbor_id", F.col("rk").cast("int").alias("rk")
     )
+
+
+def scaled_pq_codes(n: int, floor: int = 16, cap: int = 256) -> int:
+    """Per-subspace PQ codebook size ~ sqrt(n/2), clamped to [16, 256].
+    256 is the classical PQ ceiling (codes fit one byte per subspace —
+    the whole corpus index is m bytes/vector); below that the same
+    sqrt growth as IVF balances codebook scan cost against cell
+    occupancy. n=500 -> 16 (fixture value, mirrored by the oracle)."""
+    return max(floor, min(cap, math.ceil(math.sqrt(max(n, 1) / 2.0))))
+
+
+def _l2sq_dec(a: Column, b: Column) -> Column:
+    """Squared L2 distance accumulated in DECIMAL — exact and
+    order-independent, so code assignment and ADC ranking are engine-exact
+    (same rationale as lsh_bucket's decimal dot products: float last-ulp
+    differences must never decide an argmin that feeds hashed output).
+
+    Types are deliberately narrow: components are unit-scale, so the
+    scale-9 quantization is tie-free (no binary float sits exactly on a
+    decimal-9 midpoint — the midpoint has a factor 5^-10 and is never
+    dyadic), squares are exact at scale 18 within DECIMAL(23,18), and the
+    running sum stays inside DECIMAL(25,18) (the merge cast is identity:
+    sums are < 10^7). Wider types would trip Spark's precision-38 cap,
+    which silently REDUCES scale on overflow and breaks cross-engine
+    exactness."""
+    sq = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("decimal(10,9)") - y.cast("decimal(10,9)"))
+        * (x.cast("decimal(10,9)") - y.cast("decimal(10,9)")),
+    )
+    return F.aggregate(
+        sq,
+        F.lit(0).cast("decimal(25,18)"),
+        lambda acc, x: (acc + x).cast("decimal(25,18)"),
+    )
+
+
+def pq_index(
+    embeddings: DataFrame,
+    m: int = 16,
+    n_codes: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index, deterministic flavor: split each vector
+    into ``m`` subvectors; the per-subspace codebook is the corresponding
+    slice of hash-stride-picked corpus vectors (same pick rule as
+    ``ivf_index`` — map-only filter, no RNG, no global sort); every
+    subvector is assigned to its nearest codeword by squared L2.
+    Returns (codewords, codes):
+
+    - codewords: (s, code_id, cw) — subspace s's codebook, ~n_codes rows
+      per subspace (broadcast-sized by construction).
+    - codes: (id, s, code_id) — the corpus encoded at m
+      log2(n_codes)-bit codes per vector. THIS is the 100 TB payoff:
+      the search structure is m small ints per vector (vs m*dim floats),
+      so re-ranking candidate sets touches ~1% of the raw bytes.
+
+    Real PQ trains codebooks with k-means; the stride pick keeps the
+    index reproducible on any engine (the DuckDB oracle re-derives it
+    exactly) while exercising the same physical shape: broadcast
+    codebooks, one map-side argmin pass, narrow code columns.
+    """
+    sub_len = dim // m
+    embeddings = fan_out(embeddings)
+    n = embeddings.select(F.col(id_col)).count()
+    if n_codes is None:
+        n_codes = scaled_pq_codes(n)
+    stride = max(n // n_codes, 1)
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    anchors = base.where(_uniform32(F.col(id_col)) % stride == 0).select(
+        F.col(id_col).alias("code_id"), "v"
+    )
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    codewords = anchors.select("code_id", subs, "v").select(
+        "s", "code_id", F.expr(f"slice(v, s*{sub_len}+1, {sub_len})").alias("cw")
+    )
+    corpus_sub = base.select(F.col(id_col), subs, "v").select(
+        F.col(id_col), "s", F.expr(f"slice(v, s*{sub_len}+1, {sub_len})").alias("sv")
+    )
+    scored = corpus_sub.join(F.broadcast(codewords), "s").withColumn(
+        "d2", _l2sq_dec(F.col("sv"), F.col("cw"))
+    )
+    codes = top_k_per_group(
+        scored, [id_col, "s"], [F.asc("d2"), F.asc("code_id")], 1
+    ).select(F.col(id_col), "s", "code_id")
+    return codewords, codes
+
+
+def ann_pq_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int | None = None,
+    refine: int = 8,
+    dim: int = 64,
+    query_ids: Sequence[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: asymmetric distance computation (ADC) over the
+    PQ codes builds a per-query shortlist of ``k * refine`` candidates,
+    then exact cosine re-ranks the shortlist — the standard two-stage PQ
+    search (coarse scan over compressed codes, fine scan over a few raw
+    vectors).
+
+    Each query computes one small lookup table (distance from its
+    subvectors to every codeword — |q| x m x n_codes rows, broadcast);
+    the corpus is then scored by summing m table lookups per vector.
+
+    Physical shape at 100 TB: the only corpus-sized dataflows are the
+    (id, s, code_id) code table — m small ints per vector, ~1% of the
+    raw embedding bytes — and one hash-join fetch of the shortlist's raw
+    vectors for re-ranking (|q| x k x refine rows). No full-width vector
+    ever shuffles. Recall against brute force is gated in
+    tests/test_similarity.py; like the other ANN paths the hashed output
+    is (query_id, neighbor_id, rk) with scores kept out of the hash.
+    """
+    sub_len = dim // m
+    codewords, codes = pq_index(embeddings, m, n_codes, dim, id_col, vec_col)
+    # both the LUT (query side) and the scoring join reference the code
+    # subtrees; persist so encode runs once per call, not per branch
+    codewords = codewords.persist()
+    codes = codes.persist()
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    q = base
+    if query_ids is not None:
+        q = base.where(F.col(id_col).isin(list(query_ids)))
+    q_sub = q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "v",
+    ).select(
+        "query_id", "s", F.expr(f"slice(v, s*{sub_len}+1, {sub_len})").alias("qv")
+    )
+    lut = q_sub.join(F.broadcast(codewords), "s").select(
+        "query_id", "s", "code_id", _l2sq_dec(F.col("qv"), F.col("cw")).alias("d2q")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code_id"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d2q").alias("adist"), F.count("*").alias("n_sub"))
+        # only vectors with all m subspace lookups present (guards against
+        # NULL/short embeddings dropping subspace rows silently)
+        .where(F.col("n_sub") == m)
+    )
+    shortlist = top_k_per_group(
+        scored, ["query_id"], [F.asc("adist"), F.asc("neighbor_id")], k * refine
+    ).select("query_id", "neighbor_id")
+    qv = q.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    nv = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("n").alias("nn")
+    )
+    reranked = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+    )
+    ranked = top_k_per_group(
+        reranked, ["query_id"], [F.desc("cos"), F.asc("neighbor_id")], k
+    )
+    return ranked.select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"))

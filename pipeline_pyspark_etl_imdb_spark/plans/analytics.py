@@ -514,3 +514,59 @@ def order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
         F.last("o_totalprice").over(w_full).alias("latest_price"),
     )
+
+
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind cube/rollup (which the
+    cube/rollup queries already exercise): three explicit aggregation
+    grains in ONE pass over orders — (status, priority), (status), and
+    grand total — with per-column grouping flags disambiguating real
+    NULLs from subtotal rows. Catalyst plans this as a single Expand +
+    partial aggregate: one scan, one shuffle, regardless of how many
+    sets are declared."""
+    from pipeline_pyspark_etl_imdb_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above the global average, with the
+    average and the ratio alongside. Catalyst evaluates the uncorrelated
+    subquery once (a one-row broadcast reused by every comparison) — at
+    100 TB the fact table streams map-side against that single value; no
+    join, no shuffle beyond the aggregate that computes the scalar.
+    The mean is written as exact-DECIMAL sum / count with ONE final
+    double division (engines disagree on avg(DECIMAL) result types, so
+    avg() itself is not portable at the last ulp)."""
+    from pipeline_pyspark_etl_imdb_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_price
+            FROM orders
+        )
+        SELECT o_orderkey,
+               o_custkey,
+               o_totalprice,
+               (SELECT avg_price FROM g) AS global_avg_price,
+               o_totalprice / (SELECT avg_price FROM g) AS price_ratio
+        FROM orders
+        WHERE o_totalprice > (SELECT avg_price FROM g)
+        """
+    )

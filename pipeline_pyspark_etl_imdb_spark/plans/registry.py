@@ -589,6 +589,31 @@ def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round, previously-failing queries, and queries with no driver row yet
 # sit in the front; long-proven relational queries (green in
 # CORRECTNESS_r01) rotate to the back.
+def _embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/filter/aggregate) plus the
+    positional array family (size/array_max/array_position) over the
+    embedding column — all map-only builtin expressions fused into the
+    scan; zero shuffle, zero Python."""
+    emb = _emb(spark, sf_dir)
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(vec).alias("dim"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+        F.when(
+            F.size(vec) > 0,
+            F.array_position(vec, F.array_max(vec)).cast("int"),
+        ).alias("argmax_idx"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("l2_norm"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- previously ERR under the driver's bare session (nanos conf) / canonicalizer
     "purchase_last_click_asof": analytics.purchase_last_click_asof,
@@ -680,6 +705,13 @@ QUERIES: dict[str, QueryFn] = {
     "winsorized_price_stats": analytics.winsorized_price_stats,
     "order_gap_profile": analytics.order_gap_profile,
     "event_ohlc_bars": _event_ohlc_bars,
+    # --- advanced SQL shapes (new this round): grouping sets, scalar
+    #     subquery — plus first-order journey transitions and array
+    #     higher-order functions
+    "order_grouping_sets": analytics.order_grouping_sets,
+    "orders_above_global_avg": analytics.orders_above_global_avg,
+    "event_type_transitions": lambda s, d: journeys.type_transitions(_events(s, d)),
+    "embedding_vector_stats": _embedding_vector_stats,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
@@ -687,6 +719,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
     "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
+        _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
+    ),
+    "ann_pq": lambda s, d: similarity.ann_pq_knn(
         _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
     ),
     # --- text analysis

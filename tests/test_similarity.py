@@ -73,3 +73,39 @@ def test_scaled_params_track_corpus_size():
     assert similarity.scaled_n_planes(0) == 4
     assert similarity.scaled_n_planes(10**12, cap=32) == 32
     assert similarity.scaled_n_centroids(1) == 16
+
+
+def test_pq_recall_vs_bruteforce(emb):
+    # PQ + ADC shortlist + exact re-rank. The fixture is ~uniform on the
+    # 64-d unit sphere — the hardest regime for quantization (no cluster
+    # structure for the codebook to exploit), so the floor sits below the
+    # IVF gate; note PQ reaches it scanning only the m-byte codes plus an
+    # 8% re-rank fetch, vs IVF's 25% raw-vector probe.
+    exact = _neighbor_sets(similarity.cosine_knn(emb, k=K, query_ids=QUERY_IDS))
+    approx = _neighbor_sets(
+        similarity.ann_pq_knn(emb, k=K, query_ids=QUERY_IDS)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.45, f"PQ recall {recall:.2f} below floor"
+
+
+def test_pq_codes_deterministic_and_complete(emb):
+    # decimal distances make the argmin engine-exact -> identical codes
+    # across builds; every vector must get exactly m codes
+    cw_a, codes_a = similarity.pq_index(emb)
+    cw_b, codes_b = similarity.pq_index(emb)
+    a = sorted(codes_a.collect())
+    assert a == sorted(codes_b.collect())
+    n = emb.count()
+    assert codes_a.count() == n * 16
+    assert codes_a.select("vec_id").distinct().count() == n
+
+
+def test_pq_plan_has_no_single_partition_exchange(emb):
+    # same gate as IVF: the anchor pick must stay a map-side filter
+    plan = (
+        similarity.ann_pq_knn(emb, k=K, query_ids=QUERY_IDS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan

@@ -204,3 +204,61 @@ def type_transitions(
             / F.sum("n_transitions").over(wt)
         ).alias("share"),
     ).orderBy("from_type", "to_type")
+
+
+def session_top_paths(
+    events: DataFrame,
+    gap_s: int = 1800,
+    top: int = 50,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most frequent within-session journey paths: sessionize (same lag +
+    running-sum pattern as eventtime.sessionize), render each session as
+    an ordered ``a>b>c`` path string, count path frequencies, keep the
+    global top ``top``.
+
+    The ordered concatenation is collect_list -> array_sort over
+    (us, event_id, type) structs -> transform to the type field — a
+    DETERMINISTIC ordered aggregation (bare collect_list order is
+    partition-dependent; the struct sort pins it). Per-session state is
+    events-per-session bounded; the path table aggregate is partial, and
+    the final top-N plans as TakeOrderedAndProject (per-partition top-N
+    merged at the driver — no global sort)."""
+    w = Window.partitionBy("user_id").orderBy("us", id_col)
+    flagged = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(id_col),
+            F.col(type_col).alias("etype"),
+            ts_micros(events).alias("us"),
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > gap_s * US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(w))
+    )
+    paths = flagged.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", F.col(id_col), "etype"))
+                ),
+                lambda s: s["etype"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    return (
+        counts.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top)
+        .select("path", "n_sessions")
+    )

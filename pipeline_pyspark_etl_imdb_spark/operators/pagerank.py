@@ -1,0 +1,134 @@
+"""PageRank over a directed edge list — weighted iterative propagation.
+
+Complements connected components (components.py): CC propagates a MIN
+label to a fixpoint; PageRank propagates a WEIGHTED rank mass for a fixed
+number of rounds. Together they cover the two shapes every DataFrame
+graph algorithm reduces to.
+
+Physical shape per iteration (the only one that survives 100 TB):
+
+- contributions = ranks ⋈ edges on src (edges pre-partitioned on src and
+  persisted, so every round reuses the same co-located layout and only
+  the small (node, rank) frame re-shuffles),
+- partial-aggregated groupBy(dst) sum — bytes per node, never per edge,
+  after the map-side combine,
+- dangling-node mass folded back as ONE scalar (a 1-row aggregate,
+  broadcast by Catalyst), not a per-node join.
+
+``localCheckpoint`` truncates lineage each round so round N's plan stays
+O(1) (the CC loop established the pattern). A fixed iteration count
+(no float convergence test) keeps the result deterministic per engine;
+float summation order still varies across engines, so registry exposure
+is rows-only — tests/test_pagerank.py bounds the values against an
+independent NumPy power iteration instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous power iterations with
+    uniform teleport; ranks sum to 1. Nodes = union of both edge
+    endpoints; parallel edges act as weight (each contributes)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # one shuffle up front: edges carry their source out-degree and stay
+    # partitioned on src for every iteration's join
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges_deg = (
+        e.join(out_deg, "src")
+        .repartition(shuffle_n, "src")
+        .persist()
+    )
+    edges_deg.count()  # materialize once, outside the loop
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling nodes (no out-edges) leak their mass; fold it back as a
+        # single scalar so total rank stays 1 without a per-node join
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .select((F.col("m") / n).alias("dm"))
+        )
+        new_ranks = (
+            nodes.join(
+                contribs.select(F.col("dst").alias("node"), "contrib"),
+                "node",
+                "left",
+            )
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm"))
+                ).alias("rank"),
+            )
+        )
+        old = ranks
+        ranks = new_ranks.localCheckpoint(eager=True)
+        if old is not nodes:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+    edges_deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def customer_supplier_pagerank(
+    lineitem: DataFrame, orders: DataFrame, top: int = 100
+) -> DataFrame:
+    """PageRank on the bipartite purchase graph: customer -> supplier
+    edges from lineitem x orders (who funds whom). Returns the ``top``
+    nodes by rank (suppliers ranked by incoming purchase diversity).
+    Node ids are namespaced (c<id> / s<id>) so the two key spaces can't
+    collide."""
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+            ),
+            "l_orderkey",
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(top)
+        .select("node", "rank")
+    )

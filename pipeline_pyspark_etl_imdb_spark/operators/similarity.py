@@ -282,8 +282,11 @@ def ann_ivf_knn(
     corpus = base.select(
         F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("v").alias("nv"), F.col("n").alias("nn")
     )
+    # bounded only when the query set is bounded (same guard as the other
+    # ANN paths: with query_ids=None probes cover the whole corpus)
+    probe_side = F.broadcast(probes) if query_ids is not None else probes
     scored = (
-        corpus.join(F.broadcast(probes), "centroid_id")
+        corpus.join(probe_side, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )
@@ -520,8 +523,12 @@ def ann_pq_knn(
     lut = q_sub.join(F.broadcast(codewords), "s").select(
         "query_id", "s", "code_id", _l2sq_dec(F.col("qv"), F.col("cw")).alias("d2q")
     )
+    # force-broadcast only bounded query-derived sides; with
+    # query_ids=None the "queries" are the whole corpus (LUT is n*m*c
+    # rows) and broadcasting would OOM — let Catalyst pick the strategy
+    lut_side = F.broadcast(lut) if query_ids is not None else lut
     scored = (
-        codes.join(F.broadcast(lut), ["s", "code_id"])
+        codes.join(lut_side, ["s", "code_id"])
         .where(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.sum("d2q").alias("adist"), F.count("*").alias("n_sub"))
@@ -538,8 +545,9 @@ def ann_pq_knn(
     nv = base.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("n").alias("nn")
     )
+    qv_side = F.broadcast(qv) if query_ids is not None else qv
     reranked = (
-        shortlist.join(F.broadcast(qv), "query_id")
+        shortlist.join(qv_side, "query_id")
         .join(nv, "neighbor_id")
         .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )

@@ -589,6 +589,19 @@ def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round, previously-failing queries, and queries with no driver row yet
 # sit in the front; long-proven relational queries (green in
 # CORRECTNESS_r01) rotate to the back.
+def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (top 100 by
+    rank). Iterative weighted propagation — see operators/pagerank.py."""
+    from pipeline_pyspark_etl_imdb_spark.operators.pagerank import (
+        customer_supplier_pagerank,
+    )
+
+    return customer_supplier_pagerank(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def _embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (transform/filter/aggregate) plus the
     positional array family (size/array_max/array_position) over the
@@ -711,6 +724,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
     "event_type_transitions": lambda s, d: journeys.type_transitions(_events(s, d)),
+    "session_top_paths": lambda s, d: journeys.session_top_paths(_events(s, d)),
     "embedding_vector_stats": _embedding_vector_stats,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
@@ -769,6 +783,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- learned document filter (MLlib; iterative float training is not
     #     oracle-expressible — behavior gated by tests/test_classifier.py)
     "doc_classifier_scores": _doc_classifier_scores,
+    # --- iterative graph rank (float summation order is engine-specific —
+    #     rows-only; values gated against NumPy in tests/test_pagerank.py)
+    "supplier_pagerank": _supplier_pagerank,
     # --- relational surface, long-proven (green in CORRECTNESS_r01 and in
     #     the local oracle suite; rotated behind the driver's 50-row window)
     "pricing_summary": analytics.pricing_summary,
@@ -802,4 +819,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "stratified_doc_sample",
     "distinct_users_sketch",
     "doc_classifier_scores",
+    "supplier_pagerank",
 )

@@ -271,6 +271,32 @@ def group_hash_sample(
     )
 
 
+def global_hash_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic exact-k GLOBAL sample: order all rows by md5(id:salt)
+    and keep the first k. The hash is uniform, so this is a uniform random
+    sample with an exact size — but reproducible on any engine (unlike
+    ``df.sample`` whose kept set is partitioning-dependent, and unlike
+    reservoir sampling which needs driver state).
+
+    Scale shape: Catalyst plans ORDER BY + LIMIT k as
+    TakeOrderedAndProject — each partition keeps its local top-k by hash
+    and the driver merges #partitions * k candidate rows. No global sort,
+    no shuffle of the full table; 100 TB in, k rows out, one pass.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def corpus_build(
     docs: DataFrame,
     quotas: dict[str, float],

@@ -154,6 +154,73 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Consolidate overlapping/touching intervals per key into maximal
+    disjoint spans (the classic interval-union problem: ad sessions,
+    machine uptime, coverage windows).
+
+    Shape: ONE shuffle on ``key_col``; within each key a sort + two window
+    passes — running max of prior ends decides whether an interval starts a
+    new span, a running sum of those flags numbers the spans, and a final
+    partial-aggregated groupBy collapses each span. No self-join, no range
+    explosion; per-key state is O(1) per row, so a key with 10^9 intervals
+    streams through rank-ordered windows without materializing pairs.
+
+    Returns one row per merged span: key, span_idx (1-based per key),
+    start/end, n_source (how many raw intervals merged in).
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prior_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        intervals.select(key_col, start_col, end_col)
+        .withColumn(
+            "new_span",
+            F.when(
+                prior_max_end.isNull() | (F.col(start_col) > prior_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("span_idx", F.sum("new_span").over(w))
+    )
+    return (
+        flagged.groupBy(key_col, "span_idx")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_source"),
+        )
+        .orderBy(key_col, "span_idx")
+    )
+
+
+def user_activity_spans(events: DataFrame, hold_s: int = 300) -> DataFrame:
+    """Activity spans per user: each event opens a [ts, ts+hold_s] interval;
+    overlapping intervals merge into continuous activity spans (equivalent
+    to sessionize with gap=hold_s, but expressed via the general
+    interval-union operator so both shapes are covered)."""
+    us = ts_micros(events)
+    iv = events.select(
+        "user_id",
+        us.alias("start_us"),
+        (us + hold_s * US).alias("end_us"),
+    )
+    merged = merge_intervals(iv)
+    return merged.select(
+        "user_id",
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.floor(F.col("start_us") / US).cast("bigint").alias("start_s"),
+        F.floor(F.col("end_us") / US).cast("bigint").alias("end_s"),
+        F.col("n_source").alias("n_events"),
+    )
+
+
 def json_value_kpi(events: DataFrame) -> DataFrame:
     """Extract an int property from the JSON props column and aggregate per
     event type (JSON path surface; null-safe cast)."""

@@ -726,6 +726,11 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_transitions": lambda s, d: journeys.type_transitions(_events(s, d)),
     "session_top_paths": lambda s, d: journeys.session_top_paths(_events(s, d)),
     "embedding_vector_stats": _embedding_vector_stats,
+    # --- interval union + deterministic exact-k global sample (new)
+    "user_activity_spans": lambda s, d: eventtime.user_activity_spans(_events(s, d)),
+    "global_doc_sample": lambda s, d: corpus.global_hash_sample(_docs(s, d), k=100)
+    .select("doc_id", "lang")
+    .orderBy("doc_id"),
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

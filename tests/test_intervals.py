@@ -1,0 +1,70 @@
+"""Interval-union operator and deterministic exact-k global sampling.
+
+merge_intervals: hand-built overlap/touch/disjoint cases (unit) plus the
+registry query's oracle (tests/test_entry_oracle.py covers the full-table
+hash match — here we pin the edge semantics the SQL can't show).
+global_hash_sample: exact size, determinism across repartitionings, and
+the TakeOrderedAndProject plan shape (no global sort at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pipeline_pyspark_etl_imdb_spark.operators import corpus
+from pipeline_pyspark_etl_imdb_spark.operators.eventtime import merge_intervals
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def test_merge_intervals_semantics(spark):
+    rows = [
+        # key 1: [0,10] overlaps [5,20]; [20,30] touches (20 == prior end)
+        # and merges (closed-interval semantics); [40,50] disjoint
+        (1, 0, 10),
+        (1, 5, 20),
+        (1, 20, 30),
+        (1, 40, 50),
+        # key 2: contained interval [5,6] inside [0,100]; later [50,60]
+        # still inside — prior-MAX-end (not lag) must keep the span open
+        (2, 0, 100),
+        (2, 5, 6),
+        (2, 50, 60),
+        (2, 150, 160),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = [tuple(r) for r in merge_intervals(df).collect()]
+    assert got == [
+        (1, 1, 0, 30, 3),
+        (1, 2, 40, 50, 1),
+        (2, 1, 0, 100, 3),
+        (2, 2, 150, 160, 1),
+    ]
+
+
+def test_merge_intervals_single_and_tied_rows(spark):
+    rows = [(1, 7, 9), (2, 3, 5), (2, 3, 5)]  # exact duplicate interval
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = [tuple(r) for r in merge_intervals(df).collect()]
+    assert got == [(1, 1, 7, 9, 1), (2, 1, 3, 5, 2)]
+
+
+def test_global_hash_sample_exact_k_and_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    k = 37
+    a = sorted(r.doc_id for r in corpus.global_hash_sample(docs, k=k).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in corpus.global_hash_sample(docs.repartition(13), k=k)
+        .select("doc_id")
+        .collect()
+    )
+    assert len(a) == k
+    assert a == b  # kept set independent of partitioning
+
+
+def test_global_hash_sample_plans_take_ordered(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = corpus.global_hash_sample(docs, k=100)._jdf.queryExecution().executedPlan().toString()
+    # per-partition top-k merged at the driver — a global Sort here would
+    # shuffle the entire table to rank 100 rows
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -151,6 +151,40 @@ def test_incremental_merge_reaggregates_partials_only(spark):
     assert "Join" not in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # 100 TB lever: a selective dim-side filter must inject a runtime
+    # Bloom filter onto the fact scan (bloom_filter_agg on the creation
+    # side, might_contain on the application side) so fact rows that can
+    # never join are dropped BEFORE the shuffle. Default thresholds
+    # (creation <= 10 MB, application >= 10 GB) only trigger at real
+    # scale, so simulate them here; the conf surface is what we gate.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = _plan(joined)
+        assert "bloom_filter_agg" in plan  # built over the filtered dim keys
+        assert "might_contain" in plan  # applied on the fact side pre-shuffle
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     # hive-partitioned layout + a partition-key predicate must prune at
     # planning time: the scan's PartitionFilters carries the predicate and

@@ -33,10 +33,12 @@ def hex_uniform(hash_col: str, n_chars: int = 4) -> Column:
     """Integer in [0, 16^n_chars) from the first hex chars of an md5
     column — the engine-portable uniform variate (instr + integer
     arithmetic only; identical in Spark SQL and ANSI oracles)."""
+    # BIGINT arithmetic: with n_chars >= 8 the sum exceeds int32 and
+    # Spark's plain INT literals would wrap silently (ANSI off)
     return F.expr(
         " + ".join(
-            f"(instr('{_HEX}', substring({hash_col}, {i + 1}, 1)) - 1)"
-            f" * {16 ** (n_chars - 1 - i)}"
+            f"(CAST(instr('{_HEX}', substring({hash_col}, {i + 1}, 1)) AS BIGINT) - 1)"
+            f" * CAST({16 ** (n_chars - 1 - i)} AS BIGINT)"
             for i in range(n_chars)
         )
     )
@@ -294,6 +296,41 @@ def global_hash_sample(
         .orderBy(F.col("__h").asc(), F.col(id_col).asc())
         .limit(k)
         .drop("__h")
+    )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u in (0,1) from md5(id:salt) and gets
+    key = -ln(u) / weight; the k smallest keys win. Selection probability
+    is proportional to weight (the standard training-data quality-/domain-
+    weighted mixing primitive), yet the kept set is identical on every
+    engine, partitioning and re-run — no RNG state, no driver involvement.
+
+    Scale shape: same as ``global_hash_sample`` — ORDER BY key LIMIT k
+    plans as TakeOrderedAndProject (per-partition top-k, driver merge of
+    #partitions * k candidates); the full table never shuffles.
+
+    Rows with NULL or non-positive weight are excluded (they'd have
+    -inf/undefined keys; semantically weight 0 = never sample).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    keyed = df.where(F.col(weight_col).cast("double") > 0).withColumn("__h", h)
+    # (h + 0.5) / 16^8: exact binary arithmetic on both engines; the +0.5
+    # keeps u strictly inside (0,1) so ln(u) is finite
+    u = (hex_uniform("__h", 8) + F.lit(0.5)) / F.lit(float(16**8))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        keyed.withColumn("__key", key)
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__h", "__key")
     )
 
 

@@ -731,6 +731,11 @@ QUERIES: dict[str, QueryFn] = {
     "global_doc_sample": lambda s, d: corpus.global_hash_sample(_docs(s, d), k=100)
     .select("doc_id", "lang")
     .orderBy("doc_id"),
+    "weighted_doc_sample": lambda s, d: corpus.weighted_hash_sample(
+        _docs(s, d), k=100, weight_col="n_chars"
+    )
+    .select("doc_id", "lang")
+    .orderBy("doc_id"),
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -61,6 +61,27 @@ def test_global_hash_sample_exact_k_and_deterministic(spark):
     assert a == b  # kept set independent of partitioning
 
 
+def test_weighted_hash_sample_biases_toward_weight(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    k = 100
+    sample = corpus.weighted_hash_sample(docs, k=k, weight_col="n_chars")
+    rows = sample.select("doc_id", "n_chars").collect()
+    assert len(rows) == k
+    # deterministic across partitionings
+    again = sorted(
+        r.doc_id
+        for r in corpus.weighted_hash_sample(
+            docs.repartition(11), k=k, weight_col="n_chars"
+        ).collect()
+    )
+    assert sorted(r.doc_id for r in rows) == again
+    # P(select) ∝ n_chars, so the sample's mean length must exceed the
+    # corpus mean (fixed fixture -> deterministic assertion)
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / k
+    assert sample_mean > corpus_mean
+
+
 def test_global_hash_sample_plans_take_ordered(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = corpus.global_hash_sample(docs, k=100)._jdf.queryExecution().executedPlan().toString()

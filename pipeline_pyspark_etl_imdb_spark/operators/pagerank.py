@@ -36,20 +36,42 @@ def pagerank(
     *,
     damping: float = 0.85,
     n_iter: int = 10,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power iterations with
     uniform teleport; ranks sum to 1. Nodes = union of both edge
-    endpoints; parallel edges act as weight (each contributes)."""
+    endpoints; parallel edges act as weight (each contributes).
+
+    Two per-round costs are hoisted out of the loop:
+
+    - the dangling-node set is static (out-degree never changes), so it's
+      computed ONCE as a boolean flag carried on the rank frame; each
+      round's dangling mass is then a map-only filtered sum — the naive
+      per-round ``ranks ANTI JOIN out_deg`` re-shuffles the rank frame
+      every iteration for a set that never changes;
+    - while the rank frame fits the broadcast budget
+      (``broadcast_max_nodes``), both per-round joins broadcast the small
+      node-keyed side, so the persisted edge partitions NEVER move — the
+      only per-round shuffle is the map-side-combined groupBy(dst). Past
+      the budget (billion-node graphs) it falls back to the partitioned
+      join against the src-pinned edge layout.
+    """
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            out_deg.select(F.col("src").alias("node"), F.lit(False).alias("dang")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("dang", F.lit(True)).alias("dang"))
         .persist()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # one shuffle up front: edges carry their source out-degree and stay
     # partitioned on src for every iteration's join
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -59,33 +81,35 @@ def pagerank(
         .persist()
     )
     edges_deg.count()  # materialize once, outside the loop
+    bcast = n <= broadcast_max_nodes
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", "dang", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
+        r_src = ranks.select(F.col("node").alias("src"), "rank")
+        if bcast:
+            r_src = F.broadcast(r_src)
         contribs = (
-            edges_deg.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
-            )
+            edges_deg.join(r_src, "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling nodes (no out-edges) leak their mass; fold it back as a
-        # single scalar so total rank stays 1 without a per-node join
+        # dangling mass folded back as ONE scalar (map-only filtered sum
+        # over the flagged rank frame; no join, no shuffle)
         dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            ranks.where("dang")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .select((F.col("m") / n).alias("dm"))
         )
+        c_side = contribs.select(F.col("dst").alias("node"), "contrib")
+        if bcast:
+            c_side = F.broadcast(c_side)
         new_ranks = (
-            nodes.join(
-                contribs.select(F.col("dst").alias("node"), "contrib"),
-                "node",
-                "left",
-            )
+            nodes.join(c_side, "node", "left")
             .crossJoin(dangling)
             .select(
                 "node",
+                "dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -102,7 +126,7 @@ def pagerank(
                 pass
     edges_deg.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def customer_supplier_pagerank(

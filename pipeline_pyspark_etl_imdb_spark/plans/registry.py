@@ -405,6 +405,34 @@ def _event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_orders_vs_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (orders vs events by epoch
+    day) — the join type the rest of the surface doesn't exercise. Either
+    side may be missing (NULL counts preserved, no coalesce) so the
+    oracle checks 3VL on both null sides. Days as integer epoch days —
+    engine-portable, no date-type round-trip."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = _events(spark, sf_dir)
+    o_daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("bigint").alias("day_idx")
+        )
+        .groupBy("day_idx")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e_daily = (
+        events.select(eventtime.ts_micros(events).alias("us"))
+        .select(F.expr("us div 86400000000").alias("day_idx"))
+        .groupBy("day_idx")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        o_daily.join(e_daily, "day_idx", "full_outer")
+        .select("day_idx", "n_orders", "n_events")
+        .orderBy("day_idx")
+    )
+
+
 def _event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-ordered positional aggregates: hourly open/high/low/close
     bars per event type via min_by/max_by on the total (time, id) order —
@@ -736,6 +764,7 @@ QUERIES: dict[str, QueryFn] = {
     )
     .select("doc_id", "lang")
     .orderBy("doc_id"),
+    "daily_orders_vs_events_full": _daily_orders_vs_events_full,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

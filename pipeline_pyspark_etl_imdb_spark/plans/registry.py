@@ -25,6 +25,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     warehouse,
 )
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
+from pipeline_pyspark_etl_imdb_spark.operators import udtf as udtf_ops
 from pipeline_pyspark_etl_imdb_spark.operators.rangejoin import range_join
 from pipeline_pyspark_etl_imdb_spark.plans import analytics
 
@@ -765,6 +766,9 @@ QUERIES: dict[str, QueryFn] = {
     .select("doc_id", "lang")
     .orderBy("doc_id"),
     "daily_orders_vs_events_full": _daily_orders_vs_events_full,
+    "doc_segments_udtf": lambda s, d: udtf_ops.segment_documents(
+        _docs(s, d), max_tokens=10
+    ),
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

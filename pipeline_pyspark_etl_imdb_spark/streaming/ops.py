@@ -33,7 +33,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -394,6 +394,42 @@ def click_purchase_join_stream(
         "click_id",
         F.unix_timestamp("purchase_time").alias("purchase_s"),
         F.unix_timestamp("click_time").alias("click_s"),
+    )
+
+
+def trending_counts_stream(
+    events: DataFrame, width_s: int = 600, watermark_s: int = 3600
+) -> DataFrame:
+    """Windowed per-type counts feeding a trending-top-k sink. Window
+    functions can't run on a streaming aggregate, so the rank-and-cut is
+    NOT here: apply ``trending_topk_finalize`` inside foreachBatch (or on
+    the completed result) — the standard two-stage trending pattern.
+    State is watermark-bounded: one row per (window, event_type)."""
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    return (
+        timed.groupBy(F.window("event_time", f"{width_s} seconds"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def trending_topk_finalize(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k cut over (micro-)batch windowed counts.
+    Deterministic tie-break by event_type; plans as WindowGroupLimit on
+    the batch side."""
+    w = Window.partitionBy("window_start_s").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start_s", "rank", "event_type", "n_events")
     )
 
 

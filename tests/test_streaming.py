@@ -41,6 +41,28 @@ def test_sliding_kpi_stream_matches_batch(spark, events_batch, tmp_path):
     assert not compare_frames(got, want)
 
 
+def test_trending_topk_stream_matches_batch(spark, events_batch, tmp_path):
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    counts = _run(
+        spark,
+        stream_ops.trending_counts_stream(stream),
+        tmp_path,
+        "trending",
+        "complete",
+    )
+    got = (
+        stream_ops.trending_topk_finalize(
+            spark.createDataFrame(counts), k=3
+        ).toPandas()
+    )
+    batch_counts = (
+        eventtime.tumbling_kpi(events_batch)
+        .select("window_start_s", "event_type", "n_events")
+    )
+    want = stream_ops.trending_topk_finalize(batch_counts, k=3).toPandas()
+    assert not compare_frames(got, want)
+
+
 def test_sessionize_stream_matches_batch(spark, events_batch, tmp_path):
     stream = stream_ops.read_events_stream(spark, SF_SMOKE)
     got = _run(

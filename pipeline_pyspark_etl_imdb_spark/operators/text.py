@@ -112,6 +112,48 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021 §A1.1, public paper):
+    per-document boolean flags plus the conjunctive keep decision —
+    word-count bounds, mean word length in [3,10], >=80% of words
+    containing an alphabetic character, >=2 stopwords. All flags are
+    integer/rational comparisons on token arrays — map-only builtin
+    expressions fused into the scan, reproducible on any engine."""
+    en_stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    with_tok = docs.select(id_col, F.lower(F.col(text_col)).alias("__t")).withColumn(
+        "__tok", tokens("__t")
+    )
+    n_words = F.size("__tok")
+    sum_len = F.aggregate(
+        F.transform("__tok", lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("double") / n_words
+    n_alpha = F.size(F.filter("__tok", lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.filter("__tok", lambda t: F.array_contains(en_stop, t)))
+    flag_word_count = (n_words >= min_words) & (n_words <= max_words)
+    flag_mean_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    flag_alpha = n_alpha.cast("double") / n_words >= 0.8
+    flag_stop = n_stop >= 2
+    return with_tok.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        flag_word_count.alias("flag_word_count"),
+        flag_mean_len.alias("flag_mean_len"),
+        flag_alpha.alias("flag_alpha"),
+        flag_stop.alias("flag_stop"),
+        (flag_word_count & flag_mean_len & flag_alpha & flag_stop).alias("keep"),
+    )
+
+
 def quality_expr(text_col: Column) -> Column:
     """``quality_score``'s composite score as a single column expression —
     for pipelines that filter on quality inline (corpus_build) without

@@ -406,6 +406,28 @@ def _event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parsed ONCE into a
+    variant column (binary-encoded, no per-access re-parse), typed
+    ``try_variant_get`` extraction, then a per-type aggregate. At scale
+    this is the idiom for ragged JSON: one parse per row, shredded
+    access, NULL-safe typed gets."""
+    events = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _daily_orders_vs_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of two daily aggregates (orders vs events by epoch
     day) — the join type the rest of the surface doesn't exercise. Either
@@ -769,6 +791,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_segments_udtf": lambda s, d: udtf_ops.segment_documents(
         _docs(s, d), max_tokens=10
     ),
+    "events_variant_stats": _events_variant_stats,
+    "gopher_quality_flags": lambda s, d: text_ops.gopher_quality_flags(_docs(s, d)),
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

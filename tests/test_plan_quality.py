@@ -185,6 +185,38 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_join_strategy_hints_control_physical_plan(spark):
+    # physical join strategy must be user-controllable per join: with
+    # broadcast off the planner defaults to SortMergeJoin; a SHUFFLE_HASH
+    # hint on the smaller side must flip it (no sort phase — the right
+    # call when one side is modest and sorting the big side would
+    # dominate). Strategy control is a first-class 100 TB tuning surface.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert "SortMergeJoin" in _plan(plain)
+        hinted = li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        )
+        hplan = _plan(hinted)
+        assert "ShuffledHashJoin" in hplan
+        assert "SortMergeJoin" not in hplan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     # hive-partitioned layout + a partition-key predicate must prune at
     # planning time: the scan's PartitionFilters carries the predicate and

@@ -17,7 +17,7 @@ Design for a DuckDB-checkable, 100 TB-ready dedup stack:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.text import tokens, word_shingles
@@ -96,6 +96,63 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_ingest_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus ingestion: keep only batch documents that are
+    (1) not byte-identical to any corpus document, (2) not byte-identical
+    to an earlier batch document (min-id survivor), and (3) not a near-dup
+    (k-shingle Jaccard >= threshold) of any corpus document.
+
+    Shapes: exact checks are md5 equi-anti-joins (uniform keys, one
+    shuffle each); the near-dup check is a shingle-level equi-join between
+    batch and corpus — bounded by true overlap, never |batch| x |corpus|.
+    At 100 TB put minhash-LSH banding (minhash_band_keys) in front as the
+    candidate filter and keep this as the verifier, exactly like the
+    self-join dedup path; the ingest semantics (anti-join the verified
+    set) are unchanged.
+    """
+    b_hash = batch.withColumn("__h", F.md5(F.col(text_col)))
+    c_hash = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    # (1) exact vs corpus
+    fresh = b_hash.join(c_hash, "__h", "left_anti")
+    # (2) exact within batch: first occurrence (min id) survives
+    w_min = F.min(id_col).over(Window.partitionBy("__h"))
+    fresh = (
+        fresh.withColumn("__keep", F.col(id_col) == w_min)
+        .where("__keep")
+        .drop("__keep", "__h")
+    )
+    # (3) near-dup vs corpus: cross-frame shingle join -> exact Jaccard
+    b_sh = shingle_sets(fresh, k, text_col, id_col)
+    c_sh = shingle_sets(corpus, k, text_col, id_col)
+    b_sizes = b_sh.groupBy(id_col).agg(F.count("*").alias("n_b"))
+    c_sizes = c_sh.groupBy(id_col).agg(F.count("*").alias("n_c"))
+    inter = (
+        b_sh.select(F.col(id_col).alias("b_id"), "shingle")
+        .join(c_sh.select(F.col(id_col).alias("c_id"), "shingle"), "shingle")
+        .groupBy("b_id", "c_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near = (
+        inter.join(b_sizes.select(F.col(id_col).alias("b_id"), "n_b"), "b_id")
+        .join(c_sizes.select(F.col(id_col).alias("c_id"), "n_c"), "c_id")
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_inter"))
+            >= threshold
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(near, id_col, "left_anti")
 
 
 def minhash_signatures(

@@ -428,6 +428,21 @@ def _events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion: odd doc_ids arrive as the new batch, even
+    doc_ids are the existing corpus; keep batch docs that are neither
+    exact nor near (Jaccard>=0.8) duplicates of the corpus (or of an
+    earlier batch doc). See operators/neardup.py::incremental_ingest_dedup."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    return (
+        neardup.incremental_ingest_dedup(batch, existing)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def _daily_orders_vs_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join of two daily aggregates (orders vs events by epoch
     day) — the join type the rest of the surface doesn't exercise. Either
@@ -793,6 +808,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "events_variant_stats": _events_variant_stats,
     "gopher_quality_flags": lambda s, d: text_ops.gopher_quality_flags(_docs(s, d)),
+    "incremental_ingest_dedup": _incremental_ingest_dedup,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

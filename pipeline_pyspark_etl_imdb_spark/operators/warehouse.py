@@ -254,3 +254,63 @@ def heavy_hitters(
         .where(F.col("share") >= min_share)
         .drop("__total")
     )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Count-min sketch as a pure DataFrame aggregate: ``d`` independent
+    hash rows of ``w`` counters — at most d*w output rows regardless of
+    input size or key cardinality (the bounded-memory frequency summary;
+    Cormode & Muthukrishnan 2005, public).
+
+    Declarative construction: each input row explodes into d (seed,
+    bucket) cells (bucket = md5-derived uniform hash of key:seed mod w)
+    and ONE partially-aggregated groupBy counts them — the sketch is
+    mergeable for free because partial aggregation IS the merge. No UDF,
+    no driver state, one shuffle of at most d*w distinct keys.
+    """
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    cells = df.select(F.col(key_col).cast("string").alias("__k")).select(
+        "__k", seeds
+    )
+    cells = cells.withColumn(
+        "__h", F.md5(F.concat("__k", F.lit(":"), F.col("seed").cast("string")))
+    )
+    return (
+        cells.select("seed", (hex_uniform("__h", 4) % w).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: estimate =
+    min over the d rows of the key's bucket counter (an upper bound on
+    the true count, within eps*N with probability 1-delta for
+    w=ceil(e/eps), d=ceil(ln(1/delta))).
+
+    The sketch side is at most d*w rows — broadcast — so estimation is a
+    map-only pass over the key set."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+    probes = (
+        keys.select(F.col(key_col).cast("string").alias("__k"))
+        .distinct()
+        .select("__k", seeds)
+        .withColumn(
+            "__h", F.md5(F.concat("__k", F.lit(":"), F.col("seed").cast("string")))
+        )
+        .select("__k", "seed", (hex_uniform("__h", 4) % w).alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .select(F.col("__k").alias(key_col), F.col("est").cast("bigint"))
+    )

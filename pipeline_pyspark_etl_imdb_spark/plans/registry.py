@@ -428,6 +428,22 @@ def _events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for every user (d=4, w=64 —
+    deliberately small so collisions occur and the estimate is a real
+    upper bound, not a disguised exact count). The sketch is the
+    bounded-memory summary; hash arithmetic is md5-derived so the oracle
+    reproduces it bit-for-bit."""
+    events = _events(spark, sf_dir)
+    sketch = warehouse.cms_sketch(events, "user_id", d=4, w=64)
+    est = warehouse.cms_estimate(
+        sketch, events.select("user_id"), "user_id", d=4, w=64
+    )
+    return est.select(
+        F.col("user_id").cast("bigint").alias("user_id"), "est"
+    ).orderBy("user_id")
+
+
 def _incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion: odd doc_ids arrive as the new batch, even
     doc_ids are the existing corpus; keep batch docs that are neither
@@ -809,6 +825,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_variant_stats": _events_variant_stats,
     "gopher_quality_flags": lambda s, d: text_ops.gopher_quality_flags(_docs(s, d)),
     "incremental_ingest_dedup": _incremental_ingest_dedup,
+    "cms_user_event_counts": _cms_user_event_counts,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -285,3 +285,31 @@ def test_anomaly_zscore_stream_matches_batch(spark, events_batch, tmp_path):
     want = want.sort_values("event_id").reset_index(drop=True)
     assert list(got.event_id) == list(want.event_id)
     assert max(abs(got.z - want.z)) < 1e-9
+
+
+def test_tumbling_kpi_under_rocksdb_state_store(spark, events_batch, tmp_path):
+    # large-state deployments run the RocksDB state store (state spills to
+    # local disk instead of living on the JVM heap); results must be
+    # identical to the default HDFS-backed provider
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+        got = _run(
+            spark,
+            stream_ops.tumbling_kpi_stream(stream),
+            tmp_path,
+            "rocksdb",
+            "complete",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    want = eventtime.tumbling_kpi(events_batch).toPandas()
+    assert not compare_frames(got, want)

@@ -444,6 +444,33 @@ def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order functions (the MapType face of the HOF
+    surface; embedding_vector_stats covers arrays): per-user
+    event_type->count map via map_from_entries, transform_values to
+    shares of the user's total, map_filter to keep dominant types
+    (share >= 0.2), exploded back to scalar rows for hashing. All
+    map ops are builtin expressions inside one aggregation plan."""
+    events = _events(spark, sf_dir)
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    shares = per_user.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(
+                "m", lambda k, v: v.cast("double") / F.col("total")
+            ),
+            lambda k, v: v >= 0.2,
+        ).alias("ms"),
+    )
+    return shares.select(
+        "user_id", F.explode("ms").alias("event_type", "share")
+    ).orderBy("user_id", "event_type")
+
+
 def _incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion: odd doc_ids arrive as the new batch, even
     doc_ids are the existing corpus; keep batch docs that are neither
@@ -826,6 +853,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality_flags": lambda s, d: text_ops.gopher_quality_flags(_docs(s, d)),
     "incremental_ingest_dedup": _incremental_ingest_dedup,
     "cms_user_event_counts": _cms_user_event_counts,
+    "user_type_share_map": _user_type_share_map,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -444,6 +444,27 @@ def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _part_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery over part names: translate, lpad, reverse,
+    ascii, repeat, substring, split+element_at (NULL on short names, 3VL
+    preserved), instr, length — one map-only projection pinning each
+    function's exact semantics against the oracle engine's equivalent."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse(name).alias("name_rev"),
+        F.ascii(name).alias("first_ascii"),
+        F.expr("repeat('*', length(p_name) % 5)").alias("stars"),
+        F.substring(name, 1, 4).alias("prefix4"),
+        F.element_at(F.split(name, " "), 2).alias("second_word"),
+        F.instr(name, "re").cast("int").alias("re_pos"),
+        F.length(name).cast("int").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
 def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed higher-order functions (the MapType face of the HOF
     surface; embedding_vector_stats covers arrays): per-user
@@ -854,6 +875,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_ingest_dedup": _incremental_ingest_dedup,
     "cms_user_event_counts": _cms_user_event_counts,
     "user_type_share_map": _user_type_share_map,
+    "part_string_battery": _part_string_battery,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

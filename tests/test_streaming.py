@@ -313,3 +313,18 @@ def test_tumbling_kpi_under_rocksdb_state_store(spark, events_batch, tmp_path):
             spark.conf.set(key, old)
     want = eventtime.tumbling_kpi(events_batch).toPandas()
     assert not compare_frames(got, want)
+
+
+def test_trending_finalize_plans_window_group_limit(spark):
+    counts = spark.createDataFrame(
+        [(0, "a", 5), (0, "b", 3), (600, "a", 2)],
+        "window_start_s long, event_type string, n_events long",
+    )
+    plan = (
+        stream_ops.trending_topk_finalize(counts, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # rank<=k must optimize to the per-group cut, not a full window sort
+    assert "WindowGroupLimit" in plan

@@ -444,6 +444,36 @@ def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _null_safe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): value
+    buckets are NULL below 100, and purchase/click events join per user
+    on bucket <=> bucket — the NULL<=>NULL matches a plain = would
+    silently drop. Counts pairs per bucket including the NULL bucket."""
+    events = _events(spark, sf_dir)
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.col("value") >= 100, F.floor(F.col("value") / 100).cast("bigint")
+        ).alias("bucket"),
+    )
+    p = base.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("bucket").alias("p_bucket")
+    )
+    c = base.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("bucket").alias("c_bucket")
+    )
+    joined = p.join(
+        c,
+        (p["user_id"] == c["c_user"]) & p["p_bucket"].eqNullSafe(c["c_bucket"]),
+    )
+    return (
+        joined.groupBy("p_bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("p_bucket").asc_nulls_first())
+    )
+
+
 def _part_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function battery over part names: translate, lpad, reverse,
     ascii, repeat, substring, split+element_at (NULL on short names, 3VL
@@ -876,6 +906,7 @@ QUERIES: dict[str, QueryFn] = {
     "cms_user_event_counts": _cms_user_event_counts,
     "user_type_share_map": _user_type_share_map,
     "part_string_battery": _part_string_battery,
+    "null_safe_bucket_join": _null_safe_bucket_join,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

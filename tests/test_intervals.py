@@ -89,3 +89,48 @@ def test_global_hash_sample_plans_take_ordered(spark):
     # shuffle the entire table to rank 100 rows
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_merge_intervals_property_vs_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    iv = st.tuples(
+        st.integers(1, 3),  # key
+        st.integers(0, 50),  # start
+        st.integers(0, 20),  # length
+    )
+
+    def py_merge(rows):
+        out = {}
+        by_key = {}
+        for k, s, ln in rows:
+            by_key.setdefault(k, []).append((s, s + ln))
+        for k, spans in by_key.items():
+            spans.sort()
+            merged = []
+            for s, e in spans:
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            out[k] = merged
+        return {
+            (k, i + 1, s, e)
+            for k, spans in out.items()
+            for i, (s, e) in enumerate(spans)
+        }
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=30))
+    def check(rows):
+        df = spark.createDataFrame(
+            [(k, s, s + ln) for k, s, ln in rows],
+            "user_id long, start_us long, end_us long",
+        )
+        got = {
+            (r.user_id, r.span_idx, r.start_us, r.end_us)
+            for r in merge_intervals(df).collect()
+        }
+        assert got == py_merge(rows)
+
+    check()

@@ -397,6 +397,61 @@ def click_purchase_join_stream(
     )
 
 
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas (the successor stateful API to
+    applyInPandasWithState) speaks protobuf between the JVM state server
+    and the Python stateful-processor worker; without ``google.protobuf``
+    installed the driver worker crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Gate callers on
+    this check — this container has no protobuf, so the engine ships the
+    operator but tests skip it here (same policy as the PIL/ffmpeg codec
+    gates in operators/multimodal.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_tws_stream(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the Spark 4
+    arbitrary-state API (typed ValueState, optional TTL, timers) that
+    supersedes applyInPandasWithState. Semantically identical to
+    user_running_totals_stream; requires the RocksDB state store and a
+    protobuf-capable Python environment (transform_with_state_available).
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle):  # noqa: D102
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: D102
+            n, total = 0, 0.0
+            if self._state.exists():
+                got = self._state.get()
+                n, total = got[0], got[1]
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self):  # noqa: D102
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def trending_counts_stream(
     events: DataFrame, width_s: int = 600, watermark_s: int = 3600
 ) -> DataFrame:

@@ -328,3 +328,45 @@ def test_trending_finalize_plans_window_group_limit(spark):
     )
     # rank<=k must optimize to the per-group cut, not a full window sort
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.skipif(
+    not stream_ops.transform_with_state_available(),
+    reason="google.protobuf absent: transformWithState driver worker "
+    "cannot start in this container (see transform_with_state_available)",
+)
+def test_user_totals_tws_matches_batch(spark, events_batch, tmp_path):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+        got = _run(
+            spark,
+            stream_ops.user_totals_tws_stream(stream),
+            tmp_path,
+            "tws",
+            "update",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = got.groupby("user_id", as_index=False).last()
+    want = (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("user_id").reset_index(drop=True).astype({"user_id": "int64"}),
+        want.sort_values("user_id").reset_index(drop=True).astype({"user_id": "int64"}),
+        check_like=True,
+    )

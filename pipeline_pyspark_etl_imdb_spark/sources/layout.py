@@ -102,3 +102,46 @@ def file_stats_manifest(
         ]
     )
     return wide.select("file", F.explode(rows).alias("s")).select("file", "s.*")
+
+
+def prune_files_by_stats(
+    manifest: DataFrame, col_name: str, lo: float, hi: float
+) -> list[str]:
+    """File paths whose [min, max] range for ``col_name`` intersects
+    [lo, hi] — the planning-time skip decision over a (file-count-sized)
+    manifest. Numeric comparison on the stringified stats; a file is kept
+    when it COULD contain a matching row (min <= hi and max >= lo), so
+    pruning is always sound, never lossy."""
+    rows = (
+        manifest.where(F.col("col_name") == col_name)
+        .where(
+            (F.col("min_value").cast("double") <= hi)
+            & (F.col("max_value").cast("double") >= lo)
+        )
+        .select("file")
+        .collect()
+    )
+    return [r.file for r in rows]
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col_name: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Scan only the files the manifest can't rule out for the range
+    predicate, then re-apply the predicate exactly. With a z-ordered
+    layout the kept file set is a small fraction of the table on ANY of
+    the interleaved columns — this is the read-path half of the
+    OPTIMIZE ZORDER pattern (the write-path half is zorder_layout).
+
+    The collect here is file-count-sized planning metadata (same class of
+    driver work as listing a directory), not data."""
+    files = prune_files_by_stats(manifest, col_name, lo, hi)
+    if not files:
+        raise ValueError("no files survive pruning; predicate selects nothing")
+    return spark.read.parquet(*files).where(
+        (F.col(col_name) >= lo) & (F.col(col_name) <= hi)
+    )

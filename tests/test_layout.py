@@ -69,3 +69,30 @@ def test_zorder_layout_narrows_file_ranges_on_both_columns(spark, tmp_path):
     # z-ordered layout: a point predicate on EITHER column skips most files
     assert _overlap_fraction(zed_m, "x", 512) <= 0.5
     assert _overlap_fraction(zed_m, "y", 512) <= 0.5
+
+
+def test_read_with_skipping_prunes_and_matches_full_scan(spark, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.sources.layout import (
+        prune_files_by_stats,
+        read_with_skipping,
+    )
+
+    df = spark.range(40_000).select(
+        ((F.col("id") * 2654435761) % 1024).alias("x"),
+        ((F.col("id") * 40503) % 1024).alias("y"),
+    )
+    zed = str(tmp_path / "zed_read")
+    zorder_layout(df, ["x", "y"], bits=10, n_files=N_FILES).write.parquet(zed)
+    manifest = file_stats_manifest(spark, zed, ["x", "y"]).persist()
+
+    lo, hi = 100, 140
+    kept = prune_files_by_stats(manifest, "y", lo, hi)
+    assert 0 < len(kept) < N_FILES  # pruning actually skipped files
+
+    got = read_with_skipping(spark, manifest, "y", lo, hi)
+    want = spark.read.parquet(zed).where((F.col("y") >= lo) & (F.col("y") <= hi))
+    assert got.count() == want.count()
+    g = sorted((r.x, r.y) for r in got.collect())
+    w = sorted((r.x, r.y) for r in want.collect())
+    assert g == w
+    manifest.unpersist()

@@ -314,3 +314,41 @@ def cms_estimate(
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .select(F.col("__k").alias(key_col), F.col("est").cast("bigint"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Row-level diff between two table versions keyed by ``keys``:
+    ADDED (key only in new), REMOVED (key only in old), CHANGED (key in
+    both, any non-key column differs — null-safely), UNCHANGED. The
+    audit/regression primitive behind snapshot reconciliation and
+    time-travel comparisons.
+
+    One full-outer join on the key (single co-partitioned shuffle pair);
+    change detection compares md5-of-concatenated non-key columns so
+    arbitrarily wide rows diff with ONE string compare per side and nulls
+    are distinguished from empty strings by a type marker."""
+    non_key = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != non_key:
+        raise ValueError("old/new schemas must match")
+
+    def fp(df: DataFrame) -> Column:
+        parts = []
+        for c in non_key:
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00N"))
+                .otherwise(F.concat(F.lit("\x00V"), F.col(c).cast("string")))
+            )
+        return F.md5(F.concat(*parts)) if parts else F.lit("")
+
+    o = old.select(*keys, fp(old).alias("__old_fp"))
+    n = new.select(*keys, fp(new).alias("__new_fp"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("ADDED"))
+        .when(F.col("__new_fp").isNull(), F.lit("REMOVED"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("CHANGED"))
+        .otherwise(F.lit("UNCHANGED"))
+    )
+    return j.select(*keys, status.alias("status"))

@@ -444,6 +444,20 @@ def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the customer table against its
+    CDC-merged successor (the deterministic change set from
+    merge_upsert_customers) — every key classified ADDED / REMOVED /
+    CHANGED / UNCHANGED in one full-outer join."""
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    merged = _merge_upsert_customers(spark, sf_dir)
+    return warehouse.snapshot_diff(base, merged, keys=["c_custkey"]).orderBy(
+        "c_custkey"
+    )
+
+
 def _null_safe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM): value
     buckets are NULL below 100, and purchase/click events join per user
@@ -907,6 +921,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_type_share_map": _user_type_share_map,
     "part_string_battery": _part_string_battery,
     "null_safe_bucket_join": _null_safe_bucket_join,
+    "customer_snapshot_diff": _customer_snapshot_diff,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

@@ -109,6 +109,29 @@ def write_orc(
     writer.orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, *, row_tag: str = "row", schema: str | None = None
+) -> DataFrame:
+    """XML source (native in Spark 4 — the StaxXML reader): one row per
+    ``row_tag`` element. Pass an explicit DDL ``schema`` in production —
+    schema inference is a full extra pass over the data, exactly like
+    JSON/CSV inference (see read_jsonl's schema-pinning rationale)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, *, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink — for feed-style consumers that require markup. Row-group
+    columnar properties don't apply (XML is a row format with no stats or
+    pushdown); use it at the EDGE of the pipeline, never as an
+    intermediate format."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

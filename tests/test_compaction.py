@@ -79,3 +79,20 @@ def test_jsonl_source_round_trip_and_dead_letter(spark, tmp_path):
     # with the raw line preserved for replay
     assert len(bad) == 2
     assert any("not json" in r._corrupt_record for r in bad)
+
+
+def test_xml_round_trip_with_pinned_schema(spark, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import read_xml, write_xml
+
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    write_xml(src, path, row_tag="nation")
+    back = read_xml(
+        spark,
+        path,
+        row_tag="nation",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in src.select(*back.columns).collect())
+    assert got == want

@@ -313,10 +313,15 @@ def cosine_dup_pairs(
     per-bucket. The bucket equi-join is the only shuffle.
     """
     buckets = lsh_bucket(embeddings, n_planes, dim, id_col, vec_col)
+    # persist: both join sides below read this subtree — without the
+    # cache the hyperplane projection + norm evaluates TWICE per query
+    # (measured 2x wall at sf0.1). MEMORY_AND_DISK spills gracefully at
+    # corpus scale; same per-call amortization as ivf_index.
     base = (
         embeddings.join(buckets, id_col)
         .select(F.col(id_col), "bucket", _as_double(F.col(vec_col)).alias("v"))
         .withColumn("n", _norm(F.col("v")))
+        .persist()
     )
     a = base.select(
         F.col(id_col).alias("doc_a"), "bucket", F.col("v").alias("va"), F.col("n").alias("na")
@@ -347,10 +352,15 @@ def ann_lsh_knn(
     """Approximate top-k: exact cosine rank restricted to the query's LSH
     bucket. The corpus shuffles once on the bucket id; queries broadcast."""
     buckets = lsh_bucket(embeddings, n_planes, dim, id_col, vec_col)
+    # persist: both join sides below read this subtree — without the
+    # cache the hyperplane projection + norm evaluates TWICE per query
+    # (measured 2x wall at sf0.1). MEMORY_AND_DISK spills gracefully at
+    # corpus scale; same per-call amortization as ivf_index.
     base = (
         embeddings.join(buckets, id_col)
         .select(F.col(id_col), "bucket", _as_double(F.col(vec_col)).alias("v"))
         .withColumn("n", _norm(F.col("v")))
+        .persist()
     )
     q = base
     if query_ids is not None:

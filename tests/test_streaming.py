@@ -370,3 +370,92 @@ def test_user_totals_tws_matches_batch(spark, events_batch, tmp_path):
         want.sort_values("user_id").reset_index(drop=True).astype({"user_id": "int64"}),
         check_like=True,
     )
+
+
+def test_stateful_operator_state_survives_restart(spark, events_batch, tmp_path):
+    """Kill-and-restart WITH new data: run the stateful running-totals
+    operator over half the events, stop, deliver the other half, restart
+    from the same checkpoint — the final per-user state must equal the
+    batch aggregate over ALL events. This is the guarantee a 1000-executor
+    continuous job leans on: state lives in the checkpoint, not the
+    process."""
+    import shutil
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_state_recovery")
+
+    half_a = events_batch.where(F.col("event_id") % 2 == 0)
+    half_b = events_batch.where(F.col("event_id") % 2 == 1)
+
+    def deliver(df, name):
+        # land a single flat parquet file in the watched directory (the
+        # file source lists the dir non-recursively)
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src_dir / f"{name}.parquet"))
+
+    deliver(half_a, "batch_a")
+
+    schema = events_batch.schema
+
+    def run_once():
+        # memory sink can't recover a checkpoint; foreachBatch can — and
+        # it's the production sink shape for stateful update streams
+        chunks = []
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src_dir))
+        )
+        out = stream_ops.user_running_totals_stream(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: chunks.append(df.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import pandas as pd
+
+        return (
+            pd.concat(chunks)
+            if chunks
+            else pd.DataFrame(columns=["user_id", "n_events", "total_value"])
+        )
+
+    first = run_once()
+    assert len(first) > 0
+
+    # process dies; more data lands; a NEW query restarts from checkpoint
+    deliver(half_b, "batch_b")
+    second = run_once()
+    assert len(second) > 0  # only batch_b users re-emitted, with carried state
+
+    # merge: latest row per user across both runs is the final state
+    import pandas as pd
+
+    final = (
+        pd.concat([first, second])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    want = (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        final.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "n_events", "total_value"]
+        ],
+        want.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "n_events", "total_value"]
+        ],
+        check_dtype=False,
+    )

@@ -444,6 +444,17 @@ def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means cluster assignments over the embedding corpus
+    (SemDeDup-style semantic grouping). Float-mean summation order is
+    engine-specific, so exposure is rows-only; values are gated against
+    an independent NumPy Lloyd's run in tests/test_kmeans.py."""
+    from pipeline_pyspark_etl_imdb_spark.operators.kmeans import lloyd_kmeans
+
+    assigned, _ = lloyd_kmeans(_emb(spark, sf_dir), k=16, n_iter=4)
+    return assigned.select("vec_id", "cluster").orderBy("vec_id")
+
+
 def _customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: diff the customer table against its
     CDC-merged successor (the deterministic change set from
@@ -922,6 +933,7 @@ QUERIES: dict[str, QueryFn] = {
     "part_string_battery": _part_string_battery,
     "null_safe_bucket_join": _null_safe_bucket_join,
     "customer_snapshot_diff": _customer_snapshot_diff,
+    "embedding_kmeans": _embedding_kmeans,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
@@ -1016,4 +1028,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "distinct_users_sketch",
     "doc_classifier_scores",
     "supplier_pagerank",
+    "embedding_kmeans",
 )

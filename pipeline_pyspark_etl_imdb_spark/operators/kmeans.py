@@ -89,11 +89,18 @@ def lloyd_kmeans(
         scored = emb.crossJoin(F.broadcast(cents)).select(
             id_col, "cluster", _sq_dist(F.col("v"), F.col("centroid")).alias("d")
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cluster").asc())
+        # argmin as ONE partial-aggregated struct-min (lexicographic on
+        # (d, cluster) = min distance, ties to the lower cluster id) —
+        # the map-side combine collapses the k candidates per id before
+        # the shuffle; a row_number window here would sort every id group
         return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(id_col, "cluster", F.col("d").alias("sq_dist"))
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct("d", "cluster")).alias("__s"))
+            .select(
+                id_col,
+                F.col("__s.cluster").alias("cluster"),
+                F.col("__s.d").alias("sq_dist"),
+            )
         )
 
     for _ in range(n_iter):

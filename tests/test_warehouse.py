@@ -185,3 +185,46 @@ def test_sketch_rollup_merge_is_lossless_and_bounded(spark):
         # finalizes through a different register path — but the error
         # bound is the same)
         assert abs(approx - exact[k]) / exact[k] < 0.05
+
+
+def test_snapshot_diff_property_vs_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import snapshot_diff
+
+    row = st.tuples(
+        st.integers(0, 9),  # key
+        st.one_of(st.none(), st.sampled_from(["a", "b", ""])),  # v1 (incl NULL/empty)
+        st.integers(0, 3),  # v2
+    )
+
+    def py_diff(old_rows, new_rows):
+        old = {k: (v1, v2) for k, v1, v2 in old_rows}
+        new = {k: (v1, v2) for k, v1, v2 in new_rows}
+        out = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                out[k] = "ADDED"
+            elif k not in new:
+                out[k] = "REMOVED"
+            elif old[k] != new[k]:
+                out[k] = "CHANGED"
+            else:
+                out[k] = "UNCHANGED"
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(row, max_size=10, unique_by=lambda r: r[0]),
+        st.lists(row, max_size=10, unique_by=lambda r: r[0]),
+    )
+    def check(old_rows, new_rows):
+        schema = "k long, v1 string, v2 long"
+        old_df = spark.createDataFrame(old_rows, schema)
+        new_df = spark.createDataFrame(new_rows, schema)
+        got = {
+            r.k: r.status for r in snapshot_diff(old_df, new_df, keys=["k"]).collect()
+        }
+        assert got == py_diff(old_rows, new_rows)
+
+    check()

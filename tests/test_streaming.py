@@ -459,3 +459,72 @@ def test_stateful_operator_state_survives_restart(spark, events_batch, tmp_path)
         ],
         check_dtype=False,
     )
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The late-data contract: once the watermark passes a window's end,
+    the window finalizes and emits (append mode); a late event for it in
+    a LATER trigger is dropped — the emitted row never updates. Three
+    files, one per trigger (maxFilesPerTrigger=1), staggered mtimes."""
+    import os
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+
+    def deliver(rows, name, mtime):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dest = src / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    t0 = 1_700_000_000  # window [t0, t0+600)
+    base = _time.time() - 100
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime.utcfromtimestamp(sec)
+
+    import pandas as pd
+
+    chunks = []
+
+    def run_once():
+        # separate availableNow runs against ONE checkpoint guarantee the
+        # ordering (watermark persists in the checkpoint between runs)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        out = stream_ops.tumbling_kpi_stream(stream, width_s=600, watermark_s=3600)
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: chunks.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two on-time events, plus an event 2h later that advances the
+    # watermark (1h) past the window's end
+    deliver(
+        [(1, ts(t0 + 10), 1, "click", 1.0, "{}"), (2, ts(t0 + 20), 1, "click", 1.0, "{}")],
+        "a",
+        base,
+    )
+    deliver([(3, ts(t0 + 7200), 2, "view", 1.0, "{}")], "b", base + 5)
+    run_once()
+    # run 2: a LATE event for the now-finalized window -> must be dropped
+    deliver([(4, ts(t0 + 30), 1, "click", 1.0, "{}")], "c", base + 10)
+    run_once()
+
+    got = pd.concat([c for c in chunks if len(c)], ignore_index=True)
+    window_rows = got[got["window_start_s"] == (t0 // 600) * 600]
+    assert len(window_rows) == 1  # finalized exactly once, never re-emitted
+    assert int(window_rows.iloc[0]["n_events"]) == 2  # late event dropped

@@ -455,6 +455,27 @@ def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cluster").orderBy("vec_id")
 
 
+def _pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators — the linear FROM-first
+    form): filter -> aggregate -> order as a pipeline. Same Catalyst plan
+    as the nested SELECT; covers the modern SQL entry point alongside
+    spark.sql classic (sql_segment_leaders)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
 def _customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: diff the customer table against its
     CDC-merged successor (the deterministic change set from
@@ -934,6 +955,7 @@ QUERIES: dict[str, QueryFn] = {
     "null_safe_bucket_join": _null_safe_bucket_join,
     "customer_snapshot_diff": _customer_snapshot_diff,
     "embedding_kmeans": _embedding_kmeans,
+    "pipe_priority_revenue": _pipe_priority_revenue,
     # --- similarity search (index parameters became scale-aware this
     #     round — re-verify ahead of the unchanged families)
     "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),

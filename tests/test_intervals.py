@@ -134,3 +134,15 @@ def test_merge_intervals_property_vs_python_reference(spark):
         assert got == py_merge(rows)
 
     check()
+
+
+def test_weighted_hash_sample_plans_take_ordered(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = (
+        corpus.weighted_hash_sample(docs, k=100, weight_col="n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

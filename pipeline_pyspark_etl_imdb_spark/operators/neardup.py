@@ -105,6 +105,7 @@ def incremental_ingest_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidate_source: str = "exact",
 ) -> DataFrame:
     """Incremental corpus ingestion: keep only batch documents that are
     (1) not byte-identical to any corpus document, (2) not byte-identical
@@ -114,11 +115,16 @@ def incremental_ingest_dedup(
     Shapes: exact checks are md5 equi-anti-joins (uniform keys, one
     shuffle each); the near-dup check is a shingle-level equi-join between
     batch and corpus — bounded by true overlap, never |batch| x |corpus|.
-    At 100 TB put minhash-LSH banding (minhash_band_keys) in front as the
-    candidate filter and keep this as the verifier, exactly like the
-    self-join dedup path; the ingest semantics (anti-join the verified
-    set) are unchanged.
+
+    ``candidate_source``: "exact" (default — every shingle-sharing pair
+    is Jaccard-verified; what the oracle replicates) or "lsh" — minhash
+    band keys generate cross-set candidates first and ONLY those pairs
+    are shingle-verified; the 100 TB path. LSH recall < 1 means it can
+    only MISS near-dups, so its kept set is always a superset of the
+    exact path's (gated in tests/test_ingest_dedup.py).
     """
+    if candidate_source not in ("exact", "lsh"):
+        raise ValueError(f"unknown candidate_source: {candidate_source!r}")
     b_hash = batch.withColumn("__h", F.md5(F.col(text_col)))
     c_hash = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
     # (1) exact vs corpus
@@ -131,8 +137,37 @@ def incremental_ingest_dedup(
         .drop("__keep", "__h")
     )
     # (3) near-dup vs corpus: cross-frame shingle join -> exact Jaccard
-    b_sh = shingle_sets(fresh, k, text_col, id_col)
-    c_sh = shingle_sets(corpus, k, text_col, id_col)
+    b_side, c_side = fresh, corpus
+    cand = None
+    if candidate_source == "lsh":
+        b_bands = minhash_band_keys(
+            minhash_signatures(fresh, k=k, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        )
+        c_bands = minhash_band_keys(
+            minhash_signatures(corpus, k=k, text_col=text_col, id_col=id_col),
+            id_col=id_col,
+        )
+        cand = (
+            b_bands.select(F.col(id_col).alias("b_id"), "band_id", "band_val")
+            .join(
+                c_bands.select(F.col(id_col).alias("c_id"), "band_id", "band_val"),
+                ["band_id", "band_val"],
+            )
+            .select("b_id", "c_id")
+            .distinct()
+            .persist()
+        )
+        # shingle-verify ONLY candidate docs — at scale this shrinks the
+        # verification join from the corpus to the banded survivors
+        b_side = fresh.join(
+            cand.select(F.col("b_id").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        c_side = corpus.join(
+            cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+    b_sh = shingle_sets(b_side, k, text_col, id_col)
+    c_sh = shingle_sets(c_side, k, text_col, id_col)
     b_sizes = b_sh.groupBy(id_col).agg(F.count("*").alias("n_b"))
     c_sizes = c_sh.groupBy(id_col).agg(F.count("*").alias("n_c"))
     inter = (
@@ -141,6 +176,8 @@ def incremental_ingest_dedup(
         .groupBy("b_id", "c_id")
         .agg(F.count("*").alias("n_inter"))
     )
+    if cand is not None:
+        inter = inter.join(cand, ["b_id", "c_id"], "left_semi")
     near = (
         inter.join(b_sizes.select(F.col(id_col).alias("b_id"), "n_b"), "b_id")
         .join(c_sizes.select(F.col(id_col).alias("c_id"), "n_c"), "c_id")

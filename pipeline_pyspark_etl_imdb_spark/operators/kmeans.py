@@ -11,14 +11,15 @@ hash-pick variant; this is the same physical shape iterated).
 Physical shape per iteration (the one that survives 100 TB):
 - assignment: corpus x BROADCAST(k centroids) -> per-row argmin — map
   only, nothing shuffles but the k-row centroid table;
-- update: posexplode the assigned vectors to (cluster, dim, value) and
-  partial-aggregated groupBy mean — one shuffle of k*dim result rows
-  (the n*dim explode combines map-side);
+- update: ONE partial-aggregated groupBy(cluster) with a per-dimension
+  sum battery (element_at, map-side combine) — the shuffle carries k
+  rows x (dim+1) columns, nothing corpus-sized moves and there is no
+  (cluster, dim) posexplode shuffle;
 - the k x dim centroid frame localCheckpoints each round so the plan
   stays O(1), exactly like the CC/PageRank loops.
 
-Determinism: init is the same md5-stride pick as ivf_index (no RNG); the
-only nondeterminism is float-mean summation order (last-ulp), so the
+Determinism: init is an md5-ordered top-k pick (no RNG); the only
+nondeterminism is float-mean summation order (last-ulp), so the
 registry exposure is rows-only and tests/test_kmeans.py pins assignments
 and centroids against an independent NumPy Lloyd's run from the same
 init instead.
@@ -29,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
 from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
 
 
@@ -41,31 +41,38 @@ def _sq_dist(a, b):
     )
 
 
-def stride_init_centroids(
+def seed_centroids(
     embeddings: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic seed centroids: corpus vectors whose md5-uniform
-    value is 0 mod stride, renumbered by id order (k small -> the window
-    runs over ~k rows, not the corpus)."""
-    n = embeddings.select(F.col(id_col)).count()
-    stride = max(n // k, 1)
-    # 8 hex chars (32-bit range) so stride can exceed 2^16 on huge corpora
+    """Deterministic seed centroids: the min(n, k) corpus vectors with the
+    smallest md5(id || ':kmeans') values, renumbered 0..k-1 in id order.
+
+    orderBy + limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a driver-side merge of k rows, no global sort, no Exchange
+    of the corpus (same shape as corpus.global_hash_sample). Guarantees
+    EXACTLY min(n, k) seeds; the previous mod-stride filter made the
+    survivor count a Binomial draw with mean ~k, which silently under-
+    seeded on roughly half of possible corpora. The renumbering window is
+    partition-less but sees only the k survivors."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":kmeans")))
-    picked = embeddings.withColumn("__h", h).where(
-        (hex_uniform("__h", 8) % stride) == 0
+    picked = (
+        embeddings.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
     )
-    # deterministic cut to exactly k: rank by id over the ~k survivors
-    # (the stride filter already shrank the frame, so this partition-less
-    # window sees ~k rows, not the corpus)
     w = Window.orderBy(F.col(id_col).asc())
     return (
         picked.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
         .select(
             (F.col("__rn") - 1).alias("cluster"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
         )
     )
+
+
+# backward-compatible alias (the guaranteed-count pick replaced the
+# binomial mod-stride pick; same signature and output contract)
+stride_init_centroids = seed_centroids
 
 
 def lloyd_kmeans(
@@ -83,40 +90,46 @@ def lloyd_kmeans(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
-    centroids = stride_init_centroids(embeddings, k, id_col, vec_col)
+    centroids = seed_centroids(embeddings, k, id_col, vec_col)
+    # one driver-side scalar (first-row probe) fixes the width of the
+    # per-dimension sum battery below
+    dim = emb.select(F.size("v").alias("d")).first().d
 
-    def assign(cents: DataFrame) -> DataFrame:
+    def assign(cents: DataFrame, with_v: bool = False) -> DataFrame:
         scored = emb.crossJoin(F.broadcast(cents)).select(
-            id_col, "cluster", _sq_dist(F.col("v"), F.col("centroid")).alias("d")
+            id_col, "v", "cluster", _sq_dist(F.col("v"), F.col("centroid")).alias("d")
         )
         # argmin as ONE partial-aggregated struct-min (lexicographic on
         # (d, cluster) = min distance, ties to the lower cluster id) —
         # the map-side combine collapses the k candidates per id before
-        # the shuffle; a row_number window here would sort every id group
-        return (
-            scored.groupBy(id_col)
-            .agg(F.min(F.struct("d", "cluster")).alias("__s"))
-            .select(
-                id_col,
-                F.col("__s.cluster").alias("cluster"),
-                F.col("__s.d").alias("sq_dist"),
-            )
-        )
+        # the shuffle; a row_number window here would sort every id group.
+        # with_v carries the vector through the same aggregate (constant
+        # within the id group) so the update loop needs NO second join
+        # against emb.
+        aggs = [F.min(F.struct("d", "cluster")).alias("__s")]
+        if with_v:
+            aggs.append(F.any_value("v").alias("v"))
+        cols = [
+            F.col(id_col),
+            F.col("__s.cluster").alias("cluster"),
+            F.col("__s.d").alias("sq_dist"),
+        ] + ([F.col("v")] if with_v else [])
+        return scored.groupBy(id_col).agg(*aggs).select(*cols)
 
+    # centroid means as a per-dimension sum battery: one partial-aggregated
+    # groupBy(cluster) whose shuffle carries k rows x (dim+1) columns —
+    # replaces the (cluster, dim) posexplode shuffle of n*dim rows
+    sum_cols = [F.sum(F.element_at("v", i + 1)).alias(f"__s{i}") for i in range(dim)]
     for _ in range(n_iter):
-        assigned = assign(centroids).join(emb, id_col)
+        assigned = assign(centroids, with_v=True)
         new_cents = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("__dm")
-            )
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("__n"), *sum_cols)
             .select(
-                "cluster", F.transform("__dm", lambda s: s["m"]).alias("centroid")
+                "cluster",
+                F.array(
+                    *[F.col(f"__s{i}") / F.col("__n") for i in range(dim)]
+                ).alias("centroid"),
             )
         )
         # clusters that lost every member keep their previous centroid

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.text import tokens, word_shingles
-from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
+from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out, tracked_persist
 
 
 def exact_dup_groups(
@@ -55,23 +55,59 @@ def shingle_sets(
     )
 
 
+def df_capped_shingles(
+    sh: DataFrame, max_shingle_df: int, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_shingle_df``
+    (the MassiveText/C4 boilerplate guard). A shingle shared by f docs
+    contributes f^2 rows to any shingle self-join, so one boilerplate
+    shingle in 10^6 docs alone yields 10^12 candidate rows; capping df
+    bounds the join output by cap * |shingle rows| — linear, not
+    quadratic. One shuffle (count over the shingle partition); the
+    downstream equi-join reuses the same hash partitioning."""
+    w = Window.partitionBy(shingle_col)
+    return (
+        sh.withColumn("__df", F.count("*").over(w))
+        .where(F.col("__df") <= max_shingle_df)
+        .drop("__df")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above a threshold.
 
     Shingle-level self-join: only documents sharing at least one shingle
-    ever meet, so the join output is bounded by true overlap, not n^2.
+    ever meet, so the join output is bounded by true overlap, not n^2 —
+    EXCEPT for boilerplate shingles shared by huge document populations,
+    whose f^2 blowup is the classic dedup scale-killer. ``max_shingle_df``
+    removes those before the join (df_capped_shingles); the Jaccard is
+    then computed consistently over the capped shingle universe (sizes
+    AND intersections), i.e. similarity over *discriminative* shingles.
+    At the fixture scales the observed max df is 25, so the default cap
+    of 1000 never binds there and the capped result equals the uncapped
+    one; the DuckDB oracle encodes the same cap.
+
     At 100 TB this is still the verifier stage — run it after LSH
     candidate generation (minhash_candidate_pairs), not on the full corpus.
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) with exact integer counts; the only
     float op is one final division.
     """
     sh = shingle_sets(docs, k, text_col, id_col)
+    if max_shingle_df is not None:
+        # persist the capped rows: FOUR consumers (a-side, b-side, two size
+        # frames) read this subtree, and Spark does not reuse exchanges
+        # across the aliased copies — without the cache the shingle
+        # explode + df window would run four times per query (measured on
+        # the executed plan). MEMORY_AND_DISK spills gracefully at corpus
+        # scale; released by the harness via util.release_tracked().
+        sh = tracked_persist(df_capped_shingles(sh, max_shingle_df))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -105,7 +141,7 @@ def incremental_ingest_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    candidate_source: str = "exact",
+    candidate_source: str = "lsh",
 ) -> DataFrame:
     """Incremental corpus ingestion: keep only batch documents that are
     (1) not byte-identical to any corpus document, (2) not byte-identical
@@ -116,12 +152,14 @@ def incremental_ingest_dedup(
     shuffle each); the near-dup check is a shingle-level equi-join between
     batch and corpus — bounded by true overlap, never |batch| x |corpus|.
 
-    ``candidate_source``: "exact" (default — every shingle-sharing pair
-    is Jaccard-verified; what the oracle replicates) or "lsh" — minhash
-    band keys generate cross-set candidates first and ONLY those pairs
-    are shingle-verified; the 100 TB path. LSH recall < 1 means it can
-    only MISS near-dups, so its kept set is always a superset of the
-    exact path's (gated in tests/test_ingest_dedup.py).
+    ``candidate_source``: "lsh" (default — minhash band keys generate
+    cross-set candidates first and ONLY those pairs are shingle-verified;
+    the 100 TB path, because the raw cross-set shingle join inherits the
+    hot-shingle f^2 blowup) or "exact" — every shingle-sharing pair is
+    Jaccard-verified; what the oracle registry query replicates. LSH
+    recall < 1 means it can only MISS near-dups, so its kept set is
+    always a superset of the exact path's (gated in
+    tests/test_ingest_dedup.py).
     """
     if candidate_source not in ("exact", "lsh"):
         raise ValueError(f"unknown candidate_source: {candidate_source!r}")
@@ -156,8 +194,8 @@ def incremental_ingest_dedup(
             )
             .select("b_id", "c_id")
             .distinct()
-            .persist()
         )
+        cand = tracked_persist(cand)
         # shingle-verify ONLY candidate docs — at scale this shrinks the
         # verification join from the corpus to the banded survivors
         b_side = fresh.join(

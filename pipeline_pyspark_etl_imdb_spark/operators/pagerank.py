@@ -16,17 +16,33 @@ Physical shape per iteration (the only one that survives 100 TB):
   broadcast by Catalyst), not a per-node join.
 
 ``localCheckpoint`` truncates lineage each round so round N's plan stays
-O(1) (the CC loop established the pattern). A fixed iteration count
-(no float convergence test) keeps the result deterministic per engine;
-float summation order still varies across engines, so registry exposure
-is rows-only — tests/test_pagerank.py bounds the values against an
-independent NumPy power iteration instead.
+O(1) (the CC loop established the pattern). By default the iteration
+count is fixed (no float convergence test), which keeps the result
+deterministic per engine; float summation order still varies across
+engines, so registry exposure is rows-only — tests/test_pagerank.py
+bounds the values against an independent NumPy power iteration instead.
+
+``tol`` adds an early exit: stop once max |Δrank| < tol (one extra
+small-frame join + scalar agg per round). The exit is deterministic for
+a given engine — the NumPy gate applies the identical rule — and only
+ambiguous if a round's delta lands within float-noise of tol itself
+(geometric convergence makes that measure-zero in practice). NOTE,
+measured: the sf0.1 customer→supplier fixture graph contracts at ratio
+~0.80/round (Δ after round 10 is 1.1e-4, still above the uniform rank
+1/n = 6.3e-5), so NO useful tol exits before 10 rounds there — the
+fixture query deliberately keeps the fixed count; tol is for graphs
+that do converge fast (cycles/stars reach their fixpoint in a few
+rounds, see tests/test_pagerank.py::test_pagerank_tol_early_exit).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# rounds actually executed by the most recent pagerank() call — lets
+# tests assert the tol early-exit fired without changing the return type
+last_n_rounds: int = 0
 
 
 def pagerank(
@@ -36,6 +52,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     n_iter: int = 10,
+    tol: float | None = None,
     broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power iterations with
@@ -83,6 +100,8 @@ def pagerank(
     edges_deg.count()  # materialize once, outside the loop
     bcast = n <= broadcast_max_nodes
 
+    global last_n_rounds
+    last_n_rounds = 0
     ranks = nodes.select("node", "dang", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         r_src = ranks.select(F.col("node").alias("src"), "rank")
@@ -119,11 +138,28 @@ def pagerank(
         )
         old = ranks
         ranks = new_ranks.localCheckpoint(eager=True)
+        last_n_rounds += 1
+        converged = False
+        if tol is not None:
+            # both frames are checkpointed node-keyed rows (n small vs
+            # edges); one broadcast-able join + scalar max per round
+            o_side = old.select("node", F.col("rank").alias("__old"))
+            if bcast:
+                o_side = F.broadcast(o_side)
+            delta = (
+                ranks.join(o_side, "node")
+                .agg(F.max(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
+                .first()
+                .d
+            )
+            converged = delta is not None and delta < tol
         if old is not nodes:
             try:
                 old.unpersist()
             except Exception:
                 pass
+        if converged:
+            break
     edges_deg.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank")

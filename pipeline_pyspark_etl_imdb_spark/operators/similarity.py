@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
-from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
+from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out, tracked_persist
 
 
 def scaled_n_planes(
@@ -261,8 +261,8 @@ def ann_ivf_knn(
     # both the query and corpus sides reference the index subtrees; persist
     # so the argmin pass over the corpus runs once per build, not per branch
     # (small tables: ~c and ~n*2 narrow rows; evicted by LRU when cold)
-    centroids = centroids.persist()
-    assignments = assignments.persist()
+    centroids = tracked_persist(centroids)
+    assignments = tracked_persist(assignments)
     base = (
         embeddings.join(assignments, id_col)
         .select(F.col(id_col), "centroid_id", _as_double(F.col(vec_col)).alias("v"))
@@ -321,8 +321,8 @@ def cosine_dup_pairs(
         embeddings.join(buckets, id_col)
         .select(F.col(id_col), "bucket", _as_double(F.col(vec_col)).alias("v"))
         .withColumn("n", _norm(F.col("v")))
-        .persist()
     )
+    base = tracked_persist(base)
     a = base.select(
         F.col(id_col).alias("doc_a"), "bucket", F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -360,8 +360,8 @@ def ann_lsh_knn(
         embeddings.join(buckets, id_col)
         .select(F.col(id_col), "bucket", _as_double(F.col(vec_col)).alias("v"))
         .withColumn("n", _norm(F.col("v")))
-        .persist()
     )
+    base = tracked_persist(base)
     q = base
     if query_ids is not None:
         q = base.where(F.col(id_col).isin(list(query_ids)))
@@ -515,8 +515,8 @@ def ann_pq_knn(
     codewords, codes = pq_index(embeddings, m, n_codes, dim, id_col, vec_col)
     # both the LUT (query side) and the scoring join reference the code
     # subtrees; persist so encode runs once per call, not per branch
-    codewords = codewords.persist()
-    codes = codes.persist()
+    codewords = tracked_persist(codewords)
+    codes = tracked_persist(codes)
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("n", _norm(F.col("v")))

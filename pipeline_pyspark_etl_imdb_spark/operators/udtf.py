@@ -27,7 +27,7 @@ from pyspark.sql.functions import udtf
 _WS = re.compile(r"\s+")
 
 
-@udtf(returnType="seg_idx int, n_tokens int, segment string")
+@udtf(returnType="seg_idx int, n_tokens int, segment string", useArrow=True)
 class SegmentText:
     """Explode a document into consecutive ``max_tokens``-word segments.
 
@@ -51,12 +51,17 @@ def segment_documents(
     """(doc_id, seg_idx, n_tokens, segment) via the UDTF + LATERAL join.
 
     Map-only: the UDTF runs inside the scan stage (no shuffle); Arrow
-    batching is enabled for the Python transfer.
-    """
+    batching is pinned at the UDTF itself (``useArrow=True`` on the
+    decorator) so NO session conf is mutated as a side effect. The
+    temp-view name is derived from md5 of the column names, so it is
+    stable across processes (Python's randomized hash() is not) and
+    distinct per column pair."""
+    import hashlib
+
     spark: SparkSession = docs.sparkSession
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("segment_text", SegmentText)
-    view = f"__udtf_docs_{abs(hash((text_col, id_col))) % 10_000}"
+    tag = hashlib.md5(f"{text_col}:{id_col}".encode()).hexdigest()[:8]
+    view = f"__udtf_docs_{tag}"
     docs.select(id_col, text_col).createOrReplaceTempView(view)
     return spark.sql(
         f"""

@@ -4,6 +4,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Persisted subtrees registered by operators (ANN indexes, LSH bases,
+# candidate sets). A query result is lazy, so the operator itself can't
+# unpersist before the consumer materializes; harnesses (bench.py, the
+# oracle test suite) call release_tracked() after each materialization so
+# cached index state never leaks into the next query's memory budget.
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for deterministic release via release_tracked()."""
+    _TRACKED.append(df.persist())
+    return df
+
+
+def release_tracked() -> None:
+    """Unpersist every tracked frame (idempotent, exception-safe)."""
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input is under-parallelized.

@@ -326,9 +326,13 @@ def snapshot_diff(
     time-travel comparisons.
 
     One full-outer join on the key (single co-partitioned shuffle pair);
-    change detection compares md5-of-concatenated non-key columns so
-    arbitrarily wide rows diff with ONE string compare per side and nulls
-    are distinguished from empty strings by a type marker."""
+    change detection compares md5-of-per-column-digests so arbitrarily
+    wide rows diff with ONE string compare per side. Each non-null value
+    contributes its own fixed-width md5 digest (32 hex chars) and NULL
+    contributes the single marker 'N' — 'N' is not a hex character, so
+    the concatenation is a prefix-free encoding: no value content can
+    shift across column boundaries (a '\\x00V'-sentinel concat scheme
+    could collide on values containing the sentinel)."""
     non_key = [c for c in old.columns if c not in keys]
     if [c for c in new.columns if c not in keys] != non_key:
         raise ValueError("old/new schemas must match")
@@ -337,8 +341,8 @@ def snapshot_diff(
         parts = []
         for c in non_key:
             parts.append(
-                F.when(F.col(c).isNull(), F.lit("\x00N"))
-                .otherwise(F.concat(F.lit("\x00V"), F.col(c).cast("string")))
+                F.when(F.col(c).isNull(), F.lit("N"))
+                .otherwise(F.md5(F.col(c).cast("string")))
             )
         return F.md5(F.concat(*parts)) if parts else F.lit("")
 

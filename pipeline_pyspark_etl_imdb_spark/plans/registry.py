@@ -576,8 +576,12 @@ def _incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     existing = docs.where(F.col("doc_id") % 2 == 0)
+    # candidate_source="exact" pinned: this is the oracle-replicable path
+    # (the SQL mirrors the full cross-set shingle join). The operator's
+    # DEFAULT is "lsh" — the 100 TB path — superset-gated against this
+    # exact path in tests/test_ingest_dedup.py.
     return (
-        neardup.incremental_ingest_dedup(batch, existing)
+        neardup.incremental_ingest_dedup(batch, existing, candidate_source="exact")
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )

@@ -138,10 +138,20 @@ def read_with_skipping(
     OPTIMIZE ZORDER pattern (the write-path half is zorder_layout).
 
     The collect here is file-count-sized planning metadata (same class of
-    driver work as listing a directory), not data."""
+    driver work as listing a directory), not data.
+
+    When NO file survives pruning the predicate provably selects nothing;
+    that is a valid (empty) answer, so the scan short-circuits to an
+    empty DataFrame with the table's schema — derived by scanning one
+    manifest file's footer with a WHERE false that never reads row data —
+    instead of raising (every other operator returns empty frames for
+    empty selections)."""
     files = prune_files_by_stats(manifest, col_name, lo, hi)
     if not files:
-        raise ValueError("no files survive pruning; predicate selects nothing")
+        any_file = manifest.select("file").limit(1).collect()
+        if not any_file:
+            raise ValueError("empty manifest: no files to derive a schema from")
+        return spark.read.parquet(any_file[0].file).where(F.lit(False))
     return spark.read.parquet(*files).where(
         (F.col(col_name) >= lo) & (F.col(col_name) <= hi)
     )

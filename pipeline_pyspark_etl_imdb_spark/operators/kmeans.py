@@ -75,6 +75,27 @@ def seed_centroids(
 stride_init_centroids = seed_centroids
 
 
+def centroid_update(assigned: DataFrame, dim: int) -> DataFrame:
+    """Per-cluster centroid means as ONE partial-aggregated groupBy whose
+    shuffle carries k rows x (dim+1) columns: a per-dimension sum battery
+    over element_at plus a count, divided back into an array. No
+    (cluster, dim) posexplode — the explode shape shuffles n*dim rows and
+    adds a second aggregation; this shape's map-side combine collapses
+    everything to k rows per partition before the wire (plan-gated in
+    tests/test_kmeans.py)."""
+    sum_cols = [F.sum(F.element_at("v", i + 1)).alias(f"__s{i}") for i in range(dim)]
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("__n"), *sum_cols)
+        .select(
+            "cluster",
+            F.array(*[F.col(f"__s{i}") / F.col("__n") for i in range(dim)]).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
 def lloyd_kmeans(
     embeddings: DataFrame,
     k: int = 16,
@@ -116,22 +137,9 @@ def lloyd_kmeans(
         ] + ([F.col("v")] if with_v else [])
         return scored.groupBy(id_col).agg(*aggs).select(*cols)
 
-    # centroid means as a per-dimension sum battery: one partial-aggregated
-    # groupBy(cluster) whose shuffle carries k rows x (dim+1) columns —
-    # replaces the (cluster, dim) posexplode shuffle of n*dim rows
-    sum_cols = [F.sum(F.element_at("v", i + 1)).alias(f"__s{i}") for i in range(dim)]
     for _ in range(n_iter):
         assigned = assign(centroids, with_v=True)
-        new_cents = (
-            assigned.groupBy("cluster")
-            .agg(F.count("*").alias("__n"), *sum_cols)
-            .select(
-                "cluster",
-                F.array(
-                    *[F.col(f"__s{i}") / F.col("__n") for i in range(dim)]
-                ).alias("centroid"),
-            )
-        )
+        new_cents = centroid_update(assigned, dim)
         # clusters that lost every member keep their previous centroid
         centroids = (
             centroids.select("cluster", F.col("centroid").alias("__old"))

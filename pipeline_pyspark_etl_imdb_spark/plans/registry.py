@@ -812,6 +812,40 @@ def _supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality observability as a first-class query: per-query
+    recall@5 of the LSH-ANN path against the exact brute-force ranking.
+    Both sides are deterministic (decimal bucket assignment, stable rank
+    tie-breaks), so the recall table itself hash-matches the oracle —
+    the pattern for continuously monitoring index quality in production
+    without a separate evaluation harness."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_knn(emb, k=5, query_ids=KNN_QUERY_IDS).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ann_lsh_knn(emb, k=5, query_ids=KNN_QUERY_IDS).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (transform/filter/aggregate) plus the
     positional array family (size/array_max/array_position) over the
@@ -838,105 +872,21 @@ def _embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- previously ERR under the driver's bare session (nanos conf) / canonicalizer
-    "purchase_last_click_asof": analytics.purchase_last_click_asof,
-    "purchases_near_errors": lambda s, d: _purchases_near_errors(s, d),
-    "approx_user_stats": _approx_user_stats,
-    "event_value_stats": _event_value_stats,
-    "media_features": lambda s, d: multimodal.media_features(
-        multimodal.media_from_documents(_docs(s, d)), dim=16
-    ).select(
-        "media_id", F.posexplode("features").alias("bucket_idx", "feature")
-    ).withColumn("bucket_idx", F.col("bucket_idx").cast("int")),
-    # --- real-codec decode (new this round): payloads are real BMP/WAV
-    #     containers built from the fixture, parsed by the stdlib codec path
-    "media_decode_real": lambda s, d: multimodal.decode_media(
-        multimodal.media_real_containers(_docs(s, d)), codec="real"
-    ),
-    # --- no driver correctness row in round 1 (registered after slot 50)
-    "ema_user_value": _ema_user_value,
-    "events_props_struct": _events_props_struct,
-    "order_calendar_profile": _order_calendar_profile,
-    "trailing_week_spend": _trailing_week_spend,
-    "part_name_features": _part_name_features,
-    "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
-    "events_hourly_rollup": lambda s, d: eventtime.rollup_coarser(
-        eventtime.tumbling_kpi(_events(s, d), width_s=600, value_as_decimal=True),
-        600,
-        3600,
-    ),
-    "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),
-    "events_sessionize": lambda s, d: eventtime.sessionize(_events(s, d)),
-    "events_json_kpi": lambda s, d: eventtime.json_value_kpi(_events(s, d)),
-    "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
-    "event_counts_unpivot": _event_counts_unpivot,
-    # --- corpus construction + text scoring (new this round; operators/
-    #     corpus.py and text.py — every selection md5-derived, hash-checkable)
-    "repetition_score": lambda s, d: text_ops.repetition_score(_docs(s, d)),
-    "pii_redact": lambda s, d: text_ops.pii_redact(_docs(s, d)),
-    "ngram_stats": lambda s, d: text_ops.ngram_stats(_docs(s, d), top=100),
-    "tfidf_top_terms": lambda s, d: text_ops.tfidf_top_terms(_docs(s, d), k=3),
-    "shard_assignment": _shard_assignment,
-    "domain_mix": _domain_mix,
-    "sequence_packing": lambda s, d: corpus.pack_concat_split(
-        _docs(s, d), budget_tokens=512, n_shards=8
-    ),
-    "contamination_check": lambda s, d: corpus.contamination_check(
-        _docs(s, d), benchmark_ids_mod=20, k=5
-    ),
-    # --- warehouse lifecycle (new this round; operators/warehouse.py):
-    #     CDC merge, SCD2 dims, profiling and referential QA
-    "merge_upsert_customers": _merge_upsert_customers,
-    "scd2_customer_priority": _scd2_customer_priority,
-    "column_profile_orders": _column_profile_orders,
-    "orphan_keys_qa": _orphan_keys_qa,
-    "heavy_hitter_users": _heavy_hitter_users,
-    # --- tokenizer / LM-scoring / chunking / assembly (new this round)
-    "vocab_top_tokens": lambda s, d: text_ops.vocab_build(_docs(s, d), size=500),
-    "doc_unigram_logprob": lambda s, d: text_ops.unigram_logprob(_docs(s, d)),
-    "doc_chunks": lambda s, d: corpus.chunk_documents(
-        _docs(s, d), max_tokens=64, overlap=8
-    ),
-    "group_doc_sample": lambda s, d: corpus.group_hash_sample(
-        _docs(s, d), "lang", k=20
-    ).select("doc_id", "lang"),
-    "corpus_build_manifest": lambda s, d: corpus.corpus_build(
-        _docs(s, d), DOMAIN_QUOTAS, quality_min=0.5, n_shards=32
-    ),
-    # --- distribution ranks + time-series densification (new this round)
-    "customer_spend_deciles": analytics.customer_spend_deciles,
-    "events_gap_fill": analytics.events_gap_fill,
-    # --- user-journey analytics (new this round; operators/journeys.py)
-    "funnel_view_click_purchase": lambda s, d: journeys.funnel(
-        _events(s, d), FUNNEL_STEPS
-    ),
-    "cohort_weekly_retention": lambda s, d: journeys.cohort_retention(_events(s, d)),
-    "user_inter_arrival": lambda s, d: journeys.inter_arrival(_events(s, d)),
-    # --- corpus chunk dedup + incremental/sketch rollups + robust stats
-    #     (new this round)
-    "chunk_dedup_corpus": lambda s, d: corpus.chunk_exact_dedup(
-        _docs(s, d), chunk_tokens=16
-    ),
-    "incremental_daily_kpi": _incremental_daily_kpi,
-    "distinct_users_sketch": _distinct_users_sketch,
-    "token_feature_hash": lambda s, d: text_ops.feature_hash_tokens(
-        _docs(s, d), n_buckets=64
-    ),
-    "part_zorder_key": _part_zorder_key,
-    "event_value_anomalies": _event_value_anomalies,
-    "brand_fuzzy_pairs": _brand_fuzzy_pairs,
-    "winsorized_price_stats": analytics.winsorized_price_stats,
-    "order_gap_profile": analytics.order_gap_profile,
+    # --- DRIVER WINDOW (first 50) --------------------------------------
+    # r3 rotation: slots 1-21 are the oracle-backed queries that have
+    # NEVER had a driver CORRECTNESS row (registered behind the 50-slot
+    # window in r2); slots 22-25 the never-checked rows-only queries;
+    # slots 26-34 queries whose operators changed THIS round (df-cap,
+    # tracked persists, k-means seeds); slots 35-50 re-confirm the r1
+    # relational surface refactored in r2. The r2-green surface rotates
+    # behind the window; approx_user_stats/distinct_users_sketch stay
+    # out permanently (no_oracle by design, spark_rows already recorded).
     "event_ohlc_bars": _event_ohlc_bars,
-    # --- advanced SQL shapes (new this round): grouping sets, scalar
-    #     subquery — plus first-order journey transitions and array
-    #     higher-order functions
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
     "event_type_transitions": lambda s, d: journeys.type_transitions(_events(s, d)),
     "session_top_paths": lambda s, d: journeys.session_top_paths(_events(s, d)),
     "embedding_vector_stats": _embedding_vector_stats,
-    # --- interval union + deterministic exact-k global sample (new)
     "user_activity_spans": lambda s, d: eventtime.user_activity_spans(_events(s, d)),
     "global_doc_sample": lambda s, d: corpus.global_hash_sample(_docs(s, d), k=100)
     .select("doc_id", "lang")
@@ -958,28 +908,25 @@ QUERIES: dict[str, QueryFn] = {
     "part_string_battery": _part_string_battery,
     "null_safe_bucket_join": _null_safe_bucket_join,
     "customer_snapshot_diff": _customer_snapshot_diff,
-    "embedding_kmeans": _embedding_kmeans,
     "pipe_priority_revenue": _pipe_priority_revenue,
-    # --- similarity search (index parameters became scale-aware this
-    #     round — re-verify ahead of the unchanged families)
-    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
-    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
-    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
-    "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
-    "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
-        _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
-    ),
     "ann_pq": lambda s, d: similarity.ann_pq_knn(
         _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
     ),
-    # --- text analysis
-    "text_stats": lambda s, d: text_ops.text_stats(_docs(s, d)),
-    "subtoken_count": lambda s, d: text_ops.subtoken_count(_docs(s, d)),
-    "quality_score": lambda s, d: text_ops.quality_score(_docs(s, d)),
-    "lang_id": lambda s, d: text_ops.lang_id(_docs(s, d)),
-    "doc_fingerprint": lambda s, d: text_ops.doc_fingerprint(_docs(s, d)),
-    # --- dedup
-    "exact_dup_groups": lambda s, d: neardup.exact_dup_groups(_docs(s, d)),
+    # -- never-driver-checked rows-only (4)
+    "stratified_doc_sample": _stratified_doc_sample,
+    "doc_classifier_scores": _doc_classifier_scores,
+    "supplier_pagerank": _supplier_pagerank,
+    "embedding_kmeans": _embedding_kmeans,
+    # -- operators touched in r3: shingle df-cap + cached shingles
+    #    (jaccard family), tracked persists (similarity family),
+    #    guaranteed-count k-means seeding
+    # new this round: the complete two-stage LSH->verify dedup pipeline
+    # and ANN recall observability, both oracle-backed
+    "lsh_verified_pairs": lambda s, d: neardup.lsh_verified_pairs(
+        _docs(s, d), threshold=0.8
+    ),
+    "ann_recall_report": _ann_recall_report,
+    "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "dedup_components": lambda s, d: components.connected_components(
         neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")
     ),
@@ -987,12 +934,121 @@ QUERIES: dict[str, QueryFn] = {
         _docs(s, d),
         neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b"),
     ),
-    "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "minhash_candidates": lambda s, d: neardup.minhash_candidate_pairs(_docs(s, d)),
+    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
+    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
+    "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
+        _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
+    ),
+    # -- r1-green relational surface, re-confirmed post-r2-refactor
+    "region_revenue": analytics.region_revenue,
+    "skew_safe_flag_totals": lambda s, d: _skew_flag_totals(s, d),
+    "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),
+    "top_orders_per_segment_year": analytics.top_orders_per_segment_year,
+    "pricing_summary": analytics.pricing_summary,
+    "year_order_kpi": analytics.year_order_kpi,
+    "dedup_lineitem_latest": analytics.dedup_lineitem_latest,
+    "order_price_histogram": analytics.order_price_histogram,
+    "distinct_segments": analytics.distinct_segments,
+    "part_type_words": analytics.part_type_words,
+    "part_word_bridge": analytics.part_word_bridge,
+    "null_marker_cast": analytics.null_marker_cast,
+    "lineitem_rollup": analytics.lineitem_rollup,
+    "sql_segment_leaders": _sql_segment_leaders,
+    # --- BEHIND THE WINDOW (51+): green in CORRECTNESS_r02 (or r01 for
+    #     the tail) and continuously re-verified by the local oracle
+    #     suite. First two: r1-green, displaced from the window by the
+    #     two new r3 queries above
+    "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
+    "customers_without_orders_anti": analytics.customers_without_orders_anti,
+    # --- green in CORRECTNESS_r02 (or r01 for
+    # the tail) and continuously re-verified by the local oracle suite
+    "purchase_last_click_asof": analytics.purchase_last_click_asof,
+    "purchases_near_errors": lambda s, d: _purchases_near_errors(s, d),
+    "approx_user_stats": _approx_user_stats,
+    "event_value_stats": _event_value_stats,
+    "media_features": lambda s, d: multimodal.media_features(
+        multimodal.media_from_documents(_docs(s, d)), dim=16
+    ).select(
+        "media_id", F.posexplode("features").alias("bucket_idx", "feature")
+    ).withColumn("bucket_idx", F.col("bucket_idx").cast("int")),
+    "media_decode_real": lambda s, d: multimodal.decode_media(
+        multimodal.media_real_containers(_docs(s, d)), codec="real"
+    ),
+    "ema_user_value": _ema_user_value,
+    "events_props_struct": _events_props_struct,
+    "order_calendar_profile": _order_calendar_profile,
+    "trailing_week_spend": _trailing_week_spend,
+    "part_name_features": _part_name_features,
+    "events_tumbling_kpi": lambda s, d: eventtime.tumbling_kpi(_events(s, d)),
+    "events_hourly_rollup": lambda s, d: eventtime.rollup_coarser(
+        eventtime.tumbling_kpi(_events(s, d), width_s=600, value_as_decimal=True),
+        600,
+        3600,
+    ),
+    "events_sliding_counts": lambda s, d: eventtime.sliding_kpi(_events(s, d)),
+    "events_sessionize": lambda s, d: eventtime.sessionize(_events(s, d)),
+    "events_json_kpi": lambda s, d: eventtime.json_value_kpi(_events(s, d)),
+    "events_user_pivot": lambda s, d: eventtime.user_type_pivot(_events(s, d)),
+    "event_counts_unpivot": _event_counts_unpivot,
+    "repetition_score": lambda s, d: text_ops.repetition_score(_docs(s, d)),
+    "pii_redact": lambda s, d: text_ops.pii_redact(_docs(s, d)),
+    "ngram_stats": lambda s, d: text_ops.ngram_stats(_docs(s, d), top=100),
+    "tfidf_top_terms": lambda s, d: text_ops.tfidf_top_terms(_docs(s, d), k=3),
+    "shard_assignment": _shard_assignment,
+    "domain_mix": _domain_mix,
+    "sequence_packing": lambda s, d: corpus.pack_concat_split(
+        _docs(s, d), budget_tokens=512, n_shards=8
+    ),
+    "contamination_check": lambda s, d: corpus.contamination_check(
+        _docs(s, d), benchmark_ids_mod=20, k=5
+    ),
+    "merge_upsert_customers": _merge_upsert_customers,
+    "scd2_customer_priority": _scd2_customer_priority,
+    "column_profile_orders": _column_profile_orders,
+    "orphan_keys_qa": _orphan_keys_qa,
+    "heavy_hitter_users": _heavy_hitter_users,
+    "vocab_top_tokens": lambda s, d: text_ops.vocab_build(_docs(s, d), size=500),
+    "doc_unigram_logprob": lambda s, d: text_ops.unigram_logprob(_docs(s, d)),
+    "doc_chunks": lambda s, d: corpus.chunk_documents(
+        _docs(s, d), max_tokens=64, overlap=8
+    ),
+    "group_doc_sample": lambda s, d: corpus.group_hash_sample(
+        _docs(s, d), "lang", k=20
+    ).select("doc_id", "lang"),
+    "corpus_build_manifest": lambda s, d: corpus.corpus_build(
+        _docs(s, d), DOMAIN_QUOTAS, quality_min=0.5, n_shards=32
+    ),
+    "customer_spend_deciles": analytics.customer_spend_deciles,
+    "events_gap_fill": analytics.events_gap_fill,
+    "funnel_view_click_purchase": lambda s, d: journeys.funnel(
+        _events(s, d), FUNNEL_STEPS
+    ),
+    "cohort_weekly_retention": lambda s, d: journeys.cohort_retention(_events(s, d)),
+    "user_inter_arrival": lambda s, d: journeys.inter_arrival(_events(s, d)),
+    "chunk_dedup_corpus": lambda s, d: corpus.chunk_exact_dedup(
+        _docs(s, d), chunk_tokens=16
+    ),
+    "incremental_daily_kpi": _incremental_daily_kpi,
+    "distinct_users_sketch": _distinct_users_sketch,
+    "token_feature_hash": lambda s, d: text_ops.feature_hash_tokens(
+        _docs(s, d), n_buckets=64
+    ),
+    "part_zorder_key": _part_zorder_key,
+    "event_value_anomalies": _event_value_anomalies,
+    "brand_fuzzy_pairs": _brand_fuzzy_pairs,
+    "winsorized_price_stats": analytics.winsorized_price_stats,
+    "order_gap_profile": analytics.order_gap_profile,
+    "text_stats": lambda s, d: text_ops.text_stats(_docs(s, d)),
+    "subtoken_count": lambda s, d: text_ops.subtoken_count(_docs(s, d)),
+    "quality_score": lambda s, d: text_ops.quality_score(_docs(s, d)),
+    "lang_id": lambda s, d: text_ops.lang_id(_docs(s, d)),
+    "doc_fingerprint": lambda s, d: text_ops.doc_fingerprint(_docs(s, d)),
+    "exact_dup_groups": lambda s, d: neardup.exact_dup_groups(_docs(s, d)),
     "simhash_values": lambda s, d: neardup.simhash32(_docs(s, d)),
     "simhash_pairs": lambda s, d: neardup.simhash_pairs(_docs(s, d), max_hamming=1),
-    # --- multimodal plumbing (binary payload + typed metadata; see
-    #     operators/multimodal.py — the decode itself is a deterministic stub)
     "media_stats": lambda s, d: multimodal.media_stats(
         multimodal.media_from_documents(_docs(s, d))
     ),
@@ -1005,36 +1061,6 @@ QUERIES: dict[str, QueryFn] = {
     "media_resize": lambda s, d: multimodal.resize_media(
         multimodal.media_from_documents(_docs(s, d)), target_w=8, target_h=8
     ).select("media_id", "width", "height", F.md5("resized").alias("resized_md5")),
-    # --- skew-safe physical rewrites (same results as the plain shapes)
-    "skew_safe_flag_totals": lambda s, d: _skew_flag_totals(s, d),
-    "skew_safe_status_revenue": lambda s, d: _skew_status_revenue(s, d),
-    # --- SQL API entry point
-    "sql_segment_leaders": _sql_segment_leaders,
-    # --- rows-only sampling check (trivially green; rotated behind the
-    #     window in favor of hash-checked queries — fractions and
-    #     determinism are pinned by tests/test_sampling.py)
-    "stratified_doc_sample": _stratified_doc_sample,
-    # --- learned document filter (MLlib; iterative float training is not
-    #     oracle-expressible — behavior gated by tests/test_classifier.py)
-    "doc_classifier_scores": _doc_classifier_scores,
-    # --- iterative graph rank (float summation order is engine-specific —
-    #     rows-only; values gated against NumPy in tests/test_pagerank.py)
-    "supplier_pagerank": _supplier_pagerank,
-    # --- relational surface, long-proven (green in CORRECTNESS_r01 and in
-    #     the local oracle suite; rotated behind the driver's 50-row window)
-    "pricing_summary": analytics.pricing_summary,
-    "year_order_kpi": analytics.year_order_kpi,
-    "top_orders_per_segment_year": analytics.top_orders_per_segment_year,
-    "region_revenue": analytics.region_revenue,
-    "dedup_lineitem_latest": analytics.dedup_lineitem_latest,
-    "order_price_histogram": analytics.order_price_histogram,
-    "distinct_segments": analytics.distinct_segments,
-    "part_type_words": analytics.part_type_words,
-    "part_word_bridge": analytics.part_word_bridge,
-    "null_marker_cast": analytics.null_marker_cast,
-    "lineitem_rollup": analytics.lineitem_rollup,
-    "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
-    "customers_without_orders_anti": analytics.customers_without_orders_anti,
     "return_share_by_year": analytics.return_share_by_year,
     "forecast_revenue_change": analytics.forecast_revenue_change,
     "revenue_yoy": analytics.revenue_yoy,

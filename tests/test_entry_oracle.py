@@ -36,13 +36,20 @@ def oracle(request):
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, oracle, name):
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    if name not in oracles:
-        df = queries[name](spark, SF_ORACLE)
-        assert df.count() >= 0, f"{name}: rows-only check failed"
-        return
-    spark_pdf = queries[name](spark, SF_ORACLE).toPandas()
-    oracle_pdf = oracle.execute(oracles[name]).df()
-    problems = compare_frames(spark_pdf, oracle_pdf)
-    assert not problems, f"{name}:\n" + "\n".join(problems)
+    try:
+        if name not in oracles:
+            df = queries[name](spark, SF_ORACLE)
+            assert df.count() >= 0, f"{name}: rows-only check failed"
+            return
+        spark_pdf = queries[name](spark, SF_ORACLE).toPandas()
+        oracle_pdf = oracle.execute(oracles[name]).df()
+        problems = compare_frames(spark_pdf, oracle_pdf)
+        assert not problems, f"{name}:\n" + "\n".join(problems)
+    finally:
+        # ANN/dedup queries persist index subtrees; release them so 120
+        # sequential checks don't accumulate cache pressure in one JVM
+        release_tracked()

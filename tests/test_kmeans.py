@@ -66,3 +66,39 @@ def test_kmeans_matches_numpy_from_same_init(spark, emb, result):
 def test_kmeans_covers_all_clusters(result):
     got_assign, _ = result
     assert len(set(got_assign.values())) == K
+
+
+def test_seed_centroids_exact_count_any_k(spark, emb):
+    """The md5-ordered top-k pick must yield EXACTLY min(n, k) seeds for
+    every k — the property the old mod-stride filter violated (its
+    survivor count was a Binomial draw around k)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.kmeans import seed_centroids
+
+    n = emb.count()
+    for k in (1, 3, K, 50, n + 10):
+        rows = seed_centroids(emb, k).collect()
+        assert len(rows) == min(n, k), f"k={k}"
+        assert sorted(r.cluster for r in rows) == list(range(min(n, k)))
+
+
+def test_centroid_update_plan_no_explode_single_exchange(spark, emb):
+    """The update aggregation must be ONE partial-aggregated shuffle of k
+    rows — no Generate (posexplode) node, exactly one Exchange, with a
+    map-side partial HashAggregate below it."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.kmeans import centroid_update
+
+    assigned = emb.select(
+        (F.col("vec_id") % 4).alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    plan = (
+        centroid_update(assigned, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # no posexplode of (cluster, dim)
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final

@@ -17,6 +17,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     components,
     corpus,
     eventtime,
+    importance,
     journeys,
     multimodal,
     neardup,
@@ -926,6 +927,18 @@ QUERIES: dict[str, QueryFn] = {
         _docs(s, d), threshold=0.8
     ),
     "ann_recall_report": _ann_recall_report,
+    # new this round: data-selection battery (operators/importance.py) —
+    # DSIR importance weights, substring-level (k-token-span) duplication,
+    # staged quality funnel, mixture/epoch planning
+    "dsir_doc_weights": lambda s, d: importance.dsir_logweights(
+        _docs(s, d), F.col("lang") == "en"
+    ),
+    "repeated_spans": lambda s, d: importance.repeated_spans(_docs(s, d), k=8),
+    "span_dup_coverage": lambda s, d: importance.span_dup_coverage(_docs(s, d), k=8),
+    "quality_funnel_report": lambda s, d: importance.quality_funnel(_docs(s, d)),
+    "mixing_epochs_plan": lambda s, d: importance.mixing_epochs_plan(
+        _docs(s, d), DOMAIN_QUOTAS, 10_000_000
+    ),
     "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "dedup_components": lambda s, d: components.connected_components(
         neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")

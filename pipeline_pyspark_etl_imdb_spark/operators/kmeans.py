@@ -9,14 +9,17 @@ build time (operators/similarity.ivf_index uses the 0-iteration
 hash-pick variant; this is the same physical shape iterated).
 
 Physical shape per iteration (the one that survives 100 TB):
-- assignment: corpus x BROADCAST(k centroids) -> per-row argmin — map
-  only, nothing shuffles but the k-row centroid table;
+- assignment: Arrow-batched vectorized argmin against the k x dim
+  centroid matrix captured in the UDF closure (the model state lives
+  on the driver between rounds, MLlib-style) — map only, ZERO shuffle;
 - update: ONE partial-aggregated groupBy(cluster) with a per-dimension
   sum battery (element_at, map-side combine) — the shuffle carries k
   rows x (dim+1) columns, nothing corpus-sized moves and there is no
   (cluster, dim) posexplode shuffle;
-- the k x dim centroid frame localCheckpoints each round so the plan
-  stays O(1), exactly like the CC/PageRank loops.
+- no lineage maintenance: each round's plan is rebuilt from the scan +
+  literals, so there is nothing to checkpoint (the CC/PageRank loops
+  checkpoint because their state is a DataFrame; this one's state is
+  k x dim driver floats).
 
 Determinism: init is an md5-ordered top-k pick (no RNG); the only
 nondeterminism is float-mean summation order (last-ulp), so the
@@ -27,18 +30,12 @@ init instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
-
-
-def _sq_dist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def seed_centroids(
@@ -96,6 +93,44 @@ def centroid_update(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+# rows per NumPy chunk inside the assignment UDF: bounds the (chunk, k,
+# dim) distance intermediate (1024 rows x k=16 x dim=64 x 8 B = 8 MB)
+# without changing any per-row result
+_ASSIGN_CHUNK_ROWS = 1024
+
+
+def _assign_udf(cents_matrix):
+    """Arrow-batched argmin against a closure-captured (k, dim) centroid
+    matrix. The squared-distance formula and tie-break (argmin -> lowest
+    cluster id) are bit-identical to the NumPy reference in
+    tests/test_kmeans.py. A Pandas UDF is the deliberate choice here:
+    per-element distance math through Catalyst's higher-order functions
+    evaluates interpreted (boxed lambda per element, ~100x slower than
+    this vectorized kernel), and the JVM-side alternatives either shuffle
+    the corpus per round (groupBy argmin) or recompile codegen per round
+    (literal centroids). Chunking bounds peak memory; results don't
+    depend on the chunk split."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = cents_matrix
+
+    @pandas_udf("struct<cluster:int, sq_dist:double>")
+    def f(v: pd.Series) -> pd.DataFrame:
+        out_cluster = np.empty(len(v), dtype=np.int32)
+        out_dist = np.empty(len(v), dtype=np.float64)
+        arrs = v.to_numpy()
+        for lo in range(0, len(v), _ASSIGN_CHUNK_ROWS):
+            hi = min(lo + _ASSIGN_CHUNK_ROWS, len(v))
+            X = np.stack(arrs[lo:hi]).astype(np.float64)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            out_cluster[lo:hi] = a
+            out_dist[lo:hi] = d[np.arange(hi - lo), a]
+        return pd.DataFrame({"cluster": out_cluster, "sq_dist": out_dist})
+
+    return f
+
+
 def lloyd_kmeans(
     embeddings: DataFrame,
     k: int = 16,
@@ -106,47 +141,53 @@ def lloyd_kmeans(
     """(assignments, centroids) after ``n_iter`` synchronous Lloyd
     rounds. assignments = (id, cluster, sq_dist); centroids = (cluster,
     centroid array). Ties in the argmin break toward the lower cluster
-    id (deterministic)."""
+    id (deterministic).
+
+    The centroid state (k x dim floats) lives on the DRIVER between
+    rounds — the canonical MLlib loop. This is bounded model state, not
+    data (k=16, dim=64 -> 1 KB/round): collecting it is the same class
+    of driver-side metadata as the file-skipping manifest, and it buys
+    the scale-critical plan: assignment is a MAP-ONLY Arrow-vectorized
+    argmin (zero shuffle — the previous frame-based loop shuffled every
+    (id, 64-dim vector) row through a groupBy(id) argmin each round),
+    so the only per-round shuffle is the k-row centroid_update partial
+    aggregate, and the per-round join + localCheckpoint lineage
+    maintenance disappears entirely (see _assign_udf for why the kernel
+    is a Pandas UDF rather than Catalyst higher-order functions)."""
     emb = fan_out(embeddings).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
-    centroids = seed_centroids(embeddings, k, id_col, vec_col)
-    # one driver-side scalar (first-row probe) fixes the width of the
-    # per-dimension sum battery below
-    dim = emb.select(F.size("v").alias("d")).first().d
+    seed_rows = seed_centroids(embeddings, k, id_col, vec_col).collect()
+    cents: dict[int, list[float]] = {
+        r.cluster: [float(x) for x in r.centroid] for r in seed_rows
+    }
+    dim = len(next(iter(cents.values())))
+    spark = embeddings.sparkSession
 
-    def assign(cents: DataFrame, with_v: bool = False) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            id_col, "v", "cluster", _sq_dist(F.col("v"), F.col("centroid")).alias("d")
-        )
-        # argmin as ONE partial-aggregated struct-min (lexicographic on
-        # (d, cluster) = min distance, ties to the lower cluster id) —
-        # the map-side combine collapses the k candidates per id before
-        # the shuffle; a row_number window here would sort every id group.
-        # with_v carries the vector through the same aggregate (constant
-        # within the id group) so the update loop needs NO second join
-        # against emb.
-        aggs = [F.min(F.struct("d", "cluster")).alias("__s")]
-        if with_v:
-            aggs.append(F.any_value("v").alias("v"))
+    def _matrix(c: dict[int, list[float]]):
+        # cluster ids are always exactly 0..k-1 (seeding numbers them,
+        # the update only rewrites existing keys): row index == cluster id
+        return np.stack([np.array(vec) for _, vec in sorted(c.items())])
+
+    def assign(c: dict[int, list[float]], with_v: bool) -> DataFrame:
+        best = _assign_udf(_matrix(c))(F.col("v"))
         cols = [
             F.col(id_col),
-            F.col("__s.cluster").alias("cluster"),
-            F.col("__s.d").alias("sq_dist"),
+            best["cluster"].alias("cluster"),
+            best["sq_dist"].alias("sq_dist"),
         ] + ([F.col("v")] if with_v else [])
-        return scored.groupBy(id_col).agg(*aggs).select(*cols)
+        return emb.select(*cols)
 
     for _ in range(n_iter):
-        assigned = assign(centroids, with_v=True)
-        new_cents = centroid_update(assigned, dim)
+        stats = centroid_update(
+            assign(cents, with_v=True).select("cluster", "v"), dim
+        ).collect()
         # clusters that lost every member keep their previous centroid
-        centroids = (
-            centroids.select("cluster", F.col("centroid").alias("__old"))
-            .join(new_cents, "cluster", "left")
-            .select("cluster", F.coalesce("centroid", "__old").alias("centroid"))
-            .localCheckpoint(eager=True)
-        )
-    out = assign(centroids)
+        for r in stats:
+            cents[r.cluster] = [float(x) for x in r.centroid]
+    out = assign(cents, with_v=False)
     emb.unpersist()
-    return out, centroids
+    return out, spark.createDataFrame(
+        sorted(cents.items()), "cluster int, centroid array<double>"
+    )

@@ -81,6 +81,17 @@ def test_seed_centroids_exact_count_any_k(spark, emb):
         assert sorted(r.cluster for r in rows) == list(range(min(n, k)))
 
 
+def test_assignment_plan_is_map_only(spark, emb):
+    """The per-round assignment must be an Arrow-vectorized MAP-ONLY
+    stage: no join, no window, and no shuffle beyond the one fan_out
+    repartition of the under-parallelized fixture scan."""
+    assigned, _ = lloyd_kmeans(emb, k=4, n_iter=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1  # fan_out only
+
+
 def test_centroid_update_plan_no_explode_single_exchange(spark, emb):
     """The update aggregation must be ONE partial-aggregated shuffle of k
     rows — no Generate (posexplode) node, exactly one Exchange, with a

@@ -456,6 +456,71 @@ def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cluster").orderBy("vec_id")
 
 
+def _nation_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate: Spark 4 ``listagg ... WITHIN GROUP`` builds
+    a deterministic comma roster per nation (the ordered string_agg every
+    report/export pipeline needs). One partial-aggregated groupBy; the
+    roster is bounded by group size, which is the operator's contract
+    (use collect_list+slice for unbounded groups)."""
+    from pipeline_pyspark_etl_imdb_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers,
+               listagg(CAST(c_custkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY c_custkey) AS custkey_roster
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+def _custkey_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each custkey's
+    halving chain (parent = k DIV 2) to the root — the declarative
+    transitive-closure/hierarchy shape (BOM explosion, org charts) that
+    complements the DataFrame loops in operators/components.py. The
+    recursion depth is log2(max key); each UNION ALL step is one
+    bounded self-extension, not a growing join cascade."""
+    from pipeline_pyspark_etl_imdb_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(start, cur, d) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 128
+          UNION ALL
+          SELECT start, cur DIV 2, d + 1 FROM walk WHERE cur > 1
+        )
+        SELECT start AS custkey, max(d) AS depth,
+               CAST(sum(cur) AS BIGINT) AS path_sum
+        FROM walk GROUP BY start
+        """
+    )
+
+
+def _supplier_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
+    lineitems per supplier, the SQL spelling of a grouped top-k.
+    Catalyst decorrelates the lateral into a join + per-key limit — same
+    physical family as the WindowGroupLimit rank-filter path
+    (operators/topk.py), declared in ANSI text."""
+    from pipeline_pyspark_etl_imdb_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, t.l_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM (SELECT s_suppkey FROM supplier WHERE s_suppkey <= 20) s,
+        LATERAL (
+          SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_suppkey = s.s_suppkey
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 2) t
+        """
+    )
+
+
 def _pipe_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4 `|>` operators — the linear FROM-first
     form): filter -> aggregate -> order as a pipeline. Same Catalyst plan
@@ -939,6 +1004,11 @@ QUERIES: dict[str, QueryFn] = {
     "mixing_epochs_plan": lambda s, d: importance.mixing_epochs_plan(
         _docs(s, d), DOMAIN_QUOTAS, 10_000_000
     ),
+    # new this round: Spark 4 SQL-surface widening — ordered-set
+    # aggregate, recursive CTE, correlated LATERAL top-k
+    "nation_customer_roster": _nation_customer_roster,
+    "custkey_tree_depth": _custkey_tree_depth,
+    "supplier_top_orders_lateral": _supplier_top_orders_lateral,
     "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "dedup_components": lambda s, d: components.connected_components(
         neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")

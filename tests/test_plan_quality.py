@@ -244,3 +244,39 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
         .count()
     )
     assert n_sel < n_all
+
+
+def test_roster_listagg_broadcasts_dim(spark):
+    """Ordered-set aggregate: the 25-row nation dim must broadcast and the
+    listagg run as a partial+final ObjectHashAggregate pair — no
+    sort-merge shuffle of the customer side."""
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["nation_customer_roster"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ObjectHashAggregate") == 2  # partial + final
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """WITH RECURSIVE must compile to the iterative UnionLoop operator —
+    not a self-join cascade (one join per depth level would re-shuffle
+    the working set log(maxkey) times)."""
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["custkey_tree_depth"](spark, SF_ORACLE))
+    assert "UnionLoop" in plan
+    assert "Join" not in plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT k must decorrelate
+    into the WindowGroupLimit per-key top-k (same physical family as the
+    rank-filter path), joined broadcast — never a per-row nested-loop or
+    cartesian replay of the lineitem scan."""
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["supplier_top_orders_lateral"](spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -159,6 +159,89 @@ def contamination_check(
     )
 
 
+BLOOM_BITS = 1 << 16  # m: bitmap size
+BLOOM_HASHES = 4  # h: hash functions
+_BLOOM_WORD_BITS = 32  # pack into positive-range BIGINT words (no sign games)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark_ids_mod: int = 20,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB scale path for benchmark
+    overlap. contamination_check joins every corpus shingle against the
+    benchmark shingle set; at corpus scale the right shape is: compress
+    the benchmark into an m-bit Bloom bitmap (here m=2^16, h=4 — eval
+    suites are MBs, so the bitmap is KBs) and probe it map-side. A
+    flagged doc is a CANDIDATE for the exact re-check (false positives
+    possible at the standard (1-e^{-hn/m})^h rate); a clean doc is
+    definitively clean (no false negatives, by construction — tested as
+    a superset gate against contamination_check).
+
+    All hashing is md5-derived (hex_uniform), the bitmap is bit_or over
+    32-bit words packed in BIGINTs (positive range — no two's-complement
+    portability games), so the flag set is deterministic and the oracle
+    replicates it bit-for-bit. Physical shape: bitmap = one groupBy over
+    the (small) benchmark side collapsing to <= m/32 rows; the probe is
+    a broadcast join on the word index — the corpus side never shuffles,
+    and the per-shingle cost is h bitmap lookups."""
+    shingled = (
+        docs.select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .select(id_col, F.explode(word_shingles("__tok", k)).alias("shingle"))
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, BLOOM_HASHES + 1)]))
+    probes = shingled.withColumn("j", js).select(
+        id_col,
+        "shingle",
+        "j",
+        hex_uniform(
+            "md5(concat(shingle, ':', CAST(j AS STRING)))", n_chars=4
+        ).alias("bucket"),
+    )
+    probes = probes.select(
+        id_col,
+        "shingle",
+        (F.col("bucket") / _BLOOM_WORD_BITS).cast("bigint").alias("word"),
+        (F.col("bucket") % _BLOOM_WORD_BITS).cast("int").alias("bit"),
+    )
+    bench = probes.where(F.col(id_col) % benchmark_ids_mod == 0)
+    bitmap = (
+        bench.groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    cand = probes.where(F.col(id_col) % benchmark_ids_mod != 0)
+    hit = (
+        cand.join(F.broadcast(bitmap), "word", "left")
+        .select(
+            id_col,
+            "shingle",
+            F.coalesce(
+                F.expr("shiftright(mask, bit)") % 2, F.lit(0)
+            ).alias("hit"),
+        )
+        .groupBy(id_col, "shingle")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("all_hit").alias("n_flagged"),
+        )
+        .where(F.col("n_flagged") > 0)
+        .select(
+            id_col,
+            "n_shingles",
+            F.col("n_flagged").cast("bigint").alias("n_flagged"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int = 64,

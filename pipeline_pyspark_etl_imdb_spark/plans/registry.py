@@ -735,6 +735,31 @@ def _brand_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brand_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: length-blocked edit-distance pairs
+    (brand_fuzzy_pairs' edge set) -> min-label connected components ->
+    canonical entity id (the lexicographic min member) + member count
+    per surface form. The composition every master-data/record-linkage
+    pipeline runs; blocking keeps the pair stage per-block, components
+    is the O(diameter) loop, and the canonical pick is one aggregate —
+    no stage is quadratic in the full entity universe."""
+    from pipeline_pyspark_etl_imdb_spark.operators import components
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brands = part.select("p_brand").distinct()
+    edges = _brand_fuzzy_pairs(spark, sf_dir).select("brand_a", "brand_b")
+    comp = components.connected_components(edges, "brand_a", "brand_b")
+    tagged = (
+        brands.join(comp, brands.p_brand == comp.node, "left")
+        .select(
+            "p_brand",
+            F.coalesce("component", F.col("p_brand")).alias("entity"),
+        )
+    )
+    counts = tagged.groupBy("entity").agg(F.count("*").alias("n_members"))
+    return tagged.join(counts, "entity").select("p_brand", "entity", "n_members")
+
+
 def _doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned corpus filter, end to end: DISTILL the heuristic quality
     score (operators/text.quality_expr) into a logistic-regression
@@ -1009,6 +1034,10 @@ QUERIES: dict[str, QueryFn] = {
     "nation_customer_roster": _nation_customer_roster,
     "custkey_tree_depth": _custkey_tree_depth,
     "supplier_top_orders_lateral": _supplier_top_orders_lateral,
+    "brand_entity_resolution": _brand_entity_resolution,
+    "bloom_contamination_check": lambda s, d: corpus.bloom_decontaminate(
+        _docs(s, d)
+    ),
     "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "dedup_components": lambda s, d: components.connected_components(
         neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")

@@ -192,3 +192,66 @@ def test_mixing_epochs_plan_math_and_drops(spark):
     assert plan["en"].repeat_factor == pytest.approx(500 / 6)
     assert plan["fr"].planned_tokens == 250
     assert plan["fr"].repeat_factor == pytest.approx(250 / 3)
+
+
+# --- entity resolution (pipeline composition) -------------------------------
+
+
+def test_entity_resolution_clusters_and_singletons(spark):
+    """Construct two fuzzy clusters and a singleton: components must merge
+    transitively (a~b, b~c => one entity even if a!~c), the canonical id
+    is the lexicographic min member, and singletons resolve to
+    themselves."""
+    import pipeline_pyspark_etl_imdb_spark.plans.registry as reg
+
+    # same-length forms (the blocker keys on length): one 3-member
+    # cluster, one 2-member cluster, one singleton
+    rows = [
+        ("acme01",), ("acme02",), ("acme03",),  # pairwise dist <= 2
+        ("widget",),                             # singleton (no near form)
+        ("zorbax",), ("zorbay",),                # cluster 2, dist 1
+    ]
+    part = spark.createDataFrame(rows, ["p_brand"])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    part.write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    out = {r.p_brand: r for r in reg._brand_entity_resolution(spark, d).collect()}
+    assert out["acme01"].entity == "acme01"
+    assert out["acme02"].entity == "acme01" and out["acme03"].entity == "acme01"
+    assert out["acme01"].n_members == 3
+    assert out["widget"].entity == "widget" and out["widget"].n_members == 1
+    assert out["zorbax"].entity == "zorbax" == out["zorbay"].entity
+    assert out["zorbay"].n_members == 2
+
+
+# --- bloom decontamination ---------------------------------------------------
+
+
+def test_bloom_flags_are_a_superset_of_exact_contamination(spark):
+    """A Bloom filter has NO false negatives: every document the exact
+    shingle join finds contaminated must be flagged by the bloom probe,
+    and its flagged-shingle count must be >= the exact distinct-shared
+    count (false positives may add more)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import (
+        bloom_decontaminate,
+        contamination_check,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {r.doc_id for r in contamination_check(docs).collect()}
+    bloom = {r.doc_id: r.n_flagged for r in bloom_decontaminate(docs).collect()}
+    missing = exact - set(bloom)
+    assert not missing, f"bloom missed exactly-contaminated docs: {missing}"
+
+
+def test_bloom_probe_plan_broadcasts_bitmap(spark):
+    """The corpus side must probe the bitmap via a broadcast join — the
+    whole point of the bloom path is that the big side never shuffles."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import bloom_decontaminate
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = bloom_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

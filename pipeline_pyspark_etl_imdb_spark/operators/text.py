@@ -403,6 +403,40 @@ def vocab_build(
     return top.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
 
 
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own BIGRAM model — the next step up from unigram_logprob's perplexity
+    proxy (catches locally-incoherent text that unigram frequencies
+    miss). p(w2|w1) = c(w1 w2) / c(w1 ·), both counts from the corpus
+    itself, so every scored bigram is in the model (no OOV smoothing).
+
+    Scale shape: unlike the unigram model (vocabulary-sized, broadcast),
+    the bigram table grows with observed pairs, so the score join is a
+    plain co-partitioned equi-join ON THE BIGRAM KEY (one shuffle each
+    side, no broadcast assumption); the prefix totals c(w1 ·) are folded
+    into the model frame before that join, not joined per occurrence."""
+    grams = docs.select(
+        id_col, F.lower(F.col(text_col)).alias("__t")
+    ).withColumn("__tok", tokens("__t")).select(
+        id_col, F.explode(bigram_list("__tok")).alias("bigram")
+    )
+    pair_c = grams.groupBy("bigram").agg(F.count("*").alias("c12"))
+    model = pair_c.withColumn(
+        "w1", F.substring_index("bigram", " ", 1)
+    )
+    prefix_c = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = model.join(prefix_c, "w1").select("bigram", "c12", "c1")
+    scored = grams.join(model, "bigram").withColumn(
+        "neg_ln_p", -F.log(F.col("c12").cast("double") / F.col("c1"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("neg_ln_p").alias("avg_neg_logprob"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

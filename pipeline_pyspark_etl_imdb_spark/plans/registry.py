@@ -1038,6 +1038,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_contamination_check": lambda s, d: corpus.bloom_decontaminate(
         _docs(s, d)
     ),
+    "doc_bigram_logprob": lambda s, d: text_ops.bigram_logprob(_docs(s, d)),
     "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
     "dedup_components": lambda s, d: components.connected_components(
         neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")

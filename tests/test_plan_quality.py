@@ -280,3 +280,44 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join must detect and SPLIT a pathological hot
+    key — the no-code-change complement to the manual salting operators
+    (operators/skew.py). Thresholds are lowered (scoped, restored) so the
+    fixture-sized hot key triggers the same detection a multi-GB hot
+    partition triggers in production; the gate asserts the finalized
+    adaptive plan actually marked the sort-merge join skew=true."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(60_000).select(
+            F.lit(0).alias("k"), F.lpad(F.col("id").cast("string"), 64, "x").alias("pad")
+        )
+        tail = spark.range(1, 200).select(
+            F.col("id").alias("k"), F.lit("t").alias("pad")
+        )
+        right = spark.range(200).select(
+            F.col("id").alias("k"), F.lit("r").alias("val")
+        )
+        joined = hot.unionByName(tail).join(right, "k")
+        # collect THIS frame: count() builds a different query execution
+        # and would leave joined's adaptive plan unfinalized
+        assert len(joined.collect()) == 60_000 + 199
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not mark the join skewed"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

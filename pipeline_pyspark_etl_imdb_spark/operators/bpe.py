@@ -1,0 +1,170 @@
+"""Distributed BPE vocabulary learning — the fourth iterative shape.
+
+Connected components iterates a MIN label, PageRank a weighted mass,
+k-means float centroids; BPE iterates a DISCRETE MODEL (the merge
+list). Each round: count adjacent symbol pairs over the corpus, merge
+the most frequent pair everywhere, repeat (Sennrich et al. 2016, the
+tokenizer-training step of every LLM data pipeline).
+
+Scale shape — the trick that makes BPE distributable is that after ONE
+word-count aggregation the corpus never moves again:
+
+- ``word_counts``: one groupBy over the tokenized corpus. 100 TB of
+  text collapses to the distinct-word table (10^7-10^8 rows), weighted
+  by frequency. Every later round runs on THIS table.
+- per round: adjacent-pair counts are one partial-aggregated groupBy
+  over the (distinct-word x positions) explode; the winning pair
+  (count desc, then lexicographic — deterministic) is TakeOrdered(1),
+  k bytes of driver-held model state per round, same class as the
+  k-means centroid matrix.
+- merge application is a map-only expression fold (F.aggregate over
+  the symbol array — greedy left-to-right, standard BPE apply order);
+  each round's segmentation is persisted so the physical plan reads
+  the previous round's cache, not an n-round lineage chain.
+
+Everything is integer arithmetic on md5-free exact counts, so results
+are bit-deterministic; the registry exposure is rows-only only because
+the iterative argmax loop is not expressible in one ANSI-SQL oracle
+query — tests/test_bpe.py pins merges and token counts against an
+independent pure-Python reference instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, wcount) — the corpus compressed to its distinct-word
+    frequency table. The ONLY corpus-sized aggregation in BPE training;
+    map-side combine collapses each partition to its local vocabulary
+    before the shuffle."""
+    return (
+        fan_out(docs)
+        .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of every adjacent (left, right) pair in
+    a symbol array — one expression fold, no Python. Overlaps resolve
+    leftmost-first ('aaa' + merge(a,a) -> [aa, a]), the standard BPE
+    apply order the test reference mirrors. The symbols are passed as
+    typed literals (F.lit), never interpolated into SQL text, so any
+    character is safe."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """Driver-held model state: ordered merges + the final word
+    segmentation frame (distinct-word-sized, persisted)."""
+
+    merges: list[tuple[str, str, int]]  # (left, right, pair_count)
+    segmented: DataFrame  # (word, wcount, syms array<string>)
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> BpeModel:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Ties on pair count break lexicographically (left asc, right asc) so
+    the learned vocabulary is bit-deterministic on any engine. Stops
+    early if no adjacent pair remains (fully merged corpus)."""
+    seg = word_counts(docs, text_col).select(
+        "word",
+        "wcount",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias(
+            "syms"
+        ),
+    )
+    seg = seg.persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pair_struct = F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+            )
+            top = (
+                seg.where(F.size("syms") >= 2)
+                .select("wcount", F.explode(pair_struct).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wcount").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
+            merges.append((left, right, cnt))
+            nxt = seg.select(
+                "word", "wcount", _apply_merge(F.col("syms"), left, right).alias("syms")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            seg.unpersist()
+            seg = nxt
+    except Exception:
+        seg.unpersist()
+        raise
+    return BpeModel(merges=merges, segmented=seg)
+
+
+def bpe_merge_table(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(merge_rank, left, right, merged, pair_count) — the learned
+    vocabulary as a frame, ordered by learning step."""
+    spark: SparkSession = docs.sparkSession
+    model = bpe_learn(docs, n_merges, text_col)
+    model.segmented.unpersist()
+    rows = [
+        (i, l, r, l + r, c) for i, (l, r, c) in enumerate(model.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, merged string, pair_count bigint"
+    ).orderBy("merge_rank")
+
+
+def bpe_token_counts(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(token, n_total) — corpus token frequencies AFTER applying the
+    learned merges: explode the final distinct-word segmentation weighted
+    by word count. One small groupBy over the segmented word table; the
+    corpus itself is never re-read."""
+    model = bpe_learn(docs, n_merges, text_col)
+    out = (
+        model.segmented.select("wcount", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wcount").alias("n_total"))
+        .orderBy(F.desc("n_total"), F.asc("token"))
+    )
+    # materialize before releasing the segmentation cache the plan reads
+    out = out.localCheckpoint(eager=True)
+    model.segmented.unpersist()
+    return out

@@ -1,0 +1,150 @@
+"""SemDeDup — semantic deduplication over an embedded corpus.
+
+Public method: Abbas et al. 2023 ("SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication"): cluster the corpus in
+embedding space, then inside each cluster drop all but one member of
+every high-cosine group. Clustering bounds the pair space — pairwise
+similarity is computed only within a cluster, never corpus x corpus.
+
+This module is the composition layer: it takes ANY (id, cluster)
+assignment frame and applies the within-cluster prune, so the same
+operator serves
+
+- ``semdedup_lsh``: deterministic LSH sign-buckets as the clusters.
+  Bucket assignment is DECIMAL-exact (operators/similarity.lsh_bucket),
+  so the whole pipeline — buckets, pairs, keep flags — hash-matches a
+  DuckDB oracle. The oracle-backed registry entry.
+- ``semdedup_kmeans``: Lloyd's k-means clusters (operators/kmeans.py),
+  the literal SemDeDup recipe. Float-iterative -> rows-only for the
+  driver; tests pin it against a NumPy reference instead.
+
+Keep rule: within a cluster, a document is DROPPED iff some
+lower-id document in the same cluster has cosine >= threshold with it
+(greedy min-id survivor). Deterministic, engine-portable, and one
+relational pass — the paper's "keep the member farthest from the
+centroid" variant changes only the ORDER BY of the survivor pick, not
+the plan shape.
+
+Scale shape (the one that survives 100 TB): one shuffle to co-locate
+each cluster, a per-cluster self-join whose cost is bounded by cluster
+occupancy (LSH planes / k grow with corpus size — see
+similarity.scaled_n_planes), and a left-anti flag join. Nothing
+all-pairs, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.kmeans import lloyd_kmeans
+from pipeline_pyspark_etl_imdb_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _norm,
+    lsh_bucket,
+)
+from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    clusters: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, is_kept) for every corpus vector.
+
+    ``clusters`` is any (id_col, cluster) frame — LSH buckets, k-means
+    assignments, IVF lists. A row is kept unless a lower-id row in the
+    same cluster is cosine-similar above ``threshold``; rows whose
+    embedding is NULL/empty never match any pair (NULL cosine) and are
+    always kept.
+
+    Physical plan: the cluster equi-join is the only corpus shuffle;
+    ``base`` is persisted because three subtrees read it (both pair
+    sides and the final flag join) — without the cache the norm +
+    cluster join evaluates three times. The dup set is aggregated to
+    distinct ids BEFORE the flag join so the join carries at most one
+    row per dropped id.
+    """
+    base = (
+        embeddings.join(clusters, id_col)
+        .select(F.col(id_col), "cluster", _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
+    )
+    base = tracked_persist(base)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster").alias("cluster_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cluster_a") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        base.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def semdedup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with deterministic LSH sign-buckets as the clusters —
+    the oracle-checkable variant (bucket assignment is DECIMAL-exact).
+    Returns (id, cluster, is_kept) sorted by id."""
+    buckets = lsh_bucket(embeddings, n_planes, dim, id_col, vec_col).select(
+        id_col, F.col("bucket").alias("cluster")
+    )
+    return semdedup_flags(embeddings, buckets, threshold, id_col, vec_col).orderBy(
+        id_col
+    )
+
+
+def semdedup_kmeans(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The literal Abbas et al. recipe: Lloyd's k-means clusters, then
+    the within-cluster prune. Float-iterative (centroid means), so the
+    registry exposure is rows-only; tests/test_semdedup.py pins the
+    full pipeline against a NumPy reference from the same seed."""
+    assigned, _ = lloyd_kmeans(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    clusters = assigned.select(id_col, "cluster")
+    return semdedup_flags(embeddings, clusters, threshold, id_col, vec_col).orderBy(
+        id_col
+    )

@@ -356,3 +356,55 @@ def snapshot_diff(
         .otherwise(F.lit("UNCHANGED"))
     )
     return j.select(*keys, status.alias("status"))
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch rows: per group, the ``k``
+    smallest 48-bit hashes of the distinct values (Bar-Yossef et al.
+    2002, public). Unlike HLL/CMS, KMV built on a FIXED hash (md5) is
+    bit-deterministic — the sketch itself, not just its error bound, is
+    oracle-checkable, and merging two sketches is just re-running this
+    function over their union (the k smallest of two k-smallest sets).
+
+    Output: (group..., h, rk) with rk in 1..k ascending by hash.
+
+    Physical shape: dropDuplicates partially aggregates (group, hash)
+    map-side, then rank<=k compiles to WindowGroupLimit — each partition
+    keeps k rows per group before the shuffle, so the wire carries
+    O(groups * k), never the distinct-value set."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+    from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+    hashed = (
+        df.select(
+            *group_cols,
+            F.md5(F.concat(F.col(value_col).cast("string"), F.lit(":kmv"))).alias(
+                "__h"
+            ),
+        )
+        .select(*group_cols, hex_uniform("__h", 12).alias("h"))
+        .dropDuplicates([*group_cols, "h"])
+    )
+    return top_k_per_group(hashed, group_cols, [F.asc("h")], k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimates from KMV sketch rows: exact count when a
+    group has fewer than ``k`` distinct hashes (the sketch IS the value
+    set), else (k-1) / u_k with u_k the k-th smallest hash normalized to
+    (0, 1]. Pure integer aggregation plus one double divide — the same
+    IEEE operations in any engine, so estimates hash-match the oracle."""
+    m = float(16**12)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(m))
+    )
+    return agg.select(
+        *group_cols, "n_kept", "kth_hash", est.alias("est_distinct")
+    )

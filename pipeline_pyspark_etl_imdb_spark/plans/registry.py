@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
+    bpe,
     components,
     corpus,
     eventtime,
@@ -21,6 +22,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     journeys,
     multimodal,
     neardup,
+    semdedup,
     similarity,
     skew,
     warehouse,
@@ -962,6 +964,16 @@ def _embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a KMV sketch. KMV on a
+    fixed md5 hash is bit-deterministic, so — unlike the HLL/CMS rows-only
+    queries — the SKETCH ESTIMATE itself hash-matches the DuckDB oracle:
+    an approximate operator with an exact correctness contract."""
+    ev = _events(spark, sf_dir)
+    sk = warehouse.kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    return warehouse.kmv_estimate(sk, ["event_type"], k=64).orderBy("event_type")
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- DRIVER WINDOW (first 50) --------------------------------------
     # r3 rotation: slots 1-21 are the oracle-backed queries that have
@@ -1068,12 +1080,28 @@ QUERIES: dict[str, QueryFn] = {
     "part_type_words": analytics.part_type_words,
     "part_word_bridge": analytics.part_word_bridge,
     "null_marker_cast": analytics.null_marker_cast,
-    "lineitem_rollup": analytics.lineitem_rollup,
-    "sql_segment_leaders": _sql_segment_leaders,
+    # new this session: SemDeDup over deterministic LSH clusters and the
+    # KMV distinct sketch — both oracle-backed, slotted into the window
+    # in place of two r1-green relational re-confirmations
+    # (lineitem_rollup, sql_segment_leaders) that stay locally verified
+    "semdedup_lsh": lambda s, d: semdedup.semdedup_lsh(_emb(s, d), threshold=0.35),
+    "kmv_user_sketch": _kmv_user_sketch,
     # --- BEHIND THE WINDOW (51+): green in CORRECTNESS_r02 (or r01 for
     #     the tail) and continuously re-verified by the local oracle
-    #     suite. First two: r1-green, displaced from the window by the
-    #     two new r3 queries above
+    #     suite. First four: r1-green, displaced from the window by the
+    #     new r3 queries above
+    "lineitem_rollup": analytics.lineitem_rollup,
+    "sql_segment_leaders": _sql_segment_leaders,
+    # new this session, rows-only by design (float-iterative clustering /
+    # iterative argmax loop): the literal SemDeDup recipe over k-means
+    # clusters, and distributed BPE vocabulary learning. Both pinned
+    # bit-exact against independent Python/NumPy references in
+    # tests/test_semdedup.py and tests/test_bpe.py.
+    "semdedup_kmeans": lambda s, d: semdedup.semdedup_kmeans(
+        _emb(s, d), k=16, n_iter=3, threshold=0.35
+    ),
+    "bpe_merge_table": lambda s, d: bpe.bpe_merge_table(_docs(s, d), n_merges=8),
+    "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(_docs(s, d), n_merges=8),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for
@@ -1194,4 +1222,7 @@ ROWS_ONLY: tuple[str, ...] = (
     "doc_classifier_scores",
     "supplier_pagerank",
     "embedding_kmeans",
+    "semdedup_kmeans",
+    "bpe_merge_table",
+    "bpe_token_counts",
 )

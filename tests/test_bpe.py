@@ -1,0 +1,103 @@
+"""Distributed BPE pinned bit-exact against a pure-Python reference.
+
+The operator is rows-only for the driver (the iterative argmax loop is
+not one ANSI-SQL query), so this suite is its correctness contract:
+same corpus -> same merges, same counts, on both implementations.
+"""
+
+from collections import Counter
+
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark.operators import bpe
+from tests.conftest import SF_SMOKE
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent BPE: dict/Counter arithmetic, no Spark. Tie-break
+    (count desc, left asc, right asc) and greedy left-to-right apply
+    order mirror the documented operator contract."""
+    seg = {w: [c for c in w] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += word_counts[w]
+        if not pair_counts:
+            break
+        (left, right), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        for w, syms in seg.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            seg[w] = out
+    token_counts: Counter = Counter()
+    for w, syms in seg.items():
+        for t in syms:
+            token_counts[t] += word_counts[w]
+    return merges, dict(token_counts)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def ref(spark, docs):
+    wc = {
+        r.word: r.wcount
+        for r in bpe.word_counts(docs).collect()
+    }
+    return wc, _reference_bpe(wc, 8)
+
+
+def test_word_counts_match_python(docs, ref):
+    wc, _ = ref
+    texts = [r.text for r in docs.select("text").collect()]
+    expected: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            expected[w] += 1
+    assert wc == dict(expected)
+
+
+def test_merges_exact(docs, ref):
+    _, (ref_merges, _) = ref
+    got = [
+        (r.left, r.right, int(r.pair_count))
+        for r in bpe.bpe_merge_table(docs, n_merges=8).collect()
+    ]
+    assert got == ref_merges
+
+
+def test_merge_table_shape(docs):
+    rows = bpe.bpe_merge_table(docs, n_merges=3).collect()
+    assert [r.merge_rank for r in rows] == [0, 1, 2]
+    assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_token_counts_exact(docs, ref):
+    _, (_, ref_tokens) = ref
+    got = {
+        r.token: int(r.n_total)
+        for r in bpe.bpe_token_counts(docs, n_merges=8).collect()
+    }
+    assert got == ref_tokens
+
+
+def test_greedy_overlap_apply(spark):
+    """'aaa' with merge (a,a) segments to [aa, a] — leftmost-first."""
+    df = spark.createDataFrame([("aaa aaa b",)], "text string")
+    model = bpe.bpe_learn(df, n_merges=1)
+    assert model.merges[0][:2] == ("a", "a")
+    segs = {r.word: list(r.syms) for r in model.segmented.collect()}
+    model.segmented.unpersist()
+    assert segs["aaa"] == ["aa", "a"]

@@ -1,0 +1,77 @@
+"""KMV distinct sketch: exactness below k, mergeability (the defining
+sketch property), and the (k-1)/u_k estimator's error bound."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+    kmv_estimate,
+    kmv_sketch,
+)
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+
+
+def test_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(1000)], "grp string, v int"
+    )
+    est = kmv_estimate(kmv_sketch(df, ["grp"], "v", k=64), ["grp"], k=64).collect()
+    assert len(est) == 1
+    assert est[0].n_kept == 10
+    assert est[0].est_distinct == 10.0
+
+
+def test_merge_is_resketch_of_union(events):
+    """sketch(A union B) == top-k of (sketch(A) union sketch(B)) — partial
+    aggregation IS the merge, so sharded sketch building is lossless."""
+    from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    sk_a = kmv_sketch(a, ["event_type"], "user_id", k=32).select("event_type", "h")
+    sk_b = kmv_sketch(b, ["event_type"], "user_id", k=32).select("event_type", "h")
+    merged = top_k_per_group(
+        sk_a.union(sk_b).dropDuplicates(["event_type", "h"]),
+        ["event_type"],
+        [F.asc("h")],
+        32,
+    )
+    full = kmv_sketch(events, ["event_type"], "user_id", k=32)
+    got = {(r.event_type, r.h, r.rk) for r in merged.collect()}
+    want = {(r.event_type, r.h, r.rk) for r in full.collect()}
+    assert got == want
+
+
+def test_estimate_within_bound(events):
+    """Relative error of (k-1)/u_k is ~1/sqrt(k-2); allow 4 sigma."""
+    k = 64
+    est = {
+        r.event_type: r.est_distinct
+        for r in kmv_estimate(
+            kmv_sketch(events, ["event_type"], "user_id", k=k), ["event_type"], k=k
+        ).collect()
+    }
+    truth = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    tol = 4.0 / (k - 2) ** 0.5
+    for etype, n in truth.items():
+        if n < k:
+            assert est[etype] == float(n), etype
+        else:
+            assert abs(est[etype] - n) / n <= tol, (etype, est[etype], n)
+
+
+def test_sketch_rows_bounded(events):
+    sk = kmv_sketch(events, ["event_type"], "user_id", k=16)
+    counts = sk.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 16 for r in counts)

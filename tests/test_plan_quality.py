@@ -321,3 +321,65 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmv_sketch_uses_window_group_limit(spark):
+    """The rank<=k over ascending hash must compile to WindowGroupLimit
+    (per-partition top-k before the shuffle) — without it every distinct
+    (group, hash) row crosses the wire and the sketch is no longer
+    bounded-memory at scale."""
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import kmv_sketch
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    plan = _plan(kmv_sketch(ev, ["event_type"], "user_id", k=64))
+    assert "WindowGroupLimit" in plan
+    # map-side partial dedup of (group, hash) before the exchange
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_semdedup_no_cartesian_and_cached_base(spark):
+    """SemDeDup's pair generation must stay a cluster equi-join (never a
+    cartesian/nested-loop product), and the three consumers of the
+    normed base must read ONE cached subtree."""
+    from pipeline_pyspark_etl_imdb_spark.operators.semdedup import semdedup_lsh
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    try:
+        plan = _plan(semdedup_lsh(emb, threshold=0.35))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        release_tracked()
+
+
+def test_bpe_pair_counts_partially_aggregated(spark):
+    """Each BPE round's pair count is ONE groupBy with a map-side partial
+    phase over the distinct-word table, and the winning pair comes from
+    TakeOrderedAndProject (limit 1), not a global sort."""
+    from pipeline_pyspark_etl_imdb_spark.operators.bpe import word_counts
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    seg = word_counts(docs).select(
+        "word",
+        "wcount",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    pair_struct = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+    )
+    top = (
+        seg.where(F.size("syms") >= 2)
+        .select("wcount", F.explode(pair_struct).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("wcount").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan

@@ -452,3 +452,39 @@ def corpus_build(
     return hash_shard(mixed, n_shards=n_shards, id_col=id_col).select(
         id_col, lang_col, "shard"
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    ratios: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a content-stable uniform
+    variate u = md5(id:salt)/2^32 cut at the cumulative ratio boundaries.
+
+    MAP-ONLY — zero shuffle, fuses into the scan — which is why the split
+    is proportional-in-expectation rather than exactly stratified: the
+    exact variant needs a per-stratum row_number window whose partition
+    count equals the stratum count (5 languages -> 5 tasks at 100 TB, a
+    scale bug). Hash uniformity already lands each stratum within
+    O(1/sqrt(n)) of the target fraction, and assignment is stable under
+    corpus growth: adding documents never reassigns an existing id — the
+    property that keeps yesterday's eval split out of tomorrow's train
+    set."""
+    if ratios is None:
+        ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = df.withColumn(
+        "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    ).withColumn("__u", hex_uniform("__h", 8).cast("double") / F.lit(4294967296.0))
+    expr = None
+    cum = 0.0
+    names = list(ratios)
+    for name in names[:-1]:
+        cum += ratios[name]
+        branch = F.when(F.col("__u") < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(F.col("__u") < F.lit(cum), F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return out.withColumn("split", expr).drop("__u", "__h")

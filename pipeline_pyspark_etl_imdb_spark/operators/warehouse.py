@@ -408,3 +408,28 @@ def kmv_estimate(
     return agg.select(
         *group_cols, "n_kept", "kth_hash", est.alias("est_distinct")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """One-row k-anonymity report over the quasi-identifier columns:
+    every equivalence class (distinct quasi-identifier combination) with
+    fewer than ``k`` members re-identifies its rows. Output:
+    (n_groups, violating_groups, rows_at_risk, min_group_size,
+    max_group_size) — the release-gate numbers a privacy review asks for.
+
+    Two aggregations, both partial-aggregated: groupBy(quasi) collapses
+    map-side to the equivalence classes (bounded by the quasi-identifier
+    domain, not the row count), then a constant-size global re-aggregate.
+    NULL quasi-values form their own class (groupBy NULL semantics), the
+    conservative choice — an all-NULL row still counts toward risk."""
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("__n"))
+    viol = F.col("__n") < k
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(viol.cast("bigint")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("__n")).otherwise(F.lit(0))).alias("rows_at_risk"),
+        F.min("__n").alias("min_group_size"),
+        F.max("__n").alias("max_group_size"),
+    )

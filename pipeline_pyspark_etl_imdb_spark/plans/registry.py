@@ -25,6 +25,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     semdedup,
     similarity,
     skew,
+    triangles,
     warehouse,
 )
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
@@ -1102,6 +1103,18 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "bpe_merge_table": lambda s, d: bpe.bpe_merge_table(_docs(s, d), n_merges=8),
     "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(_docs(s, d), n_merges=8),
+    # new this session, oracle-backed: deterministic train/val/test split
+    # (map-only, content-stable), k-anonymity release gate, and triangle
+    # counting over the supplier co-occurrence graph
+    "dataset_split_assign": lambda s, d: corpus.dataset_split(_docs(s, d))
+    .select("doc_id", "lang", "split")
+    .orderBy("doc_id"),
+    "k_anonymity_customers": lambda s, d: warehouse.k_anonymity_audit(
+        s.read.parquet(f"{d}/customer.parquet"), ["c_nationkey", "c_mktsegment"], k=5
+    ),
+    "supplier_triangles": lambda s, d: triangles.triangle_participation(
+        triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet"))
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

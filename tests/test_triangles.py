@@ -1,0 +1,63 @@
+"""Triangle counting pinned against a hand-built graph and a pure-Python
+reference over the fixture co-occurrence graph."""
+
+from itertools import combinations
+
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark.operators import triangles
+from tests.conftest import SF_SMOKE
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    """K4 has 4 triangles; each node sits in exactly 3 of them."""
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(4), 2)], "src int, dst int"
+    )
+    got = {r.node: r.n_triangles for r in triangles.triangle_participation(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_open_wedge_is_not_a_triangle(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    assert triangles.triangle_participation(edges).count() == 0
+
+
+def test_matches_python_reference(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    pairs = {
+        (r.o, r.n)
+        for r in li.selectExpr("l_orderkey AS o", "l_suppkey AS n").distinct().collect()
+    }
+    by_order: dict = {}
+    for o, n in pairs:
+        by_order.setdefault(o, set()).add(n)
+    edge_set = set()
+    for members in by_order.values():
+        for a, b in combinations(sorted(members), 2):
+            edge_set.add((a, b))
+    tri_count: dict = {}
+    for a, b in edge_set:
+        for c in (n for (x, n) in edge_set if x == b):
+            if (a, c) in edge_set:
+                for node in (a, b, c):
+                    tri_count[node] = tri_count.get(node, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in triangles.triangle_participation(
+            triangles.cooccurrence_edges(li)
+        ).collect()
+    }
+    assert got == tri_count
+
+
+def test_max_degree_cap_drops_hot_nodes(spark):
+    # a hub (0) in every order plus a disjoint pair per order
+    rows = []
+    for o in range(10):
+        rows += [(o, 0), (o, 1 + 2 * o), (o, 2 + 2 * o)]
+    li = spark.createDataFrame(rows, "l_orderkey int, l_suppkey int")
+    capped = triangles.cooccurrence_edges(li, max_degree=3)
+    assert capped.where("src = 0 OR dst = 0").count() == 0
+    uncapped = triangles.cooccurrence_edges(li)
+    assert uncapped.where("src = 0").count() == 20

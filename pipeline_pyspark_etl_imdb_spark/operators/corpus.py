@@ -488,3 +488,61 @@ def dataset_split(
         expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
     )
     return out.withColumn("split", expr).drop("__u", "__h")
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    anchor_ids: list[int],
+    k: int = 5,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Deterministic hard-negative sampling for contrastive training:
+    for each anchor document, ``k`` pseudo-random candidates drawn from a
+    DIFFERENT group (e.g. another language/domain — the standard
+    in-batch-negatives exclusion), selected by ranking candidates on
+    md5(anchor:candidate). The hash makes the draw content-stable: the
+    same (anchor, corpus) always yields the same negatives, and adding
+    documents only ever displaces, never reshuffles, the kept set.
+
+    Output: (anchor_id, negative_id, rk) with rk 1..k per anchor.
+
+    Scale shape: the anchor set is bounded and BROADCAST against the
+    corpus (same contract as the kNN query sets); per-anchor selection is
+    a rank window that compiles to WindowGroupLimit, so each partition
+    forwards at most |anchors| * k rows — the corpus itself never
+    shuffles. |anchors| * corpus candidate generation is map-side only."""
+    from pyspark.sql import Window
+
+    anchors = (
+        df.where(F.col(id_col).isin(anchor_ids))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(group_col).alias("__anchor_grp"),
+        )
+    )
+    cands = df.select(
+        F.col(id_col).alias("negative_id"), F.col(group_col).alias("__grp")
+    )
+    paired = (
+        cands.join(F.broadcast(anchors), on=None, how="cross")
+        .where(~F.col("__grp").eqNullSafe(F.col("__anchor_grp")))
+        .withColumn(
+            "__md5",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("negative_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("__h"), F.asc("negative_id"))
+    return (
+        paired.withColumn("__h", hex_uniform("__md5", 12))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("anchor_id", "negative_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("anchor_id", "rk")
+    )

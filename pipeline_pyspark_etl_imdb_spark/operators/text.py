@@ -467,3 +467,65 @@ def unigram_logprob(
             F.avg("neg_ln_p").alias("avg_neg_logprob"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (Robertson et al., TREC-3; the Lucene +1 idf variant so idf stays
+    positive even for terms in more than half the corpus):
+
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    Output: (doc_id, n_matched, score) for documents matching at least
+    one query term, ordered score DESC, doc_id ASC.
+
+    Scale shape: the token stream is filtered to the query terms BEFORE
+    any aggregation, so tf/df tables are bounded by |Q| * n_docs and |Q|
+    — never vocabulary-sized. Document lengths come from one partial
+    aggregation over the unfiltered stream (the same single-pass shape as
+    unigram_logprob); N, avgdl, and the per-term idf table are scalar/
+    |Q|-sized and broadcast. Everything downstream of the explode is
+    built-in expressions — no Python in the hot path."""
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    tok = docs.select(
+        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.col("term") != "")
+    doclen = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtok = tok.where(F.array_contains(qlit, F.col("term")))
+    tf = qtok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+        "avgdl",
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum(F.col("idf") * norm).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )

@@ -433,3 +433,38 @@ def k_anonymity_audit(
         F.min("__n").alias("min_group_size"),
         F.max("__n").alias("max_group_size"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """One-row l-diversity report: an equivalence class (distinct
+    quasi-identifier combination) is safe only when its members carry at
+    least ``l`` DISTINCT sensitive values — the refinement of k-anonymity
+    that catches the homogeneous class whose size is fine but whose
+    sensitive attribute is unanimous (Machanavajjhala et al. 2007).
+    Output: (n_groups, violating_groups, rows_at_risk, min_distinct,
+    max_distinct).
+
+    Shape mirrors k_anonymity_audit: distinct-per-group via a two-level
+    aggregation — dropDuplicates(quasi + sensitive) partially aggregates
+    map-side, the per-class distinct count is then an exact count, and
+    the final report is a constant-size global re-aggregate. No
+    countDistinct shuffle of raw rows."""
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("__rows"))
+    distincts = (
+        df.dropDuplicates([*quasi_cols, sensitive_col])
+        .groupBy(*quasi_cols)
+        .agg(F.count("*").alias("__ndist"))
+    )
+    groups = sizes.join(distincts, quasi_cols)
+    viol = F.col("__ndist") < l
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(viol.cast("bigint")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("__rows")).otherwise(F.lit(0))).alias(
+            "rows_at_risk"
+        ),
+        F.min("__ndist").alias("min_distinct"),
+        F.max("__ndist").alias("max_distinct"),
+    )

@@ -980,11 +980,20 @@ QUERIES: dict[str, QueryFn] = {
     # r3 rotation: slots 1-21 are the oracle-backed queries that have
     # NEVER had a driver CORRECTNESS row (registered behind the 50-slot
     # window in r2); slots 22-25 the never-checked rows-only queries;
-    # slots 26-34 queries whose operators changed THIS round (df-cap,
-    # tracked persists, k-means seeds); slots 35-50 re-confirm the r1
-    # relational surface refactored in r2. The r2-green surface rotates
-    # behind the window; approx_user_stats/distinct_users_sketch stay
-    # out permanently (no_oracle by design, spark_rows already recorded).
+    # slots 26-38 the queries NEW in r3 (LSH-verified dedup, ANN recall,
+    # data-selection battery, SQL-surface widening, entity resolution,
+    # Bloom decontamination, bigram LM); slots 39-45 the five newest
+    # oracle-backed r3 queries (SemDeDup-LSH, KMV sketch, dataset split,
+    # k-anonymity, triangles) plus jaccard/minhash whose operators took
+    # the r3 df-cap change; slots 46-50 re-confirm refactored r1 queries
+    # (embedding_neardup, ann_ivf, region_revenue, skew_safe pair). The
+    # r2-green surface rotates behind the window;
+    # approx_user_stats/distinct_users_sketch stay out permanently
+    # (no_oracle by design, spark_rows already recorded). Displaced
+    # re-confirmations (knn_bruteforce, lsh_buckets, ann_lsh,
+    # dedup_components, dedup_canonical_corpus) stay locally verified and
+    # their code paths run in-window via lsh_verified_pairs,
+    # ann_recall_report, and jaccard_pairs.
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1053,17 +1062,22 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "doc_bigram_logprob": lambda s, d: text_ops.bigram_logprob(_docs(s, d)),
     "jaccard_pairs": lambda s, d: neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8),
-    "dedup_components": lambda s, d: components.connected_components(
-        neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")
-    ),
-    "dedup_canonical_corpus": lambda s, d: components.dedup_canonical(
-        _docs(s, d),
-        neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b"),
-    ),
     "minhash_candidates": lambda s, d: neardup.minhash_candidate_pairs(_docs(s, d)),
-    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
-    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
-    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    # -- newest r3 oracle-backed queries: SemDeDup over deterministic LSH
+    #    clusters, KMV distinct sketch (estimate itself hash-matches),
+    #    deterministic train/val/test split, k-anonymity release gate,
+    #    triangle counting over the supplier co-occurrence graph
+    "semdedup_lsh": lambda s, d: semdedup.semdedup_lsh(_emb(s, d), threshold=0.35),
+    "kmv_user_sketch": _kmv_user_sketch,
+    "dataset_split_assign": lambda s, d: corpus.dataset_split(_docs(s, d))
+    .select("doc_id", "lang", "split")
+    .orderBy("doc_id"),
+    "k_anonymity_customers": lambda s, d: warehouse.k_anonymity_audit(
+        s.read.parquet(f"{d}/customer.parquet"), ["c_nationkey", "c_mktsegment"], k=5
+    ),
+    "supplier_triangles": lambda s, d: triangles.triangle_participation(
+        triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet"))
+    ),
     "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
     "ann_ivf": lambda s, d: similarity.ann_ivf_knn(
         _emb(s, d), k=5, query_ids=KNN_QUERY_IDS
@@ -1081,12 +1095,20 @@ QUERIES: dict[str, QueryFn] = {
     "part_type_words": analytics.part_type_words,
     "part_word_bridge": analytics.part_word_bridge,
     "null_marker_cast": analytics.null_marker_cast,
-    # new this session: SemDeDup over deterministic LSH clusters and the
-    # KMV distinct sketch — both oracle-backed, slotted into the window
-    # in place of two r1-green relational re-confirmations
-    # (lineitem_rollup, sql_segment_leaders) that stay locally verified
-    "semdedup_lsh": lambda s, d: semdedup.semdedup_lsh(_emb(s, d), threshold=0.35),
-    "kmv_user_sketch": _kmv_user_sketch,
+    # r1-green re-confirmations displaced from the window by the five
+    # newest oracle-backed queries; their code paths (cosine kNN, LSH
+    # bucketing, jaccard components) run in-window via lsh_verified_pairs,
+    # ann_recall_report, and jaccard_pairs
+    "knn_bruteforce": lambda s, d: similarity.cosine_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "lsh_buckets": lambda s, d: similarity.lsh_bucket(_emb(s, d)),
+    "ann_lsh": lambda s, d: similarity.ann_lsh_knn(_emb(s, d), k=5, query_ids=KNN_QUERY_IDS),
+    "dedup_components": lambda s, d: components.connected_components(
+        neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b")
+    ),
+    "dedup_canonical_corpus": lambda s, d: components.dedup_canonical(
+        _docs(s, d),
+        neardup.jaccard_pairs(_docs(s, d), k=3, threshold=0.8).select("doc_a", "doc_b"),
+    ),
     # --- BEHIND THE WINDOW (51+): green in CORRECTNESS_r02 (or r01 for
     #     the tail) and continuously re-verified by the local oracle
     #     suite. First four: r1-green, displaced from the window by the
@@ -1103,17 +1125,20 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "bpe_merge_table": lambda s, d: bpe.bpe_merge_table(_docs(s, d), n_merges=8),
     "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(_docs(s, d), n_merges=8),
-    # new this session, oracle-backed: deterministic train/val/test split
-    # (map-only, content-stable), k-anonymity release gate, and triangle
-    # counting over the supplier co-occurrence graph
-    "dataset_split_assign": lambda s, d: corpus.dataset_split(_docs(s, d))
-    .select("doc_id", "lang", "split")
-    .orderBy("doc_id"),
-    "k_anonymity_customers": lambda s, d: warehouse.k_anonymity_audit(
-        s.read.parquet(f"{d}/customer.parquet"), ["c_nationkey", "c_mktsegment"], k=5
+    # new this session, oracle-backed, queued for the r4 window: Okapi
+    # BM25 retrieval scoring, l-diversity release gate, deterministic
+    # contrastive hard-negative sampling
+    "bm25_docs": lambda s, d: text_ops.bm25_scores(
+        _docs(s, d), ["vector", "hash", "merge"]
     ),
-    "supplier_triangles": lambda s, d: triangles.triangle_participation(
-        triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet"))
+    "l_diversity_customers": lambda s, d: warehouse.l_diversity_audit(
+        s.read.parquet(f"{d}/customer.parquet"),
+        ["c_nationkey"],
+        "c_mktsegment",
+        l=5,
+    ),
+    "contrastive_doc_negatives": lambda s, d: corpus.contrastive_negatives(
+        _docs(s, d), anchor_ids=[1, 2, 3, 4, 5, 6, 7, 8], k=5
     ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,

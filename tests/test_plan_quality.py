@@ -383,3 +383,48 @@ def test_bpe_pair_counts_partially_aggregated(spark):
     plan = _plan(top)
     assert "TakeOrderedAndProject" in plan
     assert "partial_sum" in plan
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """The |Q|-sized idf table must broadcast against the tf table, and
+    both tf/df aggregations must have map-side partial phases — the corpus
+    token stream shuffles only for the bounded (doc, query-term) groups."""
+    from pipeline_pyspark_etl_imdb_spark.operators.text import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(bm25_scores(docs, ["vector", "hash", "merge"]))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_negatives_group_limit_and_broadcast_anchors(spark):
+    """Per-anchor selection must compile to WindowGroupLimit (each
+    partition forwards at most |anchors|*k rows) and the anchor side must
+    be broadcast — the corpus never shuffles for candidate generation."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import (
+        contrastive_negatives,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(contrastive_negatives(docs, [1, 2, 3], k=4))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan  # broadcast nested loop, not SMJ cross
+
+
+def test_privacy_audits_are_two_level_partial_aggregates(spark):
+    """k-anonymity / l-diversity reports must partially aggregate map-side
+    (equivalence classes bounded by the quasi domain) with no window."""
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    for df in (
+        k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5),
+        l_diversity_audit(cust, ["c_nationkey"], "c_mktsegment", l=5),
+    ):
+        plan = _plan(df)
+        assert "partial_count" in plan
+        assert "Window" not in plan

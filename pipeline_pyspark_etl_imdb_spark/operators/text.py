@@ -475,7 +475,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
 ) -> DataFrame:
     """Okapi BM25 relevance of every document against a fixed query-term
     set (Robertson et al., TREC-3; the Lucene +1 idf variant so idf stays
@@ -484,8 +484,10 @@ def bm25_scores(
         score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
         idf(t)   = ln((N - df + 0.5)/(df + 0.5) + 1)
 
-    Output: (doc_id, n_matched, score) for documents matching at least
-    one query term, ordered score DESC, doc_id ASC.
+    Output: (*id_cols, n_matched, score) for units matching at least
+    one query term, ordered score DESC, ids ASC. ``id_col`` may be a
+    list for composite retrieval units (e.g. (doc_id, chunk_idx) for
+    passage-level scoring — see rag_chunk_bm25).
 
     Scale shape: the token stream is filtered to the query terms BEFORE
     any aggregation, so tf/df tables are bounded by |Q| * n_docs and |Q|
@@ -494,17 +496,18 @@ def bm25_scores(
     unigram_logprob); N, avgdl, and the per-term idf table are scalar/
     |Q|-sized and broadcast. Everything downstream of the explode is
     built-in expressions — no Python in the hot path."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     qlit = F.array(*[F.lit(t) for t in query_terms])
     tok = docs.select(
-        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        *ids, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).where(F.col("term") != "")
-    doclen = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    doclen = tok.groupBy(*ids).agg(F.count("*").alias("dl"))
     stats = doclen.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     qtok = tok.where(F.array_contains(qlit, F.col("term")))
-    tf = qtok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = qtok.groupBy(*ids, "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = df_.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -521,11 +524,53 @@ def bm25_scores(
     )
     return (
         tf.join(F.broadcast(idf), "term")
-        .join(doclen, id_col)
-        .groupBy(id_col)
+        .join(doclen, ids)
+        .groupBy(*ids)
         .agg(
             F.count("*").cast("bigint").alias("n_matched"),
             F.sum(F.col("idf") * norm).alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc(id_col))
+        .orderBy(F.desc("score"), *[F.asc(c) for c in ids])
+    )
+
+
+def rag_chunk_bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level retrieval, the RAG indexing shape: split documents
+    into overlapping token windows (corpus.chunk_documents) and BM25-score
+    every chunk against the query-term set; return the global top-``k``
+    chunks. df/N/avgdl are computed at CHUNK granularity — the standard
+    passage-retrieval statistics.
+
+    The top-k cut orders by the score ROUNDED to 6 decimals (the oracle
+    comparison resolution) with (doc_id, chunk_idx) tie-break, so the kept
+    set is engine-portable even when two chunks tie.
+
+    Scale shape: chunking is map-only (explode, no shuffle); scoring
+    inherits bm25_scores' bounded tf/df tables; the final cut is a global
+    TakeOrderedAndProject — k rows to the driver, never a full sort."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import chunk_documents
+
+    chunks = chunk_documents(
+        docs, max_tokens=max_tokens, overlap=overlap, text_col=text_col, id_col=id_col
+    )
+    scored = bm25_scores(
+        chunks,
+        query_terms,
+        text_col="chunk_text",
+        id_col=[id_col, "chunk_idx"],
+    )
+    return (
+        scored.orderBy(
+            F.desc(F.round("score", 6)), F.asc(id_col), F.asc("chunk_idx")
+        )
+        .limit(k)
+        .select(id_col, "chunk_idx", "n_matched", "score")
     )

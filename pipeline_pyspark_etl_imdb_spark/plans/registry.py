@@ -20,6 +20,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     eventtime,
     importance,
     journeys,
+    kcore,
     multimodal,
     neardup,
     semdedup,
@@ -1066,7 +1067,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- newest r3 oracle-backed queries: SemDeDup over deterministic LSH
     #    clusters, KMV distinct sketch (estimate itself hash-matches),
     #    deterministic train/val/test split, k-anonymity release gate,
-    #    triangle counting over the supplier co-occurrence graph
+    #    triangle counting over the part co-purchase graph
     "semdedup_lsh": lambda s, d: semdedup.semdedup_lsh(_emb(s, d), threshold=0.35),
     "kmv_user_sketch": _kmv_user_sketch,
     "dataset_split_assign": lambda s, d: corpus.dataset_split(_docs(s, d))
@@ -1075,7 +1076,10 @@ QUERIES: dict[str, QueryFn] = {
     "k_anonymity_customers": lambda s, d: warehouse.k_anonymity_audit(
         s.read.parquet(f"{d}/customer.parquet"), ["c_nationkey", "c_mktsegment"], k=5
     ),
-    "supplier_triangles": lambda s, d: triangles.triangle_participation(
+    # part (co-purchase) graph, NOT suppliers: the supplier co-occurrence
+    # graph is complete in TPC-H (measured: 77 s at sf0.1 for C(1000,3)
+    # triangle enumeration); the part graph is 0.6%-dense and seconds
+    "copurchase_triangles": lambda s, d: triangles.triangle_participation(
         triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet"))
     ),
     "embedding_neardup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d), threshold=0.35),
@@ -1139,6 +1143,17 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "contrastive_doc_negatives": lambda s, d: corpus.contrastive_negatives(
         _docs(s, d), anchor_ids=[1, 2, 3, 4, 5, 6, 7, 8], k=5
+    ),
+    # passage-level retrieval (chunk + BM25 + global top-k) — oracle-backed
+    "rag_chunk_bm25": lambda s, d: text_ops.rag_chunk_bm25(
+        _docs(s, d), ["vector", "hash", "merge"], k=20
+    ),
+    # k-core of the part co-purchase graph — iterative peel, not
+    # SQL-expressible (rows-only); Python-reference-pinned in
+    # tests/test_kcore.py
+    "copurchase_k_core": lambda s, d: kcore.k_core(
+        triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet")),
+        k=80,
     ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
@@ -1263,4 +1278,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "semdedup_kmeans",
     "bpe_merge_table",
     "bpe_token_counts",
+    "copurchase_k_core",
 )

@@ -113,3 +113,44 @@ def test_l_diversity_null_sensitive_counts_once(spark):
     # NULL is one distinct sensitive value under dropDuplicates semantics
     assert got.min_distinct == 2
     assert got.violating_groups == 1
+
+
+def test_rag_chunk_bm25_contract(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.text import rag_chunk_bm25
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = rag_chunk_bm25(docs, ["vector", "hash", "merge"], k=20).collect()
+    assert len(out) == 20
+    # scores non-increasing at the 6-decimal cut resolution
+    scores = [round(r.score, 6) for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.n_matched >= 1 for r in out)
+    # determinism
+    again = rag_chunk_bm25(docs, ["vector", "hash", "merge"], k=20).collect()
+    assert [(r.doc_id, r.chunk_idx) for r in out] == [
+        (r.doc_id, r.chunk_idx) for r in again
+    ]
+
+
+def test_rag_chunk_bm25_composite_id_scoring_matches_whole_doc_when_one_chunk(spark):
+    """A corpus where every doc fits one chunk: chunk-level BM25 equals
+    doc-level BM25 (chunk_idx 0 everywhere)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.text import (
+        bm25_scores,
+        rag_chunk_bm25,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat fish"), (3, "bird fish")],
+        "doc_id bigint, text string",
+    )
+    chunked = {
+        (r.doc_id, round(r.score, 9)): r.chunk_idx
+        for r in rag_chunk_bm25(docs, ["cat"], k=10, max_tokens=64).collect()
+    }
+    whole = {
+        (r.doc_id, round(r.score, 9))
+        for r in bm25_scores(docs, ["cat"]).collect()
+    }
+    assert set(chunked) == whole
+    assert all(v == 0 for v in chunked.values())

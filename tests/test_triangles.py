@@ -27,7 +27,7 @@ def test_matches_python_reference(spark):
     li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
     pairs = {
         (r.o, r.n)
-        for r in li.selectExpr("l_orderkey AS o", "l_suppkey AS n").distinct().collect()
+        for r in li.selectExpr("l_orderkey AS o", "l_partkey AS n").distinct().collect()
     }
     by_order: dict = {}
     for o, n in pairs:
@@ -56,7 +56,7 @@ def test_max_degree_cap_drops_hot_nodes(spark):
     rows = []
     for o in range(10):
         rows += [(o, 0), (o, 1 + 2 * o), (o, 2 + 2 * o)]
-    li = spark.createDataFrame(rows, "l_orderkey int, l_suppkey int")
+    li = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
     capped = triangles.cooccurrence_edges(li, max_degree=3)
     assert capped.where("src = 0 OR dst = 0").count() == 0
     uncapped = triangles.cooccurrence_edges(li)

@@ -343,28 +343,36 @@ def lsh_verified_pairs(
     cand = tracked_persist(
         minhash_candidate_pairs(docs, n_hashes, rows_per_band, k, text_col, id_col)
     )
-    # shingle rows feed three consumers (a-side, b-side, sizes): persist
-    sh = tracked_persist(shingle_sets(docs, k, text_col, id_col))
-    a_sh = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # verification via per-doc shingle ARRAYS, not exploded rows: join the
+    # (tiny) candidate list against the doc->array table twice and take
+    # size(array_intersect) row-wise. No candidate x shingle fan-out ever
+    # materializes, and with the candidate side broadcast (size-guarded)
+    # the array table never shuffles — measured 10.9 s -> ~3.5 s at sf0.1
+    # vs the exploded-row join cascade. word_shingles is already distinct,
+    # so |intersect| / (|a| + |b| - |intersect|) is exact set Jaccard —
+    # identical arithmetic to the oracle's row-join formulation.
+    arr = (
+        fan_out(docs)
+        .select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .select(id_col, word_shingles("__tok", k).alias("sh"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pa = arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    # candidate count is bounded by band-collision volume; guard anyway so
+    # a pathological corpus falls back to shuffle equi-joins instead of a
+    # driver-OOM broadcast
+    small = cand.count() <= 2_000_000
+    step1 = pa.join(F.broadcast(cand) if small else cand, "doc_a")
+    step2 = pb.join(F.broadcast(step1) if small else step1, "doc_b")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        step2.select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                n_inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_inter)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -103,6 +103,14 @@ def bpe_learn(
     )
     seg = seg.persist()
     merges: list[tuple[str, str, int]] = []
+    # ONE job per round instead of two: the round's TakeOrdered(1) action
+    # both returns the winning pair AND materializes the current
+    # segmentation's cache as a side effect, so the previous round's cache
+    # can be released immediately after (its blocks were only needed to
+    # build this one). The old shape ran an extra count() per round purely
+    # to materialize — pure scheduling overhead at every scale, and HALF
+    # the per-round jobs on a small vocabulary.
+    prev: DataFrame | None = None
     try:
         for _ in range(n_merges):
             pair_struct = F.expr(
@@ -118,6 +126,9 @@ def bpe_learn(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             left, right, cnt = top[0].l, top[0].r, int(top[0].cnt)
@@ -125,10 +136,15 @@ def bpe_learn(
             nxt = seg.select(
                 "word", "wcount", _apply_merge(F.col("syms"), left, right).alias("syms")
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            seg.unpersist()
-            seg = nxt
+            prev, seg = seg, nxt
+        if prev is not None:
+            # the final segmentation was never the subject of a top-pair
+            # action: materialize it before releasing its parent
+            seg.count()
+            prev.unpersist()
     except Exception:
+        if prev is not None:
+            prev.unpersist()
         seg.unpersist()
         raise
     return BpeModel(merges=merges, segmented=seg)

@@ -546,3 +546,33 @@ def contrastive_negatives(
         .select("anchor_id", "negative_id", F.col("rk").cast("int").alias("rk"))
         .orderBy("anchor_id", "rk")
     )
+
+
+def curriculum_stages(
+    docs: DataFrame,
+    n_stages: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ordered curriculum assignment: every document lands in one
+    of ``n_stages`` equal-size stages by ascending quality score (stage 1
+    = lowest quality, trained first under an easy-to-hard curriculum; or
+    reverse the consumption order for anti-curriculum). Output
+    (doc_id, quality, stage).
+
+    Composition of two existing primitives: the inline quality expression
+    (text.quality_expr — map-only) and the DISTRIBUTED ntile
+    (ranks.total_order_ranks — range shuffle + broadcast partition
+    offsets, no single-partition window). The order (quality, doc_id) is
+    tie-free, so the ntile boundary is engine-exact and the oracle's
+    window-function formulation hash-matches."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_expr
+
+    scored = docs.select(
+        id_col, quality_expr(F.col(text_col)).alias("quality")
+    )
+    ranked = total_order_ranks(scored, ["quality", id_col], ntile=n_stages)
+    return ranked.select(
+        id_col, "quality", F.col("bucket").cast("int").alias("stage")
+    ).orderBy(id_col)

@@ -24,6 +24,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     multimodal,
     neardup,
     semdedup,
+    quantize,
     similarity,
     skew,
     triangles,
@@ -1148,6 +1149,14 @@ QUERIES: dict[str, QueryFn] = {
     "rag_chunk_bm25": lambda s, d: text_ops.rag_chunk_bm25(
         _docs(s, d), ["vector", "hash", "merge"], k=20
     ),
+    # embedding compression battery — oracle-backed: symmetric int8 codes
+    # + reconstruction MSE, and Matryoshka dim-truncation retrieval recall
+    "embedding_int8_quantize": lambda s, d: quantize.int8_quantize(_emb(s, d)),
+    "matryoshka_recall16": lambda s, d: quantize.matryoshka_recall(
+        _emb(s, d), trunc_dim=16, k=5, query_ids=KNN_QUERY_IDS
+    ),
+    # quality-curriculum staging (quality_expr x distributed ntile)
+    "curriculum_stages": lambda s, d: corpus.curriculum_stages(_docs(s, d)),
     # k-core of the part co-purchase graph — iterative peel, not
     # SQL-expressible (rows-only); Python-reference-pinned in
     # tests/test_kcore.py

@@ -463,3 +463,30 @@ def test_lsh_verified_pairs_broadcasts_candidates(spark):
         assert "SortMergeJoin" not in plan
     finally:
         release_tracked()
+
+
+def test_int8_quantize_single_partial_max_battery_no_explode(spark):
+    """The scale vector must come from ONE partially-aggregated max
+    battery (dim columns, map-side collapse to a single row) broadcast
+    back — never an (id, dim) posexplode shuffle."""
+    from pipeline_pyspark_etl_imdb_spark.operators.quantize import int8_quantize
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    plan = _plan(int8_quantize(emb))
+    assert "partial_max" in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_curriculum_stages_no_single_partition_data_window(spark):
+    """The ntile must ride the distributed rank machinery: the only
+    partition-less window sees the per-partition offset rows (~cluster
+    size), never the documents."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import curriculum_stages
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(curriculum_stages(docs, n_stages=4))
+    # the doc-sized window is partitioned by __pid; the offsets frame is
+    # broadcast back
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan

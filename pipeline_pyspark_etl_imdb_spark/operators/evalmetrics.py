@@ -1,0 +1,103 @@
+"""Distributed model-evaluation metrics — the measurement half of the
+learned-filter loop (train a quality classifier, THEN check it ranks
+real positives above negatives before gating a 100 TB corpus on it).
+
+AUC via the rank-sum (Mann-Whitney) identity:
+
+    AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+
+which needs exactly one global rank — computed here with the
+DISTRIBUTED rank machinery (ranks.total_order_ranks: range shuffle +
+broadcast partition offsets, no single-partition window), then one
+constant-size aggregate. No per-threshold sweep, no collect of scores.
+
+Determinism: the rank order (score, id) is tie-free, so ranks — and
+therefore the AUC — are engine-exact and hash-match the oracle's
+window-function formulation. (True tie handling would average tied
+ranks; with a deterministic id tie-break both engines bias identically,
+which is what an oracle-checked pipeline wants. The bias is zero when
+scores are continuous.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+
+def rank_sum_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One-row (n_pos, n_neg, auc) for a double score column against a
+    boolean/0-1 label column. Cost: one range shuffle (the distributed
+    rank) + one constant-size aggregate."""
+    ranked = total_order_ranks(
+        df.select(id_col, score_col, F.col(label_col).cast("int").alias("__y")),
+        [score_col, id_col],
+    )
+    agg = ranked.agg(
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("__y") * F.col("global_rn")).cast("bigint").alias("__rank_sum"),
+    )
+    auc = (
+        F.col("__rank_sum").cast("double")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double") / 2.0
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """(threshold, tp, fp, fn, tn, precision, recall, f1) for each cut —
+    the operating-point table a filter rollout picks from. ONE pass over
+    the data: per-threshold counts are conditional sums inside a single
+    partial aggregate (|thresholds| x 4 counters map-side), never one job
+    per threshold."""
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col)
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = (s >= F.lit(float(t))).cast("int")
+        aggs += [
+            F.sum(pred * y).cast("bigint").alias(f"__tp{i}"),
+            F.sum(pred * (1 - y)).cast("bigint").alias(f"__fp{i}"),
+            F.sum((1 - pred) * y).cast("bigint").alias(f"__fn{i}"),
+            F.sum((1 - pred) * (1 - y)).cast("bigint").alias(f"__tn{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for i, t in enumerate(thresholds):
+        tp, fp = F.col(f"__tp{i}"), F.col(f"__fp{i}")
+        fn, tn = F.col(f"__fn{i}"), F.col(f"__tn{i}")
+        prec = F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).otherwise(0.0)
+        rec = F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).otherwise(0.0)
+        f1 = F.when(
+            prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+        ).otherwise(0.0)
+        rows.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+                tn.alias("tn"),
+                prec.alias("precision"),
+                rec.alias("recall"),
+                f1.alias("f1"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("m"))
+        .select("m.*")
+        .orderBy("threshold")
+    )

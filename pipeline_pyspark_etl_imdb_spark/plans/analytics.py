@@ -570,3 +570,51 @@ def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT avg_price FROM g)
         """
     )
+
+
+def segment_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend of order price over order year: slope,
+    intercept, and r² from the closed-form sums — grouped linear
+    regression as ONE partial-aggregated groupBy (n, Σx, Σy, Σxy, Σx²,
+    Σy² collapse map-side; nothing but 6 numbers per segment crosses the
+    wire). At 100 TB this is the shape for per-cohort trend fitting —
+    never a per-group collect or an iterative solver.
+
+    Numeric policy: x is an int year and y accumulates in DECIMAL, so
+    every sum is EXACT and order-independent; the slope/intercept/r²
+    divisions happen once on the exact sums cast to double — the same
+    IEEE operations in any engine, hash-matching the oracle."""
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select(
+        "c_mktsegment",
+        F.year("o_orderdate").cast("long").alias("x"),
+        _dec("o_totalprice").alias("y"),
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").alias("n_orders"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((cov * cov) / (varx * vary)).alias("r2"),
+    ).orderBy("c_mktsegment")

@@ -17,6 +17,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     bpe,
     components,
     corpus,
+    evalmetrics,
     eventtime,
     importance,
     journeys,
@@ -1157,6 +1158,30 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # quality-curriculum staging (quality_expr x distributed ntile)
     "curriculum_stages": lambda s, d: corpus.curriculum_stages(_docs(s, d)),
+    # grouped closed-form OLS (one partial-agg groupBy, exact decimal sums)
+    "segment_price_trend": analytics.segment_price_trend,
+    # model-eval battery — oracle-backed: rank-sum AUC via the distributed
+    # global rank, and a one-pass multi-threshold operating-point table
+    # (score = quality_expr, label = lang=='en')
+    "quality_auc": lambda s, d: evalmetrics.rank_sum_auc(
+        _docs(s, d).select(
+            "doc_id",
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("lang") == "en").alias("is_en"),
+        ),
+        "quality",
+        "is_en",
+        "doc_id",
+    ),
+    "quality_threshold_metrics": lambda s, d: evalmetrics.threshold_metrics(
+        _docs(s, d).select(
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("lang") == "en").alias("is_en"),
+        ),
+        "quality",
+        "is_en",
+        [0.4, 0.5, 0.6, 0.7],
+    ),
     # k-core of the part co-purchase graph — iterative peel, not
     # SQL-expressible (rows-only); Python-reference-pinned in
     # tests/test_kcore.py

@@ -1,0 +1,80 @@
+"""Rank-sum AUC pinned on hand-built separations; threshold metrics
+pinned against a hand confusion matrix; OLS trend pinned against NumPy
+polyfit."""
+
+import numpy as np
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+    rank_sum_auc,
+    threshold_metrics,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(i, float(i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, s double, y boolean")
+    got = rank_sum_auc(df, "s", "y", "id").collect()[0]
+    assert (got.n_pos, got.n_neg) == (5, 5)
+    assert got.auc == pytest.approx(1.0)
+
+
+def test_auc_inverted_is_zero(spark):
+    rows = [(i, float(-i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, s double, y boolean")
+    assert rank_sum_auc(df, "s", "y", "id").collect()[0].auc == pytest.approx(0.0)
+
+
+def test_auc_matches_sklearn_style_reference(spark):
+    rng = [(i, ((i * 37) % 101) / 101.0, (i * 53) % 7 < 3) for i in range(200)]
+    df = spark.createDataFrame(rng, "id bigint, s double, y boolean")
+    got = rank_sum_auc(df, "s", "y", "id").collect()[0]
+    # reference: fraction of (pos, neg) pairs ranked correctly under the
+    # same (score, id) tie-break order
+    order = sorted(rng, key=lambda r: (r[1], r[0]))
+    ranks = {r[0]: i + 1 for i, r in enumerate(order)}
+    pos = [r for r in rng if r[2]]
+    neg = [r for r in rng if not r[2]]
+    rank_sum = sum(ranks[r[0]] for r in pos)
+    want = (rank_sum - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg))
+    assert got.auc == pytest.approx(want, rel=1e-12)
+
+
+def test_threshold_metrics_hand_built(spark):
+    # scores .1 .4 .6 .9 with labels F F T T at t=0.5: tp=2 fp=0 fn=0 tn=2
+    df = spark.createDataFrame(
+        [(0.1, False), (0.4, False), (0.6, True), (0.9, True)],
+        "s double, y boolean",
+    )
+    got = {r.threshold: r for r in threshold_metrics(df, "s", "y", [0.5, 0.95]).collect()}
+    m = got[0.5]
+    assert (m.tp, m.fp, m.fn, m.tn) == (2, 0, 0, 2)
+    assert m.precision == 1.0 and m.recall == 1.0 and m.f1 == 1.0
+    m2 = got[0.95]
+    assert (m2.tp, m2.fp, m2.fn, m2.tn) == (0, 0, 2, 2)
+    assert m2.precision == 0.0 and m2.recall == 0.0 and m2.f1 == 0.0
+
+
+def test_segment_price_trend_matches_numpy(spark):
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import (
+        _table,
+        segment_price_trend,
+    )
+
+    got = {r.c_mktsegment: r for r in segment_price_trend(spark, SF_ORACLE).collect()}
+    orders = _table(spark, SF_ORACLE, "orders")
+    cust = _table(spark, SF_ORACLE, "customer")
+    pdf = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .selectExpr(
+            "c_mktsegment", "year(o_orderdate) AS x", "CAST(o_totalprice AS DOUBLE) AS y"
+        )
+        .toPandas()
+    )
+    for seg, grp in pdf.groupby("c_mktsegment"):
+        slope, intercept = np.polyfit(grp.x, grp.y, 1)
+        assert got[seg].slope == pytest.approx(slope, rel=1e-6), seg
+        assert got[seg].intercept == pytest.approx(intercept, rel=1e-6), seg
+        r = np.corrcoef(grp.x, grp.y)[0, 1]
+        assert got[seg].r2 == pytest.approx(r * r, rel=1e-6), seg

@@ -490,3 +490,31 @@ def test_curriculum_stages_no_single_partition_data_window(spark):
     # broadcast back
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ols_trend_single_partial_aggregate(spark):
+    """Grouped OLS must be ONE partially-aggregated groupBy (6 exact sums
+    per segment) — no window, no per-group iteration."""
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import segment_price_trend
+
+    plan = _plan(segment_price_trend(spark, SF_ORACLE))
+    assert "partial_" in plan
+    assert "Window" not in plan
+
+
+def test_threshold_metrics_one_pass(spark):
+    """All thresholds must come from ONE aggregate over the data (the
+    per-threshold counters live in a single partial-agg row), never one
+    job per threshold."""
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        threshold_metrics,
+    )
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_expr
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        quality_expr(FF.col("text")).alias("q"), (FF.col("lang") == "en").alias("y")
+    )
+    plan = _plan(threshold_metrics(docs, "q", "y", [0.4, 0.5, 0.6]))
+    assert plan.count("HashAggregate") <= 4  # partial+final, not per-threshold
+    assert "partial_sum" in plan

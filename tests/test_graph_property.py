@@ -1,0 +1,141 @@
+"""Property tests: triangle participation and k-core must agree with
+pure-Python references on randomized graphs — generated cases catch the
+shapes the fixture can't (empty graphs, disconnected stars, graphs that
+peel to nothing, self-contained cliques)."""
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pipeline_pyspark_etl_imdb_spark.operators.kcore import k_core
+from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+    triangle_participation,
+)
+from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+)
+
+
+def _canon(edges):
+    return {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+
+def _py_triangles(edge_set):
+    count: dict = {}
+    for a, b, c in combinations(sorted({n for e in edge_set for n in e}), 3):
+        if (a, b) in edge_set and (b, c) in edge_set and (a, c) in edge_set:
+            for n in (a, b, c):
+                count[n] = count.get(n, 0) + 1
+    return count
+
+
+def _py_k_core(edge_set, k):
+    adj: dict = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=st.lists(edge, min_size=1, max_size=20))
+def test_triangles_match_python(spark, edges):
+    es = _canon(edges)
+    if not es:
+        return
+    df = spark.createDataFrame(sorted(es), "src int, dst int")
+    try:
+        got = {
+            r.node: r.n_triangles for r in triangle_participation(df).collect()
+        }
+    finally:
+        release_tracked()
+    assert got == _py_triangles(es)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(edge, min_size=1, max_size=20),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_k_core_matches_python(spark, edges, k):
+    es = _canon(edges)
+    if not es:
+        return
+    df = spark.createDataFrame(sorted(es), "src int, dst int")
+    got = {r.node: r.degree for r in k_core(df, k=k).collect()}
+    assert got == _py_k_core(es, k)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "fish", "bird", "ant"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    query=st.sets(
+        st.sampled_from(["cat", "dog", "fish"]), min_size=1, max_size=3
+    ),
+)
+def test_bm25_matches_python(spark, docs, query):
+    import math
+
+    from pipeline_pyspark_etl_imdb_spark.operators.text import bm25_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_matched, r.score)
+        for r in bm25_scores(df, sorted(query)).collect()
+    }
+    # pure-Python Okapi BM25, Lucene +1 idf, k1=1.2 b=0.75
+    n = len(docs)
+    dls = [len(t) for t in docs]
+    avgdl = sum(dls) / n
+    dfreq = {
+        t: sum(1 for d in docs if t in d) for t in query
+    }
+    want = {}
+    for i, d in enumerate(docs):
+        score, matched = 0.0, 0
+        for t in sorted(query):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+        if matched:
+            want[i] = (matched, score)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9, i

@@ -576,3 +576,61 @@ def curriculum_stages(
     return ranked.select(
         id_col, "quality", F.col("bucket").cast("int").alias("stage")
     ).orderBy(id_col)
+
+
+def pack_best_fit(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing, first-fit-decreasing policy: within each shard,
+    documents are placed whole into the first sequence with room, longest
+    documents first (the classic FFD bin-packing heuristic — guaranteed
+    within 11/9 OPT + 1 bins, and the policy used when loss masking does
+    NOT span document joins, so a document must never straddle a
+    sequence). Documents longer than the budget get a dedicated sequence.
+    Output: (doc_id, shard, n_tokens, seq_idx) — deterministic: ties in
+    length break by ascending id.
+
+    Contrast pack_concat_split (the other packing policy in this module):
+    that one is a pure window expression because documents may straddle;
+    FFD is inherently sequential per shard, so it runs as an Arrow-batched
+    applyInPandas over shard groups — the same bounded-group stateful-scan
+    contract as eventtime.grouped_ema. Parallelism is n_shards; size
+    n_shards so a shard's (id, length) pairs fit an executor (16 bytes a
+    document — 10^8 docs/shard is ~1.6 GB, fine; the TEXT never moves)."""
+    import pandas as pd
+
+    base = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        caps: list[int] = []  # remaining capacity per open sequence
+        seq = []
+        for t in pdf["n_tokens"]:
+            need = int(t)
+            placed = -1
+            for j, cap in enumerate(caps):
+                if cap >= need:
+                    placed = j
+                    break
+            if placed < 0:
+                caps.append(max(budget_tokens - need, 0))
+                placed = len(caps) - 1
+            else:
+                caps[placed] -= need
+            seq.append(placed)
+        return pdf.assign(seq_idx=pd.Series(seq, dtype="int64"))
+
+    return base.groupBy("shard").applyInPandas(
+        _pack,
+        schema=f"{id_col} bigint, shard int, n_tokens bigint, seq_idx bigint",
+    )

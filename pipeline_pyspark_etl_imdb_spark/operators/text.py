@@ -574,3 +574,55 @@ def rag_chunk_bm25(
         .limit(k)
         .select(id_col, "chunk_idx", "n_matched", "score")
     )
+
+
+def vocab_zipf_fit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row Zipf's-law fit over the corpus vocabulary: OLS of
+    ln(count) on ln(rank) (rank 1 = most frequent; ties broken by token
+    so the rank order is engine-exact). A healthy natural-language corpus
+    fits slope ≈ -1; a synthetic or template-heavy corpus departs — the
+    cheap distribution-drift alarm for an ingest pipeline. Output:
+    (n_types, n_tokens, slope, intercept, r2).
+
+    Composition of existing shapes: one vocabulary groupBy (map-side
+    combine, vocabulary-sized result), the DISTRIBUTED rank
+    (ranks.total_order_ranks — no single-partition window), and the
+    closed-form OLS sums in one constant-size aggregate."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = total_order_ranks(
+        vocab.withColumn("__neg", -F.col("cnt")), ["__neg", "token"]
+    ).select(
+        F.log(F.col("global_rn").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        "cnt",
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_types").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+        ((cov * cov) / (varx * vary)).alias("r2"),
+    )

@@ -1173,6 +1173,14 @@ QUERIES: dict[str, QueryFn] = {
         "is_en",
         "doc_id",
     ),
+    # Zipf's-law corpus-health fit (vocab groupBy x distributed rank x OLS)
+    "vocab_zipf_fit": lambda s, d: text_ops.vocab_zipf_fit(_docs(s, d)),
+    # first-fit-decreasing sequence packing — sequential per shard, so
+    # Arrow-batched applyInPandas; rows-only (FFD is not SQL-expressible),
+    # invariant + Python-reference pinned in tests/test_packing.py
+    "pack_best_fit_assignment": lambda s, d: corpus.pack_best_fit(
+        _docs(s, d)
+    ).orderBy("doc_id"),
     "quality_threshold_metrics": lambda s, d: evalmetrics.threshold_metrics(
         _docs(s, d).select(
             text_ops.quality_expr(F.col("text")).alias("quality"),
@@ -1313,4 +1321,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "bpe_merge_table",
     "bpe_token_counts",
     "copurchase_k_core",
+    "pack_best_fit_assignment",
 )

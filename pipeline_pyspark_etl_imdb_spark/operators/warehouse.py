@@ -468,3 +468,70 @@ def l_diversity_audit(
         F.min("__ndist").alias("min_distinct"),
         F.max("__ndist").alias("max_distinct"),
     )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Estimated Jaccard overlap between every pair of groups' distinct
+    value sets, from KMV sketches (the k-minimum-values set-operation
+    trick: the k smallest hashes of A ∪ B are a uniform sample of the
+    union, so the fraction of them present in BOTH sketches estimates
+    |A∩B| / |A∪B|). Audience-overlap analytics — "how many distinct
+    users do these event types share" — without ever shuffling the
+    distinct sets pairwise.
+
+    Output: (group_a, group_b, n_union_kept, n_both, jaccard_est) for
+    group_a < group_b.
+
+    Scale shape: everything downstream of kmv_sketch runs on sketch rows
+    (groups x k — KBs however big the data); the pair enumeration is a
+    broadcast self-join of the GROUP LIST, the union-sketch cut is a
+    rank window that compiles to WindowGroupLimit. Deterministic md5
+    hashing makes the ESTIMATE itself oracle-checkable, like
+    kmv_estimate."""
+    from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+    sk = kmv_sketch(df, [group_col], value_col, k=k).select(
+        F.col(group_col).alias("__g"), "h"
+    )
+    groups = sk.select("__g").distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("__g").alias("group_b"))))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    side_a = pairs.join(sk, pairs.group_a == sk.__g).select(
+        "group_a", "group_b", "h"
+    )
+    side_b = pairs.join(sk, pairs.group_b == sk.__g).select(
+        "group_a", "group_b", "h"
+    )
+    membership = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "h")
+        .agg(F.count("*").alias("__n"))
+    )
+    union_k = top_k_per_group(
+        membership, ["group_a", "group_b"], [F.asc("h")], k
+    )
+    return (
+        union_k.groupBy("group_a", "group_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_union_kept"),
+            F.sum((F.col("__n") == 2).cast("bigint")).alias("n_both"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_union_kept",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_union_kept")).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("group_a", "group_b")
+    )

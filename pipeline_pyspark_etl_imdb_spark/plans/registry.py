@@ -1173,6 +1173,11 @@ QUERIES: dict[str, QueryFn] = {
         "is_en",
         "doc_id",
     ),
+    # KMV set-operation estimate: audience overlap between event types
+    # (deterministic md5 sketches — the estimate itself hash-matches)
+    "event_audience_overlap": lambda s, d: warehouse.kmv_jaccard_pairs(
+        _events(s, d), "event_type", "user_id", k=64
+    ),
     # Zipf's-law corpus-health fit (vocab groupBy x distributed rank x OLS)
     "vocab_zipf_fit": lambda s, d: text_ops.vocab_zipf_fit(_docs(s, d)),
     # first-fit-decreasing sequence packing — sequential per shard, so

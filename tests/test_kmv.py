@@ -75,3 +75,40 @@ def test_sketch_rows_bounded(events):
     sk = kmv_sketch(events, ["event_type"], "user_id", k=16)
     counts = sk.groupBy("event_type").count().collect()
     assert all(r["count"] <= 16 for r in counts)
+
+
+def test_kmv_jaccard_estimates_true_overlap(spark):
+    """Synthetic groups with engineered overlap: A=0..199, B=100..299
+    (true J=1/3), C disjoint (true J=0). The k=64 estimate must land
+    within the standard KMV error band (~1/sqrt(k) ≈ 0.125) for the
+    overlapping pair and exactly 0 for the disjoint pair."""
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        kmv_jaccard_pairs,
+    )
+
+    rows = (
+        [("A", v) for v in range(200)]
+        + [("B", v) for v in range(100, 300)]
+        + [("C", v) for v in range(1000, 1100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {
+        (r.group_a, r.group_b): r for r in kmv_jaccard_pairs(df, "g", "v").collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert abs(ab.jaccard_est - 1 / 3) < 0.125, ab.jaccard_est
+    assert got[("A", "C")].n_both == 0
+    assert got[("B", "C")].jaccard_est == 0.0
+
+
+def test_kmv_jaccard_identical_groups_is_one(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        kmv_jaccard_pairs,
+    )
+
+    rows = [("X", v) for v in range(50)] + [("Y", v) for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = kmv_jaccard_pairs(df, "g", "v").collect()[0]
+    assert got.jaccard_est == 1.0
+    assert got.n_union_kept == 50  # below k: sketch IS the set

@@ -101,3 +101,79 @@ def threshold_metrics(
         .select("m.*")
         .orderBy("threshold")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: per equal-width score bin, the count,
+    mean score, and empirical positive rate — the calibration check that
+    decides whether a filter's scores can be thresholded on probability
+    semantics at all. Scores at exactly 1.0 fold into the top bin.
+    ONE partial-aggregated groupBy on the bin index."""
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg(score_col).alias("avg_score"),
+            F.avg(y.cast("double")).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """One-row Population Stability Index between the two halves of a
+    boolean split (expected = split false, actual = split true):
+
+        PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+    over equal-width bins of ``value_col`` on [lo, hi] — the standard
+    score-drift alarm (<0.1 stable, 0.1-0.25 moderate, >0.25 shifted).
+    Empty bins are smoothed with ``eps`` so the log stays finite, the
+    conventional treatment. Output: (n_expected, n_actual, psi).
+
+    Shape: ONE partial-aggregated groupBy(bin) carrying two conditional
+    counts, then a constant-size re-aggregate — the data is read once."""
+    frac = (F.col(value_col) - lo) / (hi - lo)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.floor(frac * n_bins).cast("int"), F.lit(n_bins - 1)),
+    )
+    s = F.col(split_col).cast("int")
+    bins = df.groupBy(b.alias("bin")).agg(
+        F.sum(1 - s).cast("bigint").alias("__ne"),
+        F.sum(s).cast("bigint").alias("__na"),
+    )
+    totals = bins.agg(
+        F.sum("__ne").cast("bigint").alias("n_expected"),
+        F.sum("__na").cast("bigint").alias("n_actual"),
+    )
+    # totals are 1 row; broadcast back over the (n_bins-sized) bins frame
+    # for the share computation — the raw data is never read twice
+    shares = bins.crossJoin(F.broadcast(totals.select("n_expected", "n_actual")))
+    p = F.col("__ne").cast("double") / F.col("n_expected") + eps
+    q = F.col("__na").cast("double") / F.col("n_actual") + eps
+    contrib = (p - q) * F.log(p / q)
+    return (
+        shares.agg(
+            F.first("n_expected").alias("n_expected"),
+            F.first("n_actual").alias("n_actual"),
+            F.sum(contrib).alias("psi"),
+        )
+    )

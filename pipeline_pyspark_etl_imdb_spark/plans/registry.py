@@ -1173,6 +1173,25 @@ QUERIES: dict[str, QueryFn] = {
         "is_en",
         "doc_id",
     ),
+    # calibration + drift monitoring over the quality score
+    "quality_calibration": lambda s, d: evalmetrics.calibration_bins(
+        _docs(s, d).select(
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("lang") == "en").alias("is_en"),
+        ),
+        "quality",
+        "is_en",
+        n_bins=10,
+    ),
+    "quality_psi_drift": lambda s, d: evalmetrics.psi_drift(
+        _docs(s, d).select(
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("doc_id") % 2 == 0).alias("half"),
+        ),
+        "quality",
+        "half",
+        n_bins=10,
+    ),
     # KMV set-operation estimate: audience overlap between event types
     # (deterministic md5 sketches — the estimate itself hash-matches)
     "event_audience_overlap": lambda s, d: warehouse.kmv_jaccard_pairs(

@@ -78,3 +78,52 @@ def test_segment_price_trend_matches_numpy(spark):
         assert got[seg].intercept == pytest.approx(intercept, rel=1e-6), seg
         r = np.corrcoef(grp.x, grp.y)[0, 1]
         assert got[seg].r2 == pytest.approx(r * r, rel=1e-6), seg
+
+
+def test_calibration_perfectly_calibrated_scores(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    # score == empirical positive rate within each bin by construction:
+    # 100 rows at score .25 with 25% positives, 100 at .75 with 75%
+    rows = [(0.25, i % 4 == 0) for i in range(100)] + [
+        (0.75, i % 4 != 0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {r.bin: r for r in calibration_bins(df, "s", "y", n_bins=4).collect()}
+    assert set(got) == {1, 3}
+    assert got[1].frac_positive == 0.25 and got[3].frac_positive == 0.75
+    assert got[1].n == 100
+
+
+def test_calibration_top_bin_folds_score_one(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame([(1.0, True), (0.95, False)], "s double, y boolean")
+    got = calibration_bins(df, "s", "y", n_bins=10).collect()
+    assert len(got) == 1 and got[0].bin == 9 and got[0].n == 2
+
+
+def test_psi_identical_halves_is_near_zero(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import psi_drift
+
+    rows = [(i / 100.0, i % 2 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, half boolean")
+    got = psi_drift(df, "v", "half").collect()[0]
+    assert got.n_expected == 50 and got.n_actual == 50
+    assert abs(got.psi) < 1e-3
+
+
+def test_psi_shifted_distribution_alarms(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import psi_drift
+
+    # expected uniform on [0, 0.5); actual uniform on [0.5, 1.0)
+    rows = [(i / 200.0, False) for i in range(100)] + [
+        (0.5 + i / 200.0, True) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "v double, half boolean")
+    got = psi_drift(df, "v", "half").collect()[0]
+    assert got.psi > 0.25  # "significant shift" band

@@ -160,13 +160,16 @@ def psi_drift(
         F.sum(1 - s).cast("bigint").alias("__ne"),
         F.sum(s).cast("bigint").alias("__na"),
     )
-    totals = bins.agg(
-        F.sum("__ne").cast("bigint").alias("n_expected"),
-        F.sum("__na").cast("bigint").alias("n_actual"),
-    )
-    # totals are 1 row; broadcast back over the (n_bins-sized) bins frame
-    # for the share computation — the raw data is never read twice
-    shares = bins.crossJoin(F.broadcast(totals.select("n_expected", "n_actual")))
+    # totals via an unpartitioned window over the BINS frame (<= n_bins
+    # rows — the ranks.py offsets pattern), NOT a second aggregation of
+    # `bins`: referencing `bins` from two subtrees would re-scan the raw
+    # source, and at 100 TB "read the data once" is the whole point
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shares = bins.withColumn(
+        "n_expected", F.sum("__ne").over(w).cast("bigint")
+    ).withColumn("n_actual", F.sum("__na").over(w).cast("bigint"))
     p = F.col("__ne").cast("double") / F.col("n_expected") + eps
     q = F.col("__na").cast("double") / F.col("n_actual") + eps
     contrib = (p - q) * F.log(p / q)

@@ -518,3 +518,33 @@ def test_threshold_metrics_one_pass(spark):
     plan = _plan(threshold_metrics(docs, "q", "y", [0.4, 0.5, 0.6]))
     assert plan.count("HashAggregate") <= 4  # partial+final, not per-threshold
     assert "partial_sum" in plan
+
+
+def test_kmv_jaccard_union_cut_group_limited(spark):
+    """The union-sketch cut must compile to WindowGroupLimit and the pair
+    enumeration must broadcast the group list — sketch rows only, the
+    distinct sets never shuffle pairwise."""
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        kmv_jaccard_pairs,
+    )
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    plan = _plan(kmv_jaccard_pairs(ev, "event_type", "user_id", k=64))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_psi_drift_reads_data_once(spark):
+    """PSI must aggregate the raw data exactly once (bin counts), with the
+    totals broadcast back over the bins frame — two aggregate pairs
+    total, no second scan of the source."""
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import psi_drift
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        (FF.col("n_chars") / 1000.0).alias("v"),
+        (FF.col("doc_id") % 2 == 0).alias("half"),
+    )
+    plan = _plan(psi_drift(docs, "v", "half"))
+    assert plan.count("FileScan") == 1
+    assert "partial_sum" in plan

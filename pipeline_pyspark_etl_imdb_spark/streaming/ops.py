@@ -620,3 +620,56 @@ def run_available_now(
     finally:
         query.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def value_psi_stream(
+    events: DataFrame,
+    baseline_shares: list[float],
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    width_s: int = 3600,
+    watermark_s: int = 3600,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per tumbling window, the
+    Population Stability Index of the `value` distribution against a
+    fixed baseline histogram (the batch twin is
+    operators/evalmetrics.psi_drift; same eps smoothing, same bands:
+    <0.1 stable, >0.25 shifted). Output:
+    (window_start_s, n_events, psi).
+
+    Structured Streaming permits ONE aggregation per query, so the
+    per-bin histogram AND the PSI must come from a single groupBy: each
+    bin's count is a conditional sum column inside one windowed
+    aggregate (n_bins counters per window — the same one-pass trick as
+    evalmetrics.threshold_metrics), and the PSI folds those columns with
+    the broadcast-literal baseline in a map-only projection. State per
+    window is n_bins integers, watermark-bounded."""
+    n_bins = len(baseline_shares)
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    frac = (F.col("value") - lo) / (hi - lo)
+    b = F.greatest(
+        F.lit(0), F.least(F.floor(frac * n_bins).cast("int"), F.lit(n_bins - 1))
+    )
+    agg = timed.withColumn("__b", b).groupBy(
+        F.window("event_time", f"{width_s} seconds")
+    ).agg(
+        F.count("*").alias("n_events"),
+        *[
+            F.sum((F.col("__b") == i).cast("bigint")).alias(f"__c{i}")
+            for i in range(n_bins)
+        ],
+    )
+    psi = None
+    for i, share in enumerate(baseline_shares):
+        p = F.col(f"__c{i}").cast("double") / F.col("n_events") + eps
+        q = F.lit(float(share)) + eps
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.unix_timestamp("window.start").alias("window_start_s"),
+        "n_events",
+        psi.alias("psi"),
+    )

@@ -548,3 +548,33 @@ def test_psi_drift_reads_data_once(spark):
     plan = _plan(psi_drift(docs, "v", "half"))
     assert plan.count("FileScan") == 1
     assert "partial_sum" in plan
+
+
+def test_dynamic_partition_pruning_from_filtered_dim(spark, tmp_path):
+    """Runtime partition pruning: a join on the fact's PARTITION column
+    against a dim filtered on a NON-join attribute must inject a
+    DynamicPruningSubquery into the fact scan — the fact reads only the
+    partitions the dim's surviving keys name, decided at runtime. This is
+    the mechanism that makes star joins over a date-partitioned 100 TB
+    fact read days, not the table."""
+    from pipeline_pyspark_etl_imdb_spark.sources.parquet_io import write_parquet
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_dpp")
+    write_parquet(orders, path, partition_cols=["status"])
+    fact = spark.read.parquet(path)
+    # parquet-backed dim (DPP does not trigger for LocalRelation dims —
+    # those constant-fold); the filter on `flag` is only known at runtime
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("F", 1), ("O", 2), ("P", 3)], "status string, flag int"
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("flag") == 1)
+    q = fact.join(dim, "status").groupBy("status").count()
+    fmt = _formatted(q)
+    assert "dynamicpruning" in fmt.lower(), fmt[:2000]
+    # and it is effective: only the 'F' partition's rows aggregate
+    rows = q.collect()
+    assert [r.status for r in rows] == ["F"]

@@ -528,3 +528,28 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     window_rows = got[got["window_start_s"] == (t0 // 600) * 600]
     assert len(window_rows) == 1  # finalized exactly once, never re-emitted
     assert int(window_rows.iloc[0]["n_events"]) == 2  # late event dropped
+
+
+def test_value_psi_stream_matches_batch_formula(spark, events_batch, tmp_path):
+    """Streaming PSI per window must equal the same single-agg formula
+    computed in batch over the same files (and a window whose value
+    distribution matches the baseline must sit near zero)."""
+    baseline = [0.25, 0.25, 0.25, 0.25]
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.value_psi_stream(stream, baseline, lo=0.0, hi=1000.0),
+        tmp_path,
+        "psi",
+        "complete",
+    )
+    # batch twin: identical expressions over the batch frame
+    want = (
+        stream_ops.value_psi_stream(
+            stream_ops.with_event_time(events_batch), baseline, lo=0.0, hi=1000.0
+        )
+        .toPandas()
+    )
+    assert not compare_frames(got, want)
+    assert (got.n_events > 0).all()
+    assert got.psi.notna().all()

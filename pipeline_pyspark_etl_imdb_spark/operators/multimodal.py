@@ -477,3 +477,72 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> 
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("media_id", "kind", "payload").mapInPandas(batches, schema=schema)
+
+
+def media_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit average-hash (aHash) per decodable image: decode the BMP,
+    grayscale, pool to ``hash_size`` x ``hash_size`` block means, set bit
+    = block >= mean of blocks, pack row-major. The classic perceptual
+    fingerprint: invariant to uniform brightness shifts and resizing,
+    cheap enough to run over every image in a crawl. Non-image or
+    undecodable payloads drop out (the dead-letter contract the fake
+    decoder established). Output: (media_id, ahash).
+
+    Arrow-batched mapInPandas, map-only — the payload column never
+    shuffles; only (id, 8-byte hash) rows leave the scan stage. Grouping
+    on the hash afterwards is a uniform-key groupBy (the same shape as
+    exact text dedup on md5)."""
+    import numpy as np
+
+    n_bits = hash_size * hash_size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_bmp(bytes(buf)) if buf is not None else None
+                if decoded is None:
+                    continue
+                w, h, pix = decoded
+                a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                gray = a.astype(np.float64).mean(axis=2)
+                # block-mean pooling to hash_size x hash_size: bin index
+                # floor(coord * hash_size / dim) — exact for any w, h
+                ys = (np.arange(h) * hash_size) // h
+                xs = (np.arange(w) * hash_size) // w
+                sums = np.zeros((hash_size, hash_size))
+                cnts = np.zeros((hash_size, hash_size))
+                np.add.at(sums, (ys[:, None], xs[None, :]), gray)
+                np.add.at(cnts, (ys[:, None], xs[None, :]), 1.0)
+                blocks = sums / np.maximum(cnts, 1.0)
+                bits = (blocks >= blocks.mean()).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # two's-complement into signed 64-bit for a BIGINT column
+                if n_bits == 64 and val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(media_id)
+                hashes.append(val)
+            yield pd.DataFrame({"media_id": ids, "ahash": pd.array(hashes, dtype="int64")})
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id bigint, ahash bigint"
+    )
+
+
+def media_ahash_dup_groups(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual duplicate groups: images sharing an identical aHash.
+    (ahash, n_images, canonical_id) for groups of 2+, canonical = min id —
+    the image-side twin of exact text dedup, robust to brightness shifts
+    the byte-level md5 grouping misses."""
+    hashes = media_ahash(media, hash_size)
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .where(F.col("n_images") >= 2)
+        .orderBy(F.desc("n_images"), F.asc("ahash"))
+    )

@@ -1173,6 +1173,12 @@ QUERIES: dict[str, QueryFn] = {
         "is_en",
         "doc_id",
     ),
+    # perceptual image fingerprints over REAL BMP payloads (stdlib codec;
+    # rows-only — pixel decode is not SQL-expressible; NumPy-reference +
+    # invariance pinned in tests/test_ahash.py)
+    "media_ahash_values": lambda s, d: multimodal.media_ahash(
+        multimodal.media_real_containers(_docs(s, d))
+    ).orderBy("media_id"),
     # calibration + drift monitoring over the quality score
     "quality_calibration": lambda s, d: evalmetrics.calibration_bins(
         _docs(s, d).select(
@@ -1346,4 +1352,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "bpe_token_counts",
     "copurchase_k_core",
     "pack_best_fit_assignment",
+    "media_ahash_values",
 )

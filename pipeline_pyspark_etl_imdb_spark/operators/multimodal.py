@@ -546,3 +546,76 @@ def media_ahash_dup_groups(media: DataFrame, hash_size: int = 8) -> DataFrame:
         .where(F.col("n_images") >= 2)
         .orderBy(F.desc("n_images"), F.asc("ahash"))
     )
+
+
+def _wav_samples(buf: bytes):
+    """float64 mono sample array from a 16-bit PCM RIFF/WAVE payload
+    (channels mean-mixed), or None if the payload isn't one."""
+    import struct
+
+    import numpy as np
+
+    meta = _parse_wav(buf)
+    if meta is None:
+        return None
+    channels, bits, n_frames = meta
+    if bits != 16 or n_frames == 0:
+        return None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        if cid == b"data":
+            raw = buf[pos + 8 : pos + 8 + min(clen, len(buf) - pos - 8)]
+            usable = (len(raw) // (2 * channels)) * 2 * channels
+            a = np.frombuffer(raw[:usable], dtype="<i2").astype(np.float64)
+            return a.reshape(-1, channels).mean(axis=1)
+        pos += 8 + clen + (clen % 2)
+    return None
+
+
+def media_audio_fingerprint(media: DataFrame, n_blocks: int = 16) -> DataFrame:
+    """Energy-envelope fingerprint per decodable audio clip — the WAV twin
+    of media_ahash: mono-mix, split into ``n_blocks`` equal time blocks,
+    RMS energy per block, bit = block RMS >= mean RMS, packed MSB-first.
+    Invariant to uniform gain (every RMS scales together, the threshold is
+    the clip's own mean — tested), so re-encoded/volume-normalized copies
+    of a clip collide where byte-level md5 grouping misses them.
+    Output: (media_id, afp, n_frames); non-audio payloads drop out.
+
+    Map-only Arrow-batched decode — payloads never shuffle; grouping the
+    (id, 2-byte fingerprint) rows afterwards is a uniform-key groupBy."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps, frames = [], [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                samples = _wav_samples(bytes(buf)) if buf is not None else None
+                if samples is None:
+                    continue
+                n = len(samples)
+                idx = (np.arange(n) * n_blocks) // n
+                sums = np.zeros(n_blocks)
+                cnts = np.zeros(n_blocks)
+                np.add.at(sums, idx, samples * samples)
+                np.add.at(cnts, idx, 1.0)
+                rms = np.sqrt(sums / np.maximum(cnts, 1.0))
+                bits = rms >= rms.mean()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                ids.append(media_id)
+                fps.append(val)
+                frames.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "afp": pd.array(fps, dtype="int64"),
+                    "n_frames": pd.array(frames, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id bigint, afp bigint, n_frames bigint"
+    )

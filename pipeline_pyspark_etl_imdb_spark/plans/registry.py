@@ -1179,6 +1179,9 @@ QUERIES: dict[str, QueryFn] = {
     "media_ahash_values": lambda s, d: multimodal.media_ahash(
         multimodal.media_real_containers(_docs(s, d))
     ).orderBy("media_id"),
+    "media_audio_fingerprints": lambda s, d: multimodal.media_audio_fingerprint(
+        multimodal.media_real_containers(_docs(s, d))
+    ).orderBy("media_id"),
     # calibration + drift monitoring over the quality score
     "quality_calibration": lambda s, d: evalmetrics.calibration_bins(
         _docs(s, d).select(
@@ -1353,4 +1356,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "copurchase_k_core",
     "pack_best_fit_assignment",
     "media_ahash_values",
+    "media_audio_fingerprints",
 )

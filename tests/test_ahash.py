@@ -93,3 +93,53 @@ def test_matches_numpy_reference(spark):
     if val >= 1 << 63:
         val -= 1 << 64
     assert got == val
+
+
+def _wav(samples, channels=1):
+    import struct
+
+    from pipeline_pyspark_etl_imdb_spark.operators.multimodal import encode_wav
+
+    frames = b"".join(struct.pack("<h", int(s)) for s in samples)
+    return encode_wav(channels, 8000, frames)
+
+
+def test_audio_fingerprint_identical_clips_collide(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.multimodal import (
+        media_audio_fingerprint,
+    )
+
+    loud_then_quiet = [2000] * 80 + [100] * 80
+    quiet_then_loud = [100] * 80 + [2000] * 80
+    df = _media_df(
+        spark,
+        [(1, _wav(loud_then_quiet)), (2, _wav(loud_then_quiet)), (3, _wav(quiet_then_loud))],
+    )
+    got = {r.media_id: r.afp for r in media_audio_fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert all(v != 0 for v in got.values())
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.multimodal import (
+        media_audio_fingerprint,
+    )
+
+    base = [1500] * 40 + [200] * 40 + [1500] * 40 + [200] * 40
+    doubled = [s * 2 for s in base]
+    df = _media_df(spark, [(1, _wav(base)), (2, _wav(doubled))])
+    got = {r.media_id: r.afp for r in media_audio_fingerprint(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_audio_fingerprint_drops_images_and_garbage(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.multimodal import (
+        media_audio_fingerprint,
+    )
+
+    img = _img(8, 8, lambda x, y: 100)
+    df = _media_df(spark, [(1, img), (2, _wav([500] * 64)), (3, b"junk")])
+    got = media_audio_fingerprint(df).collect()
+    assert [r.media_id for r in got] == [2]
+    assert got[0].n_frames == 64

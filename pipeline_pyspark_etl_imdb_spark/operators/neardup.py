@@ -343,14 +343,29 @@ def lsh_verified_pairs(
     cand = tracked_persist(
         minhash_candidate_pairs(docs, n_hashes, rows_per_band, k, text_col, id_col)
     )
-    # verification via per-doc shingle ARRAYS, not exploded rows: join the
-    # (tiny) candidate list against the doc->array table twice and take
-    # size(array_intersect) row-wise. No candidate x shingle fan-out ever
-    # materializes, and with the candidate side broadcast (size-guarded)
-    # the array table never shuffles — measured 10.9 s -> ~3.5 s at sf0.1
-    # vs the exploded-row join cascade. word_shingles is already distinct,
-    # so |intersect| / (|a| + |b| - |intersect|) is exact set Jaccard —
-    # identical arithmetic to the oracle's row-join formulation.
+    return verify_pairs_exact(docs, cand, k, threshold, text_col, id_col)
+
+
+def verify_pairs_exact(
+    docs: DataFrame,
+    cand: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k-shingle Jaccard for a (doc_a, doc_b) candidate list — the
+    shared verification stage behind every candidate generator (LSH
+    bands, prefix filtering, ...).
+
+    Verification joins per-doc shingle ARRAYS, not exploded rows: the
+    (tiny, size-guarded broadcast) candidate list hits the doc->array
+    table twice and the Jaccard is size(array_intersect) row-wise. No
+    candidate x shingle fan-out ever materializes, and the array table
+    never shuffles — measured 10.9 s -> ~3.3 s at sf0.1 vs the
+    exploded-row join cascade. word_shingles is already distinct, so
+    |intersect| / (|a| + |b| - |intersect|) is exact set Jaccard —
+    identical arithmetic to the oracle's row-join formulation."""
     arr = (
         fan_out(docs)
         .select(id_col, F.col(text_col).alias("__t"))
@@ -359,9 +374,9 @@ def lsh_verified_pairs(
     )
     pa = arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    # candidate count is bounded by band-collision volume; guard anyway so
-    # a pathological corpus falls back to shuffle equi-joins instead of a
-    # driver-OOM broadcast
+    # candidate count is bounded by the generator's collision volume;
+    # guard anyway so a pathological corpus falls back to shuffle
+    # equi-joins instead of a driver-OOM broadcast
     small = cand.count() <= 2_000_000
     step1 = pa.join(F.broadcast(cand) if small else cand, "doc_a")
     step2 = pb.join(F.broadcast(step1) if small else step1, "doc_b")
@@ -377,6 +392,68 @@ def lsh_verified_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin family,
+    Chaudhuri et al. 2006 / Xiao et al. 2008) — the deterministic
+    alternative to LSH candidates: every pair with true Jaccard >=
+    ``threshold`` is guaranteed generated (no probabilistic recall), yet
+    the candidate join never touches the full shingle inventory.
+
+    The filter theorem: order every document's shingles by a GLOBAL
+    ordering (here: ascending document frequency, rarest first, shingle
+    string tie-break); two sets with Jaccard >= t must share at least one
+    shingle among each side's first L = n - ceil(t*n) + 1 shingles. So
+    the candidate join runs on PREFIX rows only — and because prefixes
+    are by construction the RAREST shingles, the equi-join is skew-free
+    precisely where the naive shingle self-join is hottest (the
+    boilerplate shingle shared by 10^6 docs sits at the END of every
+    prefix order and never joins).
+
+    Verification is the shared exact-Jaccard stage (verify_pairs_exact),
+    so output = jaccard_pairs(threshold) exactly — equality-tested, and
+    the oracle replicates the naive formulation.
+
+    Shuffles: one df groupBy (vocabulary-sized), one join back on the
+    shingle, one per-doc rank window (WindowGroupLimit cuts at L), the
+    prefix equi-join, then verification. Each moves prefix-sized rows,
+    never the f^2 hot-shingle blowup."""
+    sh = (
+        fan_out(docs)
+        .select(id_col, F.col(text_col).alias("__t"))
+        .withColumn("__tok", tokens("__t"))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles("__tok", k)).alias("shingle"),
+        )
+    )
+    sh = tracked_persist(sh)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sized = sh.join(dfreq, "shingle")
+    w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("shingle"))
+    wn = Window.partitionBy("doc")
+    ranked = sized.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_sh", F.count("*").over(wn)
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.where(F.col("rn") <= prefix_len).select("doc", "shingle")
+    a = prefix.select(F.col("doc").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand = tracked_persist(cand)
+    return verify_pairs_exact(docs, cand, k, threshold, text_col, id_col)
 
 
 def simhash32(

@@ -1173,6 +1173,12 @@ QUERIES: dict[str, QueryFn] = {
         "is_en",
         "doc_id",
     ),
+    # EXACT set-similarity join via prefix filtering (PPJoin family) —
+    # deterministic candidates, no probabilistic recall; output equals
+    # jaccard_pairs so the oracle is the same naive formulation
+    "prefix_filter_pairs": lambda s, d: neardup.prefix_filter_pairs(
+        _docs(s, d), k=3, threshold=0.8
+    ),
     # perceptual image fingerprints over REAL BMP payloads (stdlib codec;
     # rows-only — pixel decode is not SQL-expressible; NumPy-reference +
     # invariance pinned in tests/test_ahash.py)

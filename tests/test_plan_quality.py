@@ -578,3 +578,28 @@ def test_dynamic_partition_pruning_from_filtered_dim(spark, tmp_path):
     # and it is effective: only the 'F' partition's rows aggregate
     rows = q.collect()
     assert [r.status for r in rows] == ["F"]
+
+
+def test_prefix_filter_plan_shape(spark):
+    """The per-doc prefix cut runs as a doc-partitioned rank window (the
+    limit L is per-document, so WindowGroupLimit cannot apply — the
+    filter still drops non-prefix rows before the candidate join), the
+    candidate join is an equi-join (never cartesian/nested-loop), and no
+    window in the plan is partition-less."""
+    from pipeline_pyspark_etl_imdb_spark.operators.neardup import (
+        prefix_filter_pairs,
+    )
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    try:
+        plan = _plan(prefix_filter_pairs(docs, k=3, threshold=0.8))
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # every windowspec carries the doc partition key
+        assert "windowspecdefinition(doc" in plan.replace(" ", "").replace(
+            "#", "#"
+        ) or "windowspecdefinition(doc" in plan
+    finally:
+        release_tracked()

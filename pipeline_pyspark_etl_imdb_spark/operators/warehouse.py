@@ -428,8 +428,15 @@ def k_anonymity_audit(
     viol = F.col("__n") < k
     return groups.agg(
         F.count("*").alias("n_groups"),
-        F.sum(viol.cast("bigint")).alias("violating_groups"),
-        F.sum(F.when(viol, F.col("__n")).otherwise(F.lit(0))).alias("rows_at_risk"),
+        # coalesce: an EMPTY input yields a (0, 0, 0, NULL, NULL) report,
+        # not NULL counters — zero rows at risk is a statement, not
+        # missing data (min/max stay NULL: there is no group size)
+        F.coalesce(F.sum(viol.cast("bigint")), F.lit(0)).alias(
+            "violating_groups"
+        ),
+        F.coalesce(
+            F.sum(F.when(viol, F.col("__n")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("rows_at_risk"),
         F.min("__n").alias("min_group_size"),
         F.max("__n").alias("max_group_size"),
     )
@@ -461,10 +468,12 @@ def l_diversity_audit(
     viol = F.col("__ndist") < l
     return groups.agg(
         F.count("*").alias("n_groups"),
-        F.sum(viol.cast("bigint")).alias("violating_groups"),
-        F.sum(F.when(viol, F.col("__rows")).otherwise(F.lit(0))).alias(
-            "rows_at_risk"
+        F.coalesce(F.sum(viol.cast("bigint")), F.lit(0)).alias(
+            "violating_groups"
         ),
+        F.coalesce(
+            F.sum(F.when(viol, F.col("__rows")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("rows_at_risk"),
         F.min("__ndist").alias("min_distinct"),
         F.max("__ndist").alias("max_distinct"),
     )

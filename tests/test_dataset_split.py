@@ -71,3 +71,22 @@ def test_k_anonymity_all_safe(spark):
     got = k_anonymity_audit(df, ["qa", "qb"], k=5).collect()[0]
     assert got.violating_groups == 0
     assert got.rows_at_risk == 0
+
+
+def test_privacy_audits_empty_input_zero_counters(spark):
+    from pyspark.sql.types import StructType, StructField, StringType, IntegerType
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    schema = StructType(
+        [StructField("qa", StringType()), StructField("qb", IntegerType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    got = k_anonymity_audit(empty, ["qa"], k=5).collect()[0]
+    assert (got.n_groups, got.violating_groups, got.rows_at_risk) == (0, 0, 0)
+    assert got.min_group_size is None
+    got2 = l_diversity_audit(empty, ["qa"], "qb", l=2).collect()[0]
+    assert (got2.n_groups, got2.violating_groups, got2.rows_at_risk) == (0, 0, 0)

@@ -24,6 +24,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     kcore,
     multimodal,
     neardup,
+    prototypes,
     semdedup,
     quantize,
     similarity,
@@ -1235,6 +1236,13 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_k_core": lambda s, d: kcore.k_core(
         triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet")),
         k=80,
+    ),
+    # prototypicality pruning signal (SemDeDup/CLIP-score family):
+    # cosine to the per-label centroid; DECIMAL-exact centroid sums make
+    # the whole score chain bit-identical cross-engine (oracle-backed,
+    # unlike the float-mean k-means family)
+    "embedding_prototype_scores": lambda s, d: prototypes.centroid_cosine_scores(
+        _emb(s, d), dim=64
     ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,

@@ -96,7 +96,14 @@ def triangle_participation(
 
     edges = tracked_persist(edges)
     small = edges.count() <= broadcast_max_edges
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    # spread the STREAM side of the wedge join: the cached edge frame is
+    # small and AQE-coalesces to few partitions, which would run the
+    # sum-deg^2 wedge fan-out on as few cores (same fix as
+    # common_neighbor_links; round-robin so hot nodes don't pin a core)
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).repartition(
+        shuffle_n
+    )
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     if small:
@@ -107,4 +114,75 @@ def triangle_participation(
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("node"))
+    )
+
+
+def common_neighbor_links(
+    edges: DataFrame, top_n: int = 100, broadcast_max_edges: int = 5_000_000
+) -> DataFrame:
+    """Link prediction: the ``top_n`` NON-edges ranked by common-neighbor
+    count, with the neighbor-set Jaccard as the tie-refining score —
+    (u, v, common, jaccard) for u < v. The "people who bought X also
+    bought Y" recommendation primitive (Liben-Nowell & Kleinberg 2003).
+
+    Same wedge stream as triangle_participation (sum deg^2 — the cost is
+    whatever the triangle pass already measured), aggregated per endpoint
+    pair instead of closed: ONE partial-aggregated groupBy(u, v), then a
+    left_anti against the canonical edge list drops already-linked pairs
+    and two degree joins finish the Jaccard. All three small sides
+    (wedge right leg, edge list, degree frame) broadcast under the same
+    size guard as the triangle pass; past the budget they fall back to
+    shuffle equi-joins. Global top-n compiles to TakeOrderedAndProject —
+    no full sort of the candidate space.
+
+    jaccard = common / (deg(u) + deg(v) - common): pure integer inputs,
+    one double division — bit-identical cross-engine, so the score is
+    oracle-backed (no float-sum nondeterminism).
+
+    At 100x the same degree-cap lever as triangles applies (hot nodes
+    dominate sum deg^2); pass max_degree to cooccurrence_edges."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
+    edges = tracked_persist(edges)
+    small = edges.count() <= broadcast_max_edges
+    adj = edges.select(F.col("src").alias("b"), F.col("dst").alias("n")).unionAll(
+        edges.select(F.col("dst").alias("b"), F.col("src").alias("n"))
+    )
+    deg = adj.groupBy(F.col("b").alias("node")).agg(F.count("*").alias("deg"))
+    # the cached edge frame is typically AQE-coalesced to few partitions
+    # (it is small); streamed through the broadcast wedge join unchanged,
+    # those few partitions would run the deg^2 fan-out AND the 2M-group
+    # partial aggregation on as few cores (measured 33 s -> 3 s at sf0.1).
+    # Round-robin repartition spreads the stream side evenly — no key, so
+    # hot nodes don't pin a core; the shuffle moves only the m-row
+    # adjacency, never the wedge stream.
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a1 = adj.select("b", F.col("n").alias("u")).repartition(shuffle_n)
+    a2 = adj.select("b", F.col("n").alias("v"))
+    existing = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if small:
+        a2, existing, deg = F.broadcast(a2), F.broadcast(existing), F.broadcast(deg)
+    common = (
+        a1.join(a2, "b")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = common.join(existing, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("__du") + F.col("__dv") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common"), F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(top_n)
     )

@@ -1244,6 +1244,17 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_prototype_scores": lambda s, d: prototypes.centroid_cosine_scores(
         _emb(s, d), dim=64
     ),
+    # link prediction on a deterministic 1/4-node subgraph of the
+    # co-purchase graph: the wedge-stream cost is already measured by
+    # copurchase_triangles, so the registry query scores links on the
+    # mod-sampled subgraph to keep the bench additive; the operator is
+    # generic over any (src < dst) edge list
+    "copurchase_link_prediction": lambda s, d: triangles.common_neighbor_links(
+        triangles.cooccurrence_edges(
+            s.read.parquet(f"{d}/lineitem.parquet").where(F.col("l_partkey") % 4 == 0)
+        ),
+        top_n=100,
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

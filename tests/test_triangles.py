@@ -61,3 +61,55 @@ def test_max_degree_cap_drops_hot_nodes(spark):
     assert capped.where("src = 0 OR dst = 0").count() == 0
     uncapped = triangles.cooccurrence_edges(li)
     assert uncapped.where("src = 0").count() == 20
+
+
+def test_link_prediction_matches_python_reference(spark):
+    """common_neighbor_links vs a brute-force adjacency-set reference on
+    the fixture subgraph: same pairs, same counts, same Jaccard."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").where(
+        F.col("l_partkey") % 4 == 0
+    )
+    edges = triangles.cooccurrence_edges(li)
+    edge_set = {(r.src, r.dst) for r in edges.collect()}
+    adj: dict = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for u, v in combinations(sorted(adj), 2):
+        if (u, v) in edge_set:
+            continue
+        common = len(adj[u] & adj[v])
+        if common:
+            want[(u, v)] = (common, common / (len(adj[u]) + len(adj[v]) - common))
+    top = sorted(
+        want.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0])
+    )[:25]
+    got = [
+        ((r.u, r.v), (r.common, pytest.approx(r.jaccard)))
+        for r in triangles.common_neighbor_links(edges, top_n=25).collect()
+    ]
+    assert got == [(pair, (c, pytest.approx(j))) for pair, (c, j) in top]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # path 1-2-3 plus edge 1-3 present: the only wedge closes an existing
+    # edge, so no candidate survives the anti-join
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    assert triangles.common_neighbor_links(edges).count() == 0
+
+
+def test_link_prediction_wedge_stream_is_parallel_and_broadcast(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    out = triangles.common_neighbor_links(triangles.cooccurrence_edges(li))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # candidate generation and closure sides broadcast; the stream side
+    # is round-robin-spread so the deg^2 fan-out parallelizes even when
+    # the cached edge frame coalesced to one partition
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" in plan or "roundrobin" in plan.lower()
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    release_tracked()

@@ -318,3 +318,85 @@ def grouped_ema(
     return part.mapInPandas(
         scan, schema=f"{key_col} bigint, ema_value double, n_events bigint"
     )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """Per-user CUSUM change-point: the event where the running sum of
+    (value - global_mean) peaks in absolute value — Page's classic
+    drift detector (Page 1954), the batch form of the streaming z-score
+    monitor in streaming/ops.py. Extends the reference's window family
+    (SURVEY.md §2 W1-W3; reference parity src/etl_imdb.py:262-276) with
+    a running-sum frame.
+
+    Exactness: the global mean uses a DECIMAL(28,12) sum (order-
+    independent); the running CUSUM is a ROWS-frame window sum whose
+    fold order is pinned by (ts, event_id), so both engines add the
+    same doubles in the same order.
+
+    Physical shape: ONE Exchange on user_id serves both windows and the
+    rank filter (same-key windows reuse the partitioning); the global
+    mean is a 1-row broadcast cross join. Nothing corpus-sized moves
+    twice."""
+    us = ts_micros(events).alias("us")
+    base = events.select("user_id", "event_id", us, F.col("value"))
+    mean = base.agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("__mean")
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        base.crossJoin(F.broadcast(mean))
+        .withColumn("__cusum", F.sum(F.col("value") - F.col("__mean")).over(w_cum))
+        .withColumn("__abs", F.abs(F.col("__cusum")))
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.desc("__abs"), F.asc("us"), F.asc("event_id")
+    )
+    return (
+        cusum.withColumn("__rk", F.row_number().over(w_rank))
+        .where(F.col("__rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("cp_event_id"),
+            F.col("us").alias("cp_us"),
+            F.col("__abs").alias("max_abs_cusum"),
+        )
+    )
+
+
+def decayed_user_value(events: DataFrame, horizon_days: float = 1.0) -> DataFrame:
+    """Hyperbolic time-decayed engagement: sum of value / (1 + age/h)
+    per user, age measured back from the corpus max event time — the
+    recency-weighted activity score behind freshness-aware sampling.
+
+    Decay is deliberately RATIONAL (1/(1+age)), not exponential: exp()
+    may differ by an ulp across libm implementations, while this chain
+    (integer age, double divide) is bit-identical cross-engine; each
+    term is then cast to DECIMAL(28,12) so the per-user sum is order-
+    independent. That is what keeps a float-weighted aggregate
+    oracle-backed.
+
+    Shape: 1-row global max broadcast back, then ONE partial-aggregated
+    groupBy(user_id) — map-side combine, single shuffle."""
+    us = ts_micros(events).alias("us")
+    base = events.select("user_id", us, F.col("value"))
+    mx = base.agg(F.max("us").alias("__max_us"))
+    age_days = (F.col("__max_us") - F.col("us")).cast("double") / (86400.0 * US)
+    term = (F.col("value") / (F.lit(1.0) + age_days / F.lit(horizon_days))).cast(
+        "decimal(28,12)"
+    )
+    return (
+        base.crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("__t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("__t").cast("double").alias("decayed_value"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -262,3 +262,46 @@ def session_top_paths(
         .limit(top)
         .select("path", "n_sessions")
     )
+
+
+def type_kgrams(
+    events: DataFrame,
+    k: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``top`` most frequent k-grams of consecutive event types per
+    user sequence — the order-k generalization of type_transitions
+    (sequential-pattern mining, the frequency table behind behavioral
+    n-gram features). Output (kgram, n_occurrences), count desc.
+
+    Shape: ONE user-keyed window provides the k-1 leads (same Exchange
+    serves all of them), k-grams that would cross a user boundary are
+    dropped by the lead NULL checks, and the global top compiles to
+    TakeOrderedAndProject — per-partition top-N, no global sort. The
+    groupBy is partial-aggregated; the shuffle moves at most
+    |types|^k rows per partition (|types| is small by construction)."""
+    w = Window.partitionBy("user_id").orderBy("us", id_col)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col),
+        F.col(type_col).alias("t0"),
+        ts_micros(events).alias("us"),
+    )
+    for i in range(1, k):
+        base = base.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    cond = None
+    for i in range(1, k):
+        c = F.col(f"t{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    full = base.where(cond) if cond is not None else base
+    kgram = F.concat_ws(">", *[F.col(f"t{i}") for i in range(k)])
+    return (
+        full.select(kgram.alias("kgram"))
+        .groupBy("kgram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("kgram"))
+        .limit(top)
+    )

@@ -1255,6 +1255,21 @@ QUERIES: dict[str, QueryFn] = {
         ),
         top_n=100,
     ),
+    # Page's CUSUM drift detector, batch form: per-user peak |running
+    # sum of (value - global mean)| — one user-keyed Exchange, two
+    # windows on it
+    "event_cusum_changepoints": lambda s, d: eventtime.cusum_changepoints(
+        _events(s, d)
+    ),
+    # recency-weighted engagement; rational decay keeps the float chain
+    # bit-identical cross-engine (exp() is libm-dependent)
+    "decayed_user_engagement": lambda s, d: eventtime.decayed_user_value(
+        _events(s, d), horizon_days=7.0
+    ),
+    # order-3 sequential-pattern counts (behavioral n-gram features)
+    "event_type_trigrams": lambda s, d: journeys.type_kgrams(
+        _events(s, d), k=3, top=20
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

@@ -1,0 +1,124 @@
+"""CUSUM change-points, time-decayed engagement, and event-type k-gram
+mining: pinned against pure-Python references on the smoke fixture, plus
+physical-plan gates (single user Exchange for CUSUM, TakeOrdered for the
+k-gram top-N, partial agg for the decay sum)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators import eventtime, journeys
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def rows(spark, events):
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            eventtime.ts_micros(events).alias("us"),
+            "value",
+        )
+        .collect()
+    )
+
+
+def test_cusum_matches_python(events, rows):
+    mean = sum(r.value for r in rows) / len(rows)  # floats are benign here:
+    # the reference only needs to agree on WHICH event peaks, and the
+    # fixture's peaks are not within float-noise of each other
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.us, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for u, evs in by_user.items():
+        c, best = 0.0, None
+        for r in evs:
+            c += r.value - mean
+            if best is None or abs(c) > best[0] + 1e-9:
+                best = (abs(c), r.event_id, r.us)
+        want[u] = best
+    got = {
+        r.user_id: (r.max_abs_cusum, r.cp_event_id, r.cp_us)
+        for r in eventtime.cusum_changepoints(events).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][1] == want[u][1], u
+        assert got[u][0] == pytest.approx(want[u][0], abs=1e-6)
+
+
+def test_cusum_single_user_exchange(events):
+    plan = (
+        eventtime.cusum_changepoints(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows and the rank filter ride ONE hashpartitioning(user_id)
+    # Exchange; the global mean enters via a 1-row broadcast
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decayed_value_matches_python(events, rows):
+    max_us = max(r.us for r in rows)
+    want: dict = {}
+    for r in rows:
+        age = (max_us - r.us) / 86400e6
+        want[r.user_id] = want.get(r.user_id, 0.0) + r.value / (1.0 + age / 7.0)
+    got = {
+        r.user_id: r.decayed_value
+        for r in eventtime.decayed_user_value(events, horizon_days=7.0).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-9)
+
+
+def test_decay_weights_recent_over_old(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 10.0), (2, 2, "2024-01-08 00:00:00", 10.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.user_id: r.decayed_value
+        for r in eventtime.decayed_user_value(ev, horizon_days=7.0).collect()
+    }
+    assert got[2] == pytest.approx(10.0)  # at the corpus max -> no decay
+    assert got[1] == pytest.approx(5.0)  # 7 days old at h=7 -> halved
+
+
+def test_trigrams_match_python(events, rows):
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.us, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.event_type)
+    counts: dict = {}
+    for seq in by_user.values():
+        for i in range(len(seq) - 2):
+            g = ">".join(seq[i : i + 3])
+            counts[g] = counts.get(g, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.kgram, r.n_occurrences)
+        for r in journeys.type_kgrams(events, k=3, top=20).collect()
+    ]
+    assert got == want
+
+
+def test_trigrams_plan_take_ordered(events):
+    plan = (
+        journeys.type_kgrams(events, k=3, top=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle

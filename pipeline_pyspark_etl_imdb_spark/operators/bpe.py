@@ -184,3 +184,56 @@ def bpe_token_counts(
     out = out.localCheckpoint(eager=True)
     model.segmented.unpersist()
     return out
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_words: int = 10_000_000,
+) -> DataFrame:
+    """Apply the learned BPE to every document: (doc_id, n_words,
+    n_tokens, n_chars, chars_per_token) — the tokenizer-application pass
+    that turns a trained vocabulary into per-document token budgets
+    (sequence-packing and mixture planning consume exactly this).
+
+    The scale trick mirrors training: merges are NEVER re-folded per
+    document. bpe_learn already holds the final segmentation of every
+    DISTINCT word, so encoding is a join of the corpus word stream
+    against that word->n_tokens table — broadcast under the size guard
+    (a subword vocabulary's distinct-word table is small by
+    construction), shuffle equi-join past it — followed by ONE
+    partial-aggregated groupBy(doc_id). The corpus text is read once."""
+    model = bpe_learn(docs, n_merges, text_col)
+    seg_sizes = model.segmented.select(
+        "word", F.size("syms").alias("__wtok"), F.length("word").alias("__wchars")
+    )
+    small = seg_sizes.count() <= broadcast_max_words
+    if small:
+        seg_sizes = F.broadcast(seg_sizes)
+    words = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    out = (
+        words.join(seg_sizes, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__wtok").alias("n_tokens"),
+            F.sum("__wchars").alias("n_chars"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    model.segmented.unpersist()
+    return out

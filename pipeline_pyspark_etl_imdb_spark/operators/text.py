@@ -626,3 +626,60 @@ def vocab_zipf_fit(
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
         ((cov * cov) / (varx * vary)).alias("r2"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "lang",
+    max_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-health distinct-n: per group (language, source, ...) and
+    n in 1..max_n, total vs distinct n-gram counts and their ratio —
+    the distinct-n diversity metric (Li et al. 2016) that flags
+    template/boilerplate-dominated slices of a corpus before they reach
+    training (a low distinct-2 on a domain is the classic symptom of
+    scraped duplication that survives doc-level dedup).
+
+    Shape: the tokenizer runs ONCE per document; the n n-gram streams
+    are a union of map-only slide windows over the same token array, so
+    the only shuffle is the (group, n, ngram) pre-aggregation followed
+    by the (group, n) rollup — both partial-aggregated. Exact rational
+    output (integer counts, one double division)."""
+    base = docs.select(
+        F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("__tok")
+    )
+    streams = []
+    for n in range(1, max_n + 1):
+        # guard: sequence(1, 0) would run DESCENDING in Spark, emitting
+        # phantom windows for docs shorter than n tokens
+        grams = F.expr(
+            f"CASE WHEN size(__tok) >= {n} THEN"
+            f" transform(sequence(1, size(__tok) - {n - 1}),"
+            f" i -> array_join(slice(__tok, i, {n}), ' '))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        streams.append(
+            base.select("grp", F.lit(n).alias("n"), F.explode(grams).alias("g"))
+        )
+    allgrams = streams[0]
+    for s in streams[1:]:
+        allgrams = allgrams.unionAll(s)
+    per_gram = allgrams.groupBy("grp", "n", "g").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("grp", "n")
+        .agg(
+            F.sum("c").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+            ).alias("diversity"),
+        )
+        .orderBy(group_col, "n")
+    )

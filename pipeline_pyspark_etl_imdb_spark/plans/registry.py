@@ -1270,6 +1270,16 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_trigrams": lambda s, d: journeys.type_kgrams(
         _events(s, d), k=3, top=20
     ),
+    # distinct-n corpus-health diversity per language (Li et al. 2016)
+    "lang_ngram_diversity": lambda s, d: text_ops.ngram_diversity(
+        _docs(s, d), group_col="lang", max_n=3
+    ),
+    # tokenizer application: per-doc token budgets from the trained BPE
+    # (rows-only — the merge list comes from the iterative trainer;
+    # pinned against a pure-Python encode in tests/test_bpe.py)
+    "bpe_doc_token_budget": lambda s, d: bpe.bpe_encode_docs(
+        _docs(s, d), n_merges=8
+    ).orderBy("doc_id"),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for
@@ -1397,4 +1407,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "pack_best_fit_assignment",
     "media_ahash_values",
     "media_audio_fingerprints",
+    "bpe_doc_token_budget",
 )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
+    attribution,
     bpe,
     components,
     corpus,
@@ -1280,6 +1281,10 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_doc_token_budget": lambda s, d: bpe.bpe_encode_docs(
         _docs(s, d), n_merges=8
     ).orderBy("doc_id"),
+    # U-shaped multi-touch attribution (asof last-click generalized)
+    "revenue_attribution_ushape": lambda s, d: attribution.position_based_attribution(
+        _events(s, d)
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

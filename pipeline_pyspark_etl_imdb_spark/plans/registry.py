@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
     attribution,
+    basket,
     bpe,
     components,
     corpus,
@@ -1283,6 +1284,19 @@ QUERIES: dict[str, QueryFn] = {
     ).orderBy("doc_id"),
     # U-shaped multi-touch attribution (asof last-click generalized)
     "revenue_attribution_ushape": lambda s, d: attribution.position_based_attribution(
+        _events(s, d)
+    ),
+    # A-priori k=2: co-purchase support/confidence/lift (integer-exact)
+    "part_association_rules": lambda s, d: basket.association_rules(
+        s.read.parquet(f"{d}/lineitem.parquet"), min_support=2, top_n=100
+    ),
+    # class-separability: pairwise centroid cosines (k x k, tiny)
+    "label_confusion_report": lambda s, d: prototypes.label_confusion_matrix(
+        _emb(s, d), dim=64
+    ),
+    # exact interpolated tail bands — the oracle-able twin of the
+    # approx_percentile scale path
+    "event_value_bands": lambda s, d: eventtime.value_percentile_bands(
         _events(s, d)
     ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,

@@ -69,3 +69,29 @@ def test_plan_broadcasts_centroids(scored):
     # the centroid battery is ONE partial-aggregated groupBy; the scoring
     # side adds no extra Exchange beyond the window's label partition
     assert "HashAggregate" in plan
+
+
+def test_confusion_matrix_matches_numpy(emb):
+    import numpy as np
+    from pipeline_pyspark_etl_imdb_spark.operators.prototypes import (
+        label_confusion_matrix,
+    )
+
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, np.float64))
+    cents = {lb: np.stack(v).mean(axis=0) for lb, v in by_label.items()}
+    got = {
+        (r.label_a, r.label_b): r.cos_centroids
+        for r in label_confusion_matrix(emb, dim=DIM).collect()
+    }
+    labels = sorted(cents)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            want = float(
+                cents[a] @ cents[b]
+                / (np.linalg.norm(cents[a]) * np.linalg.norm(cents[b]))
+            )
+            assert got[(a, b)] == pytest.approx(want, abs=1e-9)

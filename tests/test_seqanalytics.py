@@ -122,3 +122,22 @@ def test_trigrams_plan_take_ordered(events):
     )
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_value_bands_match_numpy(events, rows):
+    import numpy as np
+
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    got = {r.event_type: r for r in eventtime.value_percentile_bands(events).collect()}
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        a = np.array(vals)
+        assert got[t].n_events == len(vals)
+        assert got[t].mean_value == pytest.approx(a.mean(), rel=1e-12)
+        # numpy 'linear' interpolation == SQL quantile_cont == Spark percentile
+        for p, col in [(50, "p50"), (90, "p90"), (99, "p99")]:
+            assert getattr(got[t], col) == pytest.approx(
+                np.percentile(a, p), rel=1e-12
+            ), (t, p)

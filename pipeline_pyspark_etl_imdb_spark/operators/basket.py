@@ -40,6 +40,8 @@ def association_rules(
     item_a < item_b, the ``top_n`` pairs by lift (ties: n_ab desc, then
     ids). confidence is P(b|a) for the a->b direction; lift is
     symmetric."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
     baskets = lineitem.select(
         F.col(order_col).alias("o"), F.col(item_col).alias("i")
     ).dropDuplicates(["o", "i"])
@@ -47,6 +49,10 @@ def association_rules(
         sized = baskets.groupBy("o").agg(F.count("*").alias("__sz"))
         keep = sized.where(F.col("__sz") <= max_basket).select("o")
         baskets = baskets.join(keep, "o")
+    # four consumers (basket count, item counts, both pair-join sides)
+    # read one cached evaluation; long-session callers release via
+    # operators.util.release_tracked()
+    baskets = tracked_persist(baskets)
     n_baskets = baskets.select("o").distinct().count()
     item_counts = baskets.groupBy(F.col("i")).agg(F.count("*").alias("n_item"))
     a = baskets.select("o", F.col("i").alias("item_a"))

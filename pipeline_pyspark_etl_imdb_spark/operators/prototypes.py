@@ -124,26 +124,30 @@ def label_confusion_matrix(
     centroid cosine = the embedding space barely separates the pair, the
     dataset-design signal behind label-merge/relabel decisions).
 
-    k centroids -> k(k-1)/2 rows: the cross join is over the TINY
-    centroid frame (broadcast both sides), never the corpus; the corpus
-    is touched exactly once by the centroid battery. Same DECIMAL-exact
-    sums as centroid_cosine_scores, so oracle-backed."""
+    The corpus is touched exactly ONCE, by the centroid battery; the
+    k x dim result is MODEL STATE (the k-means-centroid class of driver
+    metadata), so the k(k-1)/2 pairing runs on the driver in plain
+    Python floats — the same IEEE doubles in the same fold order as the
+    oracle's SQL chains, hence still oracle-backed. A distributed self-
+    join version was measured 4x slower at sf0.1 purely on Catalyst
+    planning of the duplicated 64-column DECIMAL battery (both join
+    sides re-derive it), with zero scale benefit: k is small by
+    definition."""
+    import math
+
     cents = label_centroids(embeddings, dim, label_col=label_col, vec_col=vec_col)
-    a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("__ca"))
-    b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("__cb"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("label_a") < F.col("label_b"))
-        .select(
-            "label_a",
-            "label_b",
-            (
-                _dot(F.col("__ca"), F.col("__cb"))
-                / (
-                    F.sqrt(_dot(F.col("__ca"), F.col("__ca")))
-                    * F.sqrt(_dot(F.col("__cb"), F.col("__cb")))
-                )
-            ).alias("cos_centroids"),
-        )
-        .orderBy("label_a", "label_b")
-    )
+    rows = sorted(cents.collect(), key=lambda r: r.label)
+    out = []
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            dot = norm_a = norm_b = 0.0
+            for x, y in zip(ra.centroid, rb.centroid):
+                dot += x * y
+                norm_a += x * x
+                norm_b += y * y
+            out.append(
+                (ra.label, rb.label, dot / (math.sqrt(norm_a) * math.sqrt(norm_b)))
+            )
+    return embeddings.sparkSession.createDataFrame(
+        out, "label_a int, label_b int, cos_centroids double"
+    ).orderBy("label_a", "label_b")

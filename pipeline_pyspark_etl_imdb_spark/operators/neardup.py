@@ -595,3 +595,63 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates()
     )
+
+
+def minhash_jaccard_estimates(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    rows_per_band: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimator-quality observability for the MinHash family: per LSH
+    candidate pair, the MinHash Jaccard ESTIMATE (matching signature
+    components / n_hashes — the Broder 1997 unbiased estimator), the
+    EXACT shingle Jaccard, and the absolute error. This is the report a
+    100 TB dedup run uses to choose n_hashes and the verify threshold:
+    estimate-vs-truth on the pairs the banding actually surfaces.
+
+    Everything is md5-determined and rational (match counts over
+    n_hashes, exact set Jaccard), so the whole report hash-matches the
+    relational oracle. Shape: the signature table is computed ONCE
+    (persisted) and feeds banding, both estimate sides, and nothing
+    else corpus-sized; the exact stage is the shared broadcast
+    array-intersect verifier."""
+    sigs = tracked_persist(minhash_signatures(docs, n_hashes, k, text_col, id_col))
+    keys = minhash_band_keys(sigs, n_hashes, rows_per_band, id_col)
+    a = keys.select(F.col(id_col).alias("doc_a"), "band_id", "band_val")
+    b = keys.select(F.col(id_col).alias("doc_b"), "band_id", "band_val")
+    cand = tracked_persist(
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"h{j}").alias(f"__a{j}") for j in range(n_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"h{j}").alias(f"__b{j}") for j in range(n_hashes)]
+    )
+    n_match = None
+    for j in range(n_hashes):
+        m = F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+        n_match = m if n_match is None else (n_match + m)
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_match.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )
+    exact = verify_pairs_exact(docs, cand, k, threshold=0.0, text_col=text_col, id_col=id_col)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        F.col("jaccard").alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+    )

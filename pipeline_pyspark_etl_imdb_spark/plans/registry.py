@@ -1299,6 +1299,11 @@ QUERIES: dict[str, QueryFn] = {
     "event_value_bands": lambda s, d: eventtime.value_percentile_bands(
         _events(s, d)
     ),
+    # estimator-quality report: MinHash estimate vs exact Jaccard on the
+    # banding candidates (how a 100 TB run tunes n_hashes/threshold)
+    "minhash_jaccard_estimates": lambda s, d: neardup.minhash_jaccard_estimates(
+        _docs(s, d)
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

@@ -119,3 +119,52 @@ def test_capped_plan_caches_shingles_once(spark):
         assert plan.count("InMemoryTableScan") >= 4
     finally:
         release_tracked()
+
+
+def test_minhash_estimate_identical_docs_perfect(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators import neardup
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in neardup.minhash_jaccard_estimates(docs).collect()
+    }
+    release_tracked()
+    r = got[(1, 2)]
+    assert r.est_jaccard == 1.0 and r.exact_jaccard == 1.0 and r.abs_err == 0.0
+    # any (1,3)/(2,3) band collision would be reported with a LOW exact
+    # jaccard, not silently dropped — the report surfaces estimator
+    # false positives rather than hiding them
+    for pair, row in got.items():
+        if 3 in pair:
+            assert row.exact_jaccard < 0.5
+
+
+def test_minhash_estimate_agrees_with_verified_pairs(spark):
+    """est >= matching-components consistency: pairs whose exact jaccard
+    passes 0.8 must be exactly lsh_verified_pairs' output."""
+    from pipeline_pyspark_etl_imdb_spark.operators import neardup
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    report = {
+        (r.doc_a, r.doc_b): r.exact_jaccard
+        for r in neardup.minhash_jaccard_estimates(docs).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup.lsh_verified_pairs(docs, threshold=0.8).collect()
+    }
+    release_tracked()
+    assert {p for p, j in report.items() if j >= 0.8} == set(verified)
+    for p in verified:
+        assert report[p] == verified[p]

@@ -428,3 +428,48 @@ def value_percentile_bands(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def dow_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonal indexes per event type: (event_type, dow,
+    n_events, mean_value, seasonal_index) where the index is the dow
+    mean over the type's overall mean — the classical multiplicative
+    seasonal profile (the sanity report behind traffic forecasting and
+    anomaly baselines; an index far from 1.0 is the weekly cycle).
+
+    dow derives from integer epoch-day arithmetic ((day + 3) mod 7,
+    0 = Monday) — no timezone functions, so every engine reading the
+    same file agrees. Means are DECIMAL-exact sums divided in a fixed
+    order; the index is one more double division. Two partial-aggregated
+    groupBys (type x dow, then type) with the 7-rows-per-type overall
+    frame broadcast back."""
+    # integer `div` (not `/`): Spark's / on bigints is DOUBLE division,
+    # whose round-then-truncate can mis-bucket a boundary microsecond
+    base = events.select(
+        "event_type",
+        ts_micros(events).alias("__us"),
+        F.col("value").cast("decimal(28,12)").alias("__v"),
+    ).select(
+        "event_type",
+        ((F.expr(f"CAST(__us div {86400 * US} AS BIGINT)") + 3) % 7).alias("dow"),
+        "__v",
+    )
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_events"), F.sum("__v").alias("__s")
+    )
+    overall = base.groupBy("event_type").agg(
+        F.count("*").alias("__tn"), F.sum("__v").alias("__ts")
+    )
+    dow_mean = F.col("__s").cast("double") / F.col("n_events")
+    type_mean = F.col("__ts").cast("double") / F.col("__tn")
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            dow_mean.alias("mean_value"),
+            (dow_mean / type_mean).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1304,6 +1304,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_jaccard_estimates": lambda s, d: neardup.minhash_jaccard_estimates(
         _docs(s, d)
     ),
+    # multiplicative weekly seasonal profile (integer-day dow, no tz)
+    "event_dow_seasonality": lambda s, d: eventtime.dow_seasonality(_events(s, d)),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

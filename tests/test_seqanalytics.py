@@ -141,3 +141,27 @@ def test_value_bands_match_numpy(events, rows):
             assert getattr(got[t], col) == pytest.approx(
                 np.percentile(a, p), rel=1e-12
             ), (t, p)
+
+
+def test_dow_seasonality_properties(spark, events):
+    out = eventtime.dow_seasonality(events).collect()
+    # weighted mean of seasonal indexes over each type's week == 1.0
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        n = sum(r.n_events for r in rs)
+        w = sum(r.seasonal_index * r.n_events for r in rs) / n
+        assert w == pytest.approx(1.0, rel=1e-9), t
+        assert all(0 <= r.dow <= 6 for r in rs)
+
+
+def test_dow_is_monday_zero(spark):
+    # 2024-01-01 was a Monday
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 12:00:00", "view", 1.0),
+         (2, 1, "2024-01-07 12:00:00", "view", 1.0)],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(r.dow for r in eventtime.dow_seasonality(ev).collect())
+    assert got == [0, 6]  # Monday=0, the following Sunday=6

@@ -1306,6 +1306,8 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # multiplicative weekly seasonal profile (integer-day dow, no tz)
     "event_dow_seasonality": lambda s, d: eventtime.dow_seasonality(_events(s, d)),
+    # inverted-index sparse cosine join (df-fraction cap = the skew lever)
+    "tfidf_cosine_pairs": lambda s, d: neardup.tfidf_cosine_pairs(_docs(s, d)),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

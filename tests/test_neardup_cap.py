@@ -168,3 +168,18 @@ def test_minhash_estimate_agrees_with_verified_pairs(spark):
     assert {p for p, j in report.items() if j >= 0.8} == set(verified)
     for p in verified:
         assert report[p] == verified[p]
+
+
+def test_tfidf_cosine_identical_docs_top_ranked(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators import neardup
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    rows = [(i, f"rare{i} unique{i} token{i} filler") for i in range(40)]
+    rows += [(100, "aardvark zebra quokka lemur"), (101, "aardvark zebra quokka lemur")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = neardup.tfidf_cosine_pairs(docs, min_sim=0.3, max_df_frac=0.1).collect()
+    release_tracked()
+    assert got, "identical docs must surface"
+    top = got[0]
+    assert (top.doc_a, top.doc_b) == (100, 101)
+    assert top.cosine == pytest.approx(1.0)

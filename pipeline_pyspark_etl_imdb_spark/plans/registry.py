@@ -27,6 +27,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     multimodal,
     neardup,
     prototypes,
+    retrieval,
     semdedup,
     quantize,
     similarity,
@@ -1308,6 +1309,11 @@ QUERIES: dict[str, QueryFn] = {
     "event_dow_seasonality": lambda s, d: eventtime.dow_seasonality(_events(s, d)),
     # inverted-index sparse cosine join (df-fraction cap = the skew lever)
     "tfidf_cosine_pairs": lambda s, d: neardup.tfidf_cosine_pairs(_docs(s, d)),
+    # RAG retrieval stack: reciprocal-rank fusion of BM25 + embedding
+    # cosine (rank-based, so no cross-system score calibration needed)
+    "hybrid_rrf_retrieval": lambda s, d: retrieval.hybrid_rrf(
+        _docs(s, d), _emb(s, d), ["vector", "hash", "merge"]
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators import (
+    abtest,
     attribution,
     basket,
     bpe,
@@ -1314,6 +1315,10 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_rrf_retrieval": lambda s, d: retrieval.hybrid_rrf(
         _docs(s, d), _emb(s, d), ["vector", "hash", "merge"]
     ),
+    # deterministic md5-bucketed A/B with a two-proportion z-test
+    "ab_experiment_report": lambda s, d: abtest.ab_experiment_report(_events(s, d)),
+    # funnel latency distribution (exact interpolated percentiles)
+    "funnel_time_to_convert": lambda s, d: abtest.time_to_convert(_events(s, d)),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

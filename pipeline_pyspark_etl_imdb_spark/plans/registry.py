@@ -34,6 +34,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     similarity,
     skew,
     triangles,
+    unigram_lm,
     warehouse,
 )
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
@@ -1319,6 +1320,12 @@ QUERIES: dict[str, QueryFn] = {
     "ab_experiment_report": lambda s, d: abtest.ab_experiment_report(_events(s, d)),
     # funnel latency distribution (exact interpolated percentiles)
     "funnel_time_to_convert": lambda s, d: abtest.time_to_convert(_events(s, d)),
+    # unigram-LM tokenizer training (SentencePiece hard-EM) — the fifth
+    # iterative shape; rows-only (iterative Viterbi rounds are not one
+    # SQL query), pinned in tests/test_unigram_lm.py
+    "unigram_lm_vocab": lambda s, d: unigram_lm.unigram_lm_train(
+        _docs(s, d), seed_size=1500, vocab_size=400, n_iters=2
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for
@@ -1447,4 +1454,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "media_ahash_values",
     "media_audio_fingerprints",
     "bpe_doc_token_budget",
+    "unigram_lm_vocab",
 )

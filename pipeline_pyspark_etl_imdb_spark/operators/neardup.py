@@ -745,3 +745,45 @@ def tfidf_cosine_pairs(
         .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(top_n)
     )
+
+
+def dedup_signal_consensus(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_threshold: float = 0.8,
+    cos_threshold: float = 0.35,
+) -> DataFrame:
+    """Multi-signal dedup consensus: full outer join of the TEXT
+    near-dup pairs (LSH-verified shingle Jaccard >= text_threshold) and
+    the EMBEDDING near-dup pairs (bucketed cosine >= cos_threshold),
+    assuming the fixture's doc_id == vec_id alignment. Output
+    (doc_a, doc_b, text_jaccard, in_text, in_embedding).
+
+    This is the disagreement report a 100 TB dedup run reads before
+    trusting either signal alone: in_text-only rows are surface dups an
+    embedding missed (paraphrase-ish encoder), in_embedding-only rows
+    are semantic dups exact text methods cannot see (SemDeDup's whole
+    reason to exist). Both inputs are the already-plan-audited
+    operators; the fusion adds one full outer join of two
+    candidate-sized frames."""
+    from pipeline_pyspark_etl_imdb_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    tp = lsh_verified_pairs(docs, threshold=text_threshold).withColumn(
+        "__txt", F.lit(True)
+    )
+    ep = cosine_dup_pairs(embeddings, threshold=cos_threshold).withColumn(
+        "__emb", F.lit(True)
+    )
+    return (
+        tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("text_jaccard"),
+            F.coalesce(F.col("__txt"), F.lit(False)).alias("in_text"),
+            F.coalesce(F.col("__emb"), F.lit(False)).alias("in_embedding"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

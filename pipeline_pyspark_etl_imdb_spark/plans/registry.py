@@ -1326,6 +1326,11 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_lm_vocab": lambda s, d: unigram_lm.unigram_lm_train(
         _docs(s, d), seed_size=1500, vocab_size=400, n_iters=2
     ),
+    # multi-signal dedup disagreement report (text LSH-verified pairs
+    # full-outer embedding-cosine pairs, doc_id == vec_id alignment)
+    "dedup_signal_consensus": lambda s, d: neardup.dedup_signal_consensus(
+        _docs(s, d), _emb(s, d)
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

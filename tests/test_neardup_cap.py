@@ -183,3 +183,27 @@ def test_tfidf_cosine_identical_docs_top_ranked(spark):
     top = got[0]
     assert (top.doc_a, top.doc_b) == (100, 101)
     assert top.cosine == pytest.approx(1.0)
+
+
+def test_consensus_decomposes_into_both_signals(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators import neardup, similarity
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = neardup.dedup_signal_consensus(docs, emb).collect()
+    text_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in neardup.lsh_verified_pairs(docs, threshold=0.8).collect()
+    }
+    emb_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.35).collect()
+    }
+    release_tracked()
+    assert {(r.doc_a, r.doc_b) for r in out if r.in_text} == text_pairs
+    assert {(r.doc_a, r.doc_b) for r in out if r.in_embedding} == emb_pairs
+    for r in out:
+        assert r.in_text or r.in_embedding
+        assert (r.text_jaccard is not None) == r.in_text

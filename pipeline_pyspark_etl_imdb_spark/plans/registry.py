@@ -1003,6 +1003,25 @@ QUERIES: dict[str, QueryFn] = {
     # dedup_components, dedup_canonical_corpus) stay locally verified and
     # their code paths run in-window via lsh_verified_pairs,
     # ann_recall_report, and jaccard_pairs.
+    #
+    # R4 ROTATION BACKLOG (never driver-checked, currently behind the
+    # window — move into slots 1-50 next round): the 22 late-r3 queries
+    # listed in ROUND3_NOTES (bm25_docs, l_diversity_customers,
+    # contrastive_doc_negatives, rag_chunk_bm25, embedding_int8_quantize,
+    # matryoshka_recall16, curriculum_stages, segment_price_trend,
+    # quality_auc, prefix_filter_pairs, quality_calibration,
+    # quality_psi_drift, event_audience_overlap, vocab_zipf_fit,
+    # quality_threshold_metrics, semdedup_kmeans, bpe_merge_table,
+    # bpe_token_counts, media_ahash_values, media_audio_fingerprints,
+    # pack_best_fit_assignment, copurchase_k_core) plus the
+    # continuation batch (embedding_prototype_scores,
+    # copurchase_link_prediction, event_cusum_changepoints,
+    # decayed_user_engagement, event_type_trigrams, lang_ngram_diversity,
+    # bpe_doc_token_budget, revenue_attribution_ushape,
+    # part_association_rules, label_confusion_report, event_value_bands,
+    # minhash_jaccard_estimates, event_dow_seasonality,
+    # tfidf_cosine_pairs, hybrid_rrf_retrieval, ab_experiment_report,
+    # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,

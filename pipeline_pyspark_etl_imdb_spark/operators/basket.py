@@ -64,12 +64,19 @@ def association_rules(
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= min_support)
     )
-    ca = F.broadcast(
-        item_counts.select(F.col("i").alias("item_a"), F.col("n_item").alias("n_a"))
+    # the item-count frame is catalog-sized, not fact-sized — usually a
+    # broadcastable dimension, but size-guarded like every other forced
+    # broadcast in the repo (falls back to shuffle equi-joins on a
+    # 10^8-item catalog)
+    small_catalog = item_counts.count() <= 5_000_000
+    ca = item_counts.select(
+        F.col("i").alias("item_a"), F.col("n_item").alias("n_a")
     )
-    cb = F.broadcast(
-        item_counts.select(F.col("i").alias("item_b"), F.col("n_item").alias("n_b"))
+    cb = item_counts.select(
+        F.col("i").alias("item_b"), F.col("n_item").alias("n_b")
     )
+    if small_catalog:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
     nb = float(n_baskets)
     return (
         pairs.join(ca, "item_a")

@@ -136,6 +136,8 @@ def unigram_lm_train(
 
         def to_logp(c: dict) -> dict:
             total = sum(c.values())
+            if total == 0:  # empty corpus: an empty model, not a crash
+                return {}
             return {k: math.log(v / total) for k, v in c.items()}
 
         logp = to_logp(counts)

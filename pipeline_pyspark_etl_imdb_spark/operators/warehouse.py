@@ -30,6 +30,8 @@ plus a single-row broadcast for the total.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -543,4 +545,69 @@ def kmv_jaccard_pairs(
             ),
         )
         .orderBy("group_a", "group_b")
+    )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    thresholds: tuple[float, ...] = (0.01, 0.05, 0.10, 0.25),
+    key_col: str = "o_custkey",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Pareto concentration report: for each top-x% of customers by
+    total spend, (top_pct, n_top, revenue_top, share) — the whale-curve
+    KPI behind "1% of users produce 40% of revenue" decisions, and the
+    distribution-health check a sampling pipeline reads before assuming
+    uniformity.
+
+    Scale shape: per-key spend is ONE partial-aggregated groupBy; the
+    global descending rank comes from ranks.total_order_ranks (range
+    shuffle + broadcast partition offsets — the only partition-less
+    window sees #partitions rows, never the data); all thresholds are
+    CONDITIONAL SUMS in a single pass over the ranked frame, unpivoted
+    to report rows. No TakeOrdered of a 1%-of-customers prefix (driver-
+    sized at 100 TB), no per-threshold rescans.
+
+    Exactness: spends accumulate in DECIMAL(28,12) (negated for the
+    ascending rank order — negation is exact), cutoffs are
+    greatest(1, floor(t*n)) on the identical double product, and shares
+    are one double division each — oracle-backed."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    spend = (
+        orders.groupBy(F.col(key_col).alias("k"))
+        .agg(F.sum(F.col(value_col).cast("decimal(28,12)")).alias("s"))
+        .withColumn("neg_s", -F.col("s"))
+    )
+    n = spend.count()
+    ranked = total_order_ranks(spend, ["neg_s", "k"])
+    aggs = [F.sum("s").cast("double").alias("__total")]
+    for i, t in enumerate(thresholds):
+        k_cut = max(1, int(math.floor(t * n)))
+        aggs.append(
+            F.sum(F.when(F.col("global_rn") <= k_cut, F.col("s")))
+            .cast("double")
+            .alias(f"__rev{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("global_rn") <= k_cut, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__n{i}")
+        )
+    one = ranked.agg(*aggs)
+    reports = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("top_pct"),
+                F.col(f"__n{i}").cast("bigint").alias("n_top"),
+                F.col(f"__rev{i}").alias("revenue_top"),
+                (F.col(f"__rev{i}") / F.col("__total")).alias("share"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        one.select(F.explode(reports).alias("r"))
+        .select("r.top_pct", "r.n_top", "r.revenue_top", "r.share")
+        .orderBy("top_pct")
     )

@@ -1350,6 +1350,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_signal_consensus": lambda s, d: neardup.dedup_signal_consensus(
         _docs(s, d), _emb(s, d)
     ),
+    # whale-curve Pareto report (distributed ranks, one conditional-sum
+    # pass for all thresholds)
+    "revenue_concentration": lambda s, d: warehouse.revenue_concentration(
+        s.read.parquet(f"{d}/orders.parquet")
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

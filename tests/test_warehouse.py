@@ -228,3 +228,36 @@ def test_snapshot_diff_property_vs_python_reference(spark):
         assert got == py_diff(old_rows, new_rows)
 
     check()
+
+
+def test_revenue_concentration_hand_built(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        revenue_concentration,
+    )
+
+    # 10 customers: one whale with 910, nine with 10 each -> total 1000
+    rows = [(i, i, float(910 if i == 0 else 10)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    got = {
+        r.top_pct: (r.n_top, r.revenue_top, r.share)
+        for r in revenue_concentration(df, thresholds=(0.1, 0.5)).collect()
+    }
+    assert got[0.1] == (1, 910.0, 0.91)  # top 10% = the whale
+    assert got[0.5] == (5, 950.0, 0.95)  # whale + 4 minnows
+
+
+def test_revenue_concentration_share_monotone_on_fixture(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        revenue_concentration,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    rows = revenue_concentration(orders).collect()
+    shares = [r.share for r in sorted(rows, key=lambda r: r.top_pct)]
+    assert shares == sorted(shares)
+    assert all(0 < s <= 1 for s in shares)
+    # concentration sanity: top 1% must out-earn a uniform 1%
+    assert rows[0].share > 0.01

@@ -1355,6 +1355,14 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_concentration": lambda s, d: warehouse.revenue_concentration(
         s.read.parquet(f"{d}/orders.parquet")
     ),
+    # sketch-based join-size estimation (planning observability):
+    # orders x lineitem on orderkey, 1/16 key-cut sample vs exact
+    "join_size_estimate_ol": lambda s, d: warehouse.join_size_estimate(
+        s.read.parquet(f"{d}/orders.parquet"),
+        s.read.parquet(f"{d}/lineitem.parquet"),
+        "o_orderkey",
+        "l_orderkey",
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

@@ -261,3 +261,38 @@ def test_revenue_concentration_share_monotone_on_fixture(spark):
     assert all(0 < s <= 1 for s in shares)
     # concentration sanity: top 1% must out-earn a uniform 1%
     assert rows[0].share > 0.01
+
+
+def test_join_size_estimate_exact_side_and_determinism(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        join_size_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [(k,) for k in range(100) for _ in range(3)], "a long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in range(50, 150) for _ in range(2)], "b long"
+    )
+    r1 = join_size_estimate(left, right, "a", "b").collect()[0]
+    r2 = join_size_estimate(left, right, "a", "b").collect()[0]
+    # exact side: 50 shared keys x 3 x 2
+    assert r1.exact_rows == 50 * 6
+    assert (r1.est_rows, r1.rel_err) == (r2.est_rows, r2.rel_err)
+    assert r1.est_rows % (16 * 6) == 0  # sampled keys each carry 3*2, x16
+
+
+def test_join_size_estimate_fixture_reasonable(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        join_size_estimate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = join_size_estimate(
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet"),
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet"),
+        "o_orderkey",
+        "l_orderkey",
+    ).collect()[0]
+    assert got.exact_rows > 0
+    assert got.rel_err < 0.5  # 1/16 key sample on ~1.5k keys

@@ -180,3 +180,83 @@ def psi_drift(
             F.sum(contrib).alias("psi"),
         )
     )
+
+
+def conformal_cutoff(
+    scored: DataFrame,
+    score_col: str,
+    alphas: tuple[float, ...] = (0.05, 0.10, 0.20),
+    calib_frac_mod: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Split-conformal quality gating (Vovk et al.; Angelopoulos & Bates
+    2023 tutorial): from a deterministic md5 calibration split, the
+    EXACT finite-sample-corrected cutoff per miscoverage level alpha —
+    the k-th smallest calibration score with k = ceil((n+1)*(1-alpha)),
+    clamped to n. Keeping only rows scoring BELOW the cutoff guarantees
+    (under exchangeability) that at most ~alpha of kept rows would have
+    been rejected by the true distribution — the principled version of
+    "pick a quality threshold by eyeball".
+
+    Exactness: the cutoff is an ORDER STATISTIC (no interpolation), the
+    split is md5-determined, and k is integer arithmetic on the same
+    IEEE double product both engines compute — fully oracle-backed.
+
+    Shape: the calibration subset is hash-filtered at the scan, ONE
+    exact-rank pick per alpha via orderBy+limit(k) -> tail (compiles to
+    TakeOrderedAndProject; k rows cross to the driver only in the
+    k << n regime a calibration split lives in — for huge k use the
+    distributed-ranks path instead), and the reported coverage is one
+    conditional aggregate over the full frame."""
+    import math as _math
+
+    id_expr = (
+        F.col(id_col).cast("string")
+        if id_col is not None
+        else F.col(score_col).cast("string")
+    )
+    split_u32 = F.conv(
+        F.substring(F.md5(F.concat(id_expr, F.lit(":conformal"))), 1, 8), 16, 10
+    ).cast("bigint")
+    base = scored.select(
+        F.col(score_col).alias("score"), (split_u32 % calib_frac_mod == 0).alias("__cal")
+    )
+    base = base.persist()
+    try:
+        n = base.where(F.col("__cal")).count()
+        rows = []
+        for alpha in alphas:
+            k = min(n, int(_math.ceil((n + 1) * (1.0 - alpha))))
+            kth = (
+                base.where(F.col("__cal"))
+                .orderBy(F.asc("score"))
+                .limit(k)
+                .orderBy(F.desc("score"))
+                .limit(1)
+                .collect()
+            )
+            cutoff = float(kth[0].score) if kth else float("nan")
+            kept = base.agg(
+                F.sum(
+                    F.when(~F.col("__cal") & (F.col("score") <= cutoff), 1).otherwise(0)
+                ).alias("kept"),
+                F.sum(F.when(~F.col("__cal"), 1).otherwise(0)).alias("test_n"),
+            ).collect()[0]
+            rows.append(
+                (
+                    float(alpha),
+                    n,
+                    k,
+                    cutoff,
+                    int(kept.kept),
+                    int(kept.test_n),
+                    (kept.kept / kept.test_n) if kept.test_n else None,
+                )
+            )
+        return scored.sparkSession.createDataFrame(
+            rows,
+            "alpha double, n_calib bigint, k bigint, cutoff double,"
+            " kept_test bigint, n_test bigint, test_keep_rate double",
+        ).orderBy("alpha")
+    finally:
+        base.unpersist()

@@ -1363,6 +1363,15 @@ QUERIES: dict[str, QueryFn] = {
         "o_orderkey",
         "l_orderkey",
     ),
+    # split-conformal quality gate: exact order-statistic cutoffs with
+    # finite-sample correction over an md5 calibration split
+    "quality_conformal_gate": lambda s, d: evalmetrics.conformal_cutoff(
+        _docs(s, d).select(
+            "doc_id", text_ops.quality_expr(F.col("text")).alias("quality")
+        ),
+        "quality",
+        id_col="doc_id",
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

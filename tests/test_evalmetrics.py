@@ -127,3 +127,25 @@ def test_psi_shifted_distribution_alarms(spark):
     df = spark.createDataFrame(rows, "v double, half boolean")
     got = psi_drift(df, "v", "half").collect()[0]
     assert got.psi > 0.25  # "significant shift" band
+
+
+def test_conformal_cutoff_coverage_and_k(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        conformal_cutoff,
+    )
+    import math
+
+    # uniform-ish deterministic scores over 400 ids
+    df = spark.createDataFrame(
+        [(i, ((i * 37) % 400) / 400.0) for i in range(400)],
+        "doc_id long, score double",
+    )
+    out = conformal_cutoff(df, "score", alphas=(0.1, 0.3), id_col="doc_id").collect()
+    assert [r.alpha for r in out] == [0.1, 0.3]
+    for r in out:
+        assert r.k == min(r.n_calib, math.ceil((r.n_calib + 1) * (1 - r.alpha)))
+        # exchangeable split + exact order statistic: keep-rate within
+        # a few points of 1 - alpha
+        assert abs(r.test_keep_rate - (1 - r.alpha)) < 0.08
+    # lower alpha -> higher cutoff (monotone gates)
+    assert out[0].cutoff >= out[1].cutoff

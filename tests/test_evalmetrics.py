@@ -135,9 +135,9 @@ def test_conformal_cutoff_coverage_and_k(spark):
     )
     import math
 
-    # uniform-ish deterministic scores over 400 ids
+    # uniform-ish deterministic scores over 4000 ids
     df = spark.createDataFrame(
-        [(i, ((i * 37) % 400) / 400.0) for i in range(400)],
+        [(i, ((i * 37) % 4000) / 4000.0) for i in range(4000)],
         "doc_id long, score double",
     )
     out = conformal_cutoff(df, "score", alphas=(0.1, 0.3), id_col="doc_id").collect()
@@ -145,7 +145,7 @@ def test_conformal_cutoff_coverage_and_k(spark):
     for r in out:
         assert r.k == min(r.n_calib, math.ceil((r.n_calib + 1) * (1 - r.alpha)))
         # exchangeable split + exact order statistic: keep-rate within
-        # a few points of 1 - alpha
-        assert abs(r.test_keep_rate - (1 - r.alpha)) < 0.08
+        # sampling noise of 1 - alpha (n_test ~ 2000 -> sd ~ 0.01)
+        assert abs(r.test_keep_rate - (1 - r.alpha)) < 0.05
     # lower alpha -> higher cutoff (monotone gates)
     assert out[0].cutoff >= out[1].cutoff

@@ -683,3 +683,32 @@ def ngram_diversity(
         )
         .orderBy(group_col, "n")
     )
+
+
+def lang_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix: (label_lang, pred_lang, n, recall)
+    — the classifier-evaluation view of lang_id against the labeled
+    language column, the report that decides whether the heuristic is
+    safe to gate a multilingual corpus (off-diagonal mass = docs the
+    filter would misroute).
+
+    recall normalizes each row over its label total (row-stochastic).
+    One map-only scoring pass (lang_id is pure expressions), ONE
+    partial-aggregated groupBy(label, pred) — |langs|^2-bounded output
+    — and a broadcast of the |langs|-row label totals."""
+    pred = lang_id(docs)
+    joined = docs.select("doc_id", F.col(label_col).alias("label_lang")).join(
+        pred, "doc_id"
+    )
+    cm = joined.groupBy("label_lang", "pred_lang").agg(F.count("*").alias("n"))
+    totals = cm.groupBy("label_lang").agg(F.sum("n").alias("__tot"))
+    return (
+        cm.join(F.broadcast(totals), "label_lang")
+        .select(
+            "label_lang",
+            "pred_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("__tot")).alias("recall"),
+        )
+        .orderBy("label_lang", "pred_lang")
+    )

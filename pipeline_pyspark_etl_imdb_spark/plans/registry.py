@@ -1372,6 +1372,8 @@ QUERIES: dict[str, QueryFn] = {
         "quality",
         id_col="doc_id",
     ),
+    # lang-id confusion matrix vs the labeled language column
+    "lang_id_confusion": lambda s, d: text_ops.lang_confusion(_docs(s, d)),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for

@@ -31,3 +31,25 @@ def test_ngram_diversity_counts_duplicates(spark):
     }
     assert got[("en", 1)] == (3, 1, 1 / 3)
     assert got[("en", 2)] == (2, 1, 0.5)
+
+
+def test_lang_confusion_rows_stochastic(spark):
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in a house of mine", "en"),
+            (2, "el la de y que los un gato", "es"),
+            (3, "zzz qqq xxx", "fr"),  # no stopword hits -> 'und'
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r.label_lang, r.pred_lang): r for r in text_ops.lang_confusion(docs).collect()}
+    assert got[("en", "en")].n == 1 and got[("en", "en")].recall == 1.0
+    assert got[("es", "es")].n == 1
+    assert got[("fr", "und")].n == 1
+    # row-stochastic: per-label recalls sum to 1
+    sums: dict = {}
+    for (lab, _), r in got.items():
+        sums[lab] = sums.get(lab, 0.0) + r.recall
+    assert all(abs(v - 1.0) < 1e-12 for v in sums.values())

@@ -260,3 +260,57 @@ def conformal_cutoff(
         ).orderBy("alpha")
     finally:
         base.unpersist()
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Isotonic (PAV) score calibration: (bin, n, frac_pos, calibrated)
+    where ``calibrated`` is the pool-adjacent-violators fit over the
+    binned score/label table — the nonparametric upgrade of
+    calibration_bins when the raw reliability curve is non-monotone
+    (Zadrozny & Elkan 2002).
+
+    Split of labor: binning + per-bin positives is ONE partial-
+    aggregated groupBy over the corpus (the only distributed pass); PAV
+    runs on the driver over the <= n_bins aggregate rows — bounded
+    model state, the k-means-centroid class. Deterministic: pooled
+    values are ratios of integer sums and the pooling order is the
+    fixed left-to-right PAV scan; pinned against a pure-Python PAV in
+    tests (rows-only for the driver — the pooling loop is not one SQL
+    query)."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = (
+        scored.select(
+            b.alias("bin"),
+            F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .orderBy("bin")
+        .collect()
+    )
+    # PAV: maintain a stack of (weight, pos_sum, members); merge while
+    # the tail violates monotonicity (mean decreasing)
+    stack: list[list] = []
+    for r in bins:
+        stack.append([int(r.n), int(r.pos), [(int(r.bin), int(r.n), int(r.pos))]])
+        while len(stack) >= 2 and (
+            stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]
+        ):  # mean(prev) > mean(last), integer cross-multiply (exact)
+            w2, p2, m2 = stack.pop()
+            w1, p1, m1 = stack.pop()
+            stack.append([w1 + w2, p1 + p2, m1 + m2])
+    rows = []
+    for w, p, members in stack:
+        fitted = p / w
+        for bin_id, n, pos in members:
+            rows.append((bin_id, n, pos / n if n else 0.0, fitted))
+    return scored.sparkSession.createDataFrame(
+        rows, "bin int, n bigint, frac_pos double, calibrated double"
+    ).orderBy("bin")

@@ -1374,6 +1374,17 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # lang-id confusion matrix vs the labeled language column
     "lang_id_confusion": lambda s, d: text_ops.lang_confusion(_docs(s, d)),
+    # PAV isotonic calibration of the quality score against is-English
+    # (rows-only: the pooling loop is not one SQL query; Python-pinned)
+    "quality_isotonic_calibration": lambda s, d: evalmetrics.isotonic_calibration(
+        _docs(s, d).select(
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("lang") == "en").alias("is_en"),
+        ),
+        "quality",
+        "is_en",
+        n_bins=10,
+    ),
     "orders_with_lineitems_semi": analytics.orders_with_lineitems_semi,
     "customers_without_orders_anti": analytics.customers_without_orders_anti,
     # --- green in CORRECTNESS_r02 (or r01 for
@@ -1503,4 +1514,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "media_audio_fingerprints",
     "bpe_doc_token_budget",
     "unigram_lm_vocab",
+    "quality_isotonic_calibration",
 )

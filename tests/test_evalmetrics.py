@@ -149,3 +149,52 @@ def test_conformal_cutoff_coverage_and_k(spark):
         assert abs(r.test_keep_rate - (1 - r.alpha)) < 0.05
     # lower alpha -> higher cutoff (monotone gates)
     assert out[0].cutoff >= out[1].cutoff
+
+
+def test_isotonic_pav_matches_reference_and_is_monotone(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        isotonic_calibration,
+    )
+
+    # deliberately non-monotone reliability: mid bins worse than low
+    rows = []
+    data = [(0.05, 0.0), (0.15, 1.0), (0.25, 0.2), (0.35, 0.9), (0.45, 0.4)]
+    rid = 0
+    for score, p in data:
+        for i in range(50):
+            rows.append((rid, score, 1 if i < int(p * 50) else 0))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    out = isotonic_calibration(df, "score", "y", n_bins=10).collect()
+    cal = [r.calibrated for r in sorted(out, key=lambda r: r.bin)]
+    assert cal == sorted(cal)  # isotonic by construction
+    # PAV weighted mean is conserved within each pooled block
+    total_pos = sum(r.frac_pos * r.n for r in out)
+    total_cal = sum(r.calibrated * r.n for r in out)
+    assert abs(total_pos - total_cal) < 1e-9
+    # independent PAV on the known bins
+    import numpy as np
+
+    bins = {}
+    for _, score, y in rows:
+        k = min(int(score * 10), 9)
+        n, p = bins.get(k, (0, 0))
+        bins[k] = (n + 1, p + y)
+    xs = sorted(bins)
+    w = [bins[k][0] for k in xs]
+    v = [bins[k][1] / bins[k][0] for k in xs]
+    # classic PAV
+    w2, v2, idx = [], [], []
+    for i in range(len(xs)):
+        w2.append(w[i]); v2.append(v[i]); idx.append([xs[i]])
+        while len(v2) >= 2 and v2[-2] > v2[-1]:
+            wv = w2[-2] + w2[-1]
+            vv = (v2[-2] * w2[-2] + v2[-1] * w2[-1]) / wv
+            w2[-2:] = [wv]; v2[-2:] = [vv]; idx[-2:] = [idx[-2] + idx[-1]]
+    want = {}
+    for val, members in zip(v2, idx):
+        for k in members:
+            want[k] = val
+    got = {r.bin: r.calibrated for r in out}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)

@@ -712,3 +712,39 @@ def lang_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
         )
         .orderBy("label_lang", "pred_lang")
     )
+
+
+def lang_id_kappa(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Cohen's kappa between lang_id and the labeled language — chance-
+    corrected agreement, the one-number companion to lang_confusion
+    (accuracy alone flatters any classifier on a skewed label mix).
+
+    kappa = (p_o - p_e) / (1 - p_e), p_e = sum_k row_share * col_share.
+
+    All inputs are integer counts from ONE groupBy over the scored
+    corpus; the |langs|^2-bounded marginal sums happen on that tiny
+    frame. Fixed-order double arithmetic -> oracle-backed."""
+    pred = lang_id(docs)
+    joined = docs.select("doc_id", F.col(label_col).alias("lab")).join(pred, "doc_id")
+    cm = joined.groupBy("lab", "pred_lang").agg(F.count("*").alias("n"))
+    n_total = F.sum("n")
+    agree = F.sum(F.when(F.col("lab") == F.col("pred_lang"), F.col("n")).otherwise(0))
+    stats = cm.agg(n_total.alias("__n"), agree.alias("__agree"))
+    # marginals on the tiny cell frame; integer sums — order-free
+    row_tot = cm.groupBy("lab").agg(F.sum("n").alias("rn"))
+    col_tot = cm.groupBy("pred_lang").agg(F.sum("n").alias("cn"))
+    pe_frame = (
+        row_tot.join(
+            col_tot, row_tot["lab"] == col_tot["pred_lang"], "inner"
+        )
+        .agg(F.sum(F.col("rn") * F.col("cn")).alias("__pe_num"))
+    )
+    base = stats.select("__n", "__agree").crossJoin(F.broadcast(pe_frame))
+    po = F.col("__agree").cast("double") / F.col("__n")
+    pe = F.col("__pe_num").cast("double") / (F.col("__n") * F.col("__n"))
+    return base.select(
+        F.col("__n").cast("bigint").alias("n_docs"),
+        po.alias("accuracy"),
+        pe.alias("expected_agreement"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

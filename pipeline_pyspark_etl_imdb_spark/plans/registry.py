@@ -1374,6 +1374,8 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # lang-id confusion matrix vs the labeled language column
     "lang_id_confusion": lambda s, d: text_ops.lang_confusion(_docs(s, d)),
+    # chance-corrected agreement for the same prediction chain
+    "lang_id_kappa": lambda s, d: text_ops.lang_id_kappa(_docs(s, d)),
     # PAV isotonic calibration of the quality score against is-English
     # (rows-only: the pooling loop is not one SQL query; Python-pinned)
     "quality_isotonic_calibration": lambda s, d: evalmetrics.isotonic_calibration(

@@ -2,6 +2,8 @@
 phantom n-grams for docs shorter than n (Spark's sequence(1, 0) runs
 DESCENDING — the guard is load-bearing)."""
 
+import pytest
+
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
 
 
@@ -53,3 +55,26 @@ def test_lang_confusion_rows_stochastic(spark):
     for (lab, _), r in got.items():
         sums[lab] = sums.get(lab, 0.0) + r.recall
     assert all(abs(v - 1.0) < 1e-12 for v in sums.values())
+
+
+def test_kappa_perfect_and_skew_corrected(spark):
+    # perfect agreement -> kappa 1
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here of it", "en"),
+            (2, "el la de y que los un", "es"),
+            (3, "le la les et un une des", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    r = text_ops.lang_id_kappa(docs).collect()[0]
+    assert r.accuracy == 1.0 and r.kappa == pytest.approx(1.0)
+    # constant predictor on skewed labels: accuracy high, kappa 0
+    docs2 = spark.createDataFrame(
+        [(i, "the cat and of is a to in", "en") for i in range(9)]
+        + [(9, "the cat and of is a to in", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    r2 = text_ops.lang_id_kappa(docs2).collect()[0]
+    assert r2.accuracy == 0.9
+    assert r2.kappa == pytest.approx(0.0)

@@ -473,3 +473,71 @@ def dow_seasonality(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+def km_retention(events: DataFrame, censor_window_s: int = 7 * 86400) -> DataFrame:
+    """Kaplan-Meier retention curve over user activity lifetimes:
+    (day, n_risk, n_events, n_censored, survival) — survival analysis,
+    the right way to read "how long do users stay active" when the
+    newest users' lifetimes are right-censored by the observation edge
+    (a naive mean duration is biased low; KM is not).
+
+    Lifetime = whole days between a user's first and last event;
+    a user whose LAST event falls within ``censor_window_s`` of the
+    corpus max is censored (still alive at cutoff), contributing to the
+    at-risk set but not to the event count. survival(d) =
+    prod_{i<=d} (1 - d_i / n_i), the product-limit estimator
+    (Kaplan & Meier 1958).
+
+    Shape: ONE user groupBy (corpus-sized, partial-aggregated), then a
+    day-grain table bounded by the observation span in DAYS — the
+    partition-less cumulative windows and the sequential product fold
+    run on that tiny frame, never on event data. The fold order is
+    pinned by day, so the doubles match the oracle's windowed
+    product()."""
+    us = ts_micros(events)
+    day_us = 86400 * US
+    per_user = (
+        events.select("user_id", us.alias("__us"))
+        .groupBy("user_id")
+        .agg(F.min("__us").alias("__first"), F.max("__us").alias("__last"))
+    )
+    mx = per_user.agg(F.max("__last").alias("__max_us"))
+    tagged = per_user.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"CAST((__last - __first) div {day_us} AS BIGINT)").alias("day"),
+        (
+            F.col("__last") >= F.col("__max_us") - F.lit(censor_window_s * US)
+        ).alias("__cens"),
+    )
+    days = tagged.groupBy("day").agg(
+        F.sum(F.when(~F.col("__cens"), 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(F.col("__cens"), 1).otherwise(0)).alias("n_censored"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = days.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("__n")
+    )
+    curve = (
+        days.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "__f",
+            F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk"),
+        )
+        .withColumn(
+            "survival",
+            F.aggregate(
+                F.collect_list("__f").over(w_cum), F.lit(1.0), lambda a, x: a * x
+            ),
+        )
+    )
+    return curve.select(
+        "day", "n_risk", "n_events", "n_censored", "survival"
+    ).orderBy("day")

@@ -1376,6 +1376,10 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_confusion": lambda s, d: text_ops.lang_confusion(_docs(s, d)),
     # chance-corrected agreement for the same prediction chain
     "lang_id_kappa": lambda s, d: text_ops.lang_id_kappa(_docs(s, d)),
+    # Kaplan-Meier retention (product-limit estimator, right-censored)
+    "user_km_retention": lambda s, d: eventtime.km_retention(
+        _events(s, d), censor_window_s=6 * 3600
+    ),
     # PAV isotonic calibration of the quality score against is-English
     # (rows-only: the pooling loop is not one SQL query; Python-pinned)
     "quality_isotonic_calibration": lambda s, d: evalmetrics.isotonic_calibration(

@@ -165,3 +165,34 @@ def test_dow_is_monday_zero(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = sorted(r.dow for r in eventtime.dow_seasonality(ev).collect())
     assert got == [0, 6]  # Monday=0, the following Sunday=6
+
+
+def test_km_retention_matches_product_limit_reference(spark):
+    # lifetimes in days: 0,0,1,1(c),2; censor 2 users at the edge by
+    # giving them last events inside the censor window
+    rows = []
+    eid = 0
+    # (user, first_day, last_day)
+    spec = [(1, 0, 0), (2, 0, 0), (3, 0, 1), (4, 0, 1), (5, 0, 2), (6, 0, 2)]
+    for u, f_, l_ in spec:
+        for dday in {f_, l_}:
+            rows.append(
+                (eid, u, f"2024-01-{dday + 1:02d} 12:00:00", "view", 0.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # censor window 12 h: only users 5,6 (last event == corpus max)
+    # censor; users 3,4 sit a full day before the edge (the window
+    # boundary is INCLUSIVE, so a 1-day window would censor them too)
+    got = {
+        r.day: (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in eventtime.km_retention(ev, censor_window_s=43200).collect()
+    }
+    # day 0: risk 6, events 2 -> S = 2/3; day 1: risk 4, events 2 -> S = 1/3
+    # day 2: risk 2, events 0, censored 2 -> S stays 1/3
+    assert got[0] == (6, 2, 0, pytest.approx(2 / 3))
+    assert got[1] == (4, 2, 0, pytest.approx(2 / 3 * 0.5))
+    assert got[2][0:3] == (2, 0, 2)
+    assert got[2][3] == pytest.approx(1 / 3)

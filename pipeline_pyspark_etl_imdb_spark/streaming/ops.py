@@ -673,3 +673,96 @@ def value_psi_stream(
         "n_events",
         psi.alias("psi"),
     )
+
+
+_CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cp_event_id", LongType()),
+        StructField("cp_us", LongType()),
+        StructField("max_abs_cusum", DoubleType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [
+        StructField("cusum", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("peak_event_id", LongType()),
+        StructField("peak_us", LongType()),
+    ]
+)
+
+
+def cusum_monitor_stream(
+    events: DataFrame,
+    target_mean: float,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: per user, maintain the running sum
+    of (value - target_mean) and emit a row whenever the |CUSUM| peak
+    improves — the continuous counterpart of the batch
+    eventtime.cusum_changepoints (which derives target_mean from the
+    corpus; a stream monitors drift against a KNOWN reference level,
+    Page 1954's original control-chart setting).
+
+    State per key is four scalars — O(1) regardless of stream length.
+    Events sort by event time within each trigger, so the fold order
+    (and therefore every float) matches the batch ROWS-frame window
+    whenever triggers respect time order; the LAST emission per user is
+    the batch answer (parity-gated in tests/test_streaming.py)."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cusum, peak, pid, pus = state.get
+        else:
+            cusum, peak, pid, pus = 0.0, float("-inf"), -1, -1
+        improved = False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks).sort_values(
+                ["us", "event_id"], kind="mergesort"
+            )
+            for eid, us, v in zip(rows["event_id"], rows["us"], rows["value"]):
+                cusum += float(v) - target_mean
+                a = abs(cusum)
+                if a > peak:
+                    peak, pid, pus = a, int(eid), int(us)
+                    improved = True
+        state.update((cusum, peak, pid, pus))
+        if improved:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "cp_event_id": [pid],
+                    "cp_us": [pus],
+                    "max_abs_cusum": [peak],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "cp_event_id": [], "cp_us": [], "max_abs_cusum": []}
+            )
+
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    return (
+        timed.select(
+            "user_id",
+            "event_id",
+            "value",
+            "event_time",
+            F.unix_micros("event_time").alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -553,3 +553,32 @@ def test_value_psi_stream_matches_batch_formula(spark, events_batch, tmp_path):
     assert not compare_frames(got, want)
     assert (got.n_events > 0).all()
     assert got.psi.notna().all()
+
+
+def test_cusum_stream_matches_batch(spark, events_batch, tmp_path):
+    # the stream monitors against a KNOWN reference level; feed it the
+    # batch corpus mean so the final per-user peak must equal the batch
+    # change-point exactly
+    mean = (
+        events_batch.agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        ).collect()[0].m
+    )
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.cusum_monitor_stream(stream, target_mean=mean),
+        tmp_path,
+        "cusum",
+        "append",
+    )
+    # last emission per user is the final peak
+    got = got.sort_values(["user_id", "max_abs_cusum"]).groupby("user_id").last()
+    want = eventtime.cusum_changepoints(events_batch).toPandas().set_index("user_id")
+    assert set(got.index) == set(want.index)
+    for u in want.index:
+        assert got.loc[u, "cp_event_id"] == want.loc[u, "cp_event_id"], u
+        assert abs(got.loc[u, "max_abs_cusum"] - want.loc[u, "max_abs_cusum"]) < 1e-9

@@ -634,3 +634,85 @@ def pack_best_fit(
         _pack,
         schema=f"{id_col} bigint, shard int, n_tokens bigint, seq_idx bigint",
     )
+
+
+def select_to_token_budget(
+    docs: DataFrame,
+    token_budget: int,
+    n_buckets: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data pruning to a token budget: keep the highest-quality documents
+    (quality_expr order, doc_id tiebreak) until the budget is spent — a
+    document survives iff the tokens of every strictly-better document
+    sum to less than the budget. The "train on the best X tokens you can
+    afford" selection step (the budgeted complement of curriculum_stages,
+    which orders but never drops).
+
+    A naive implementation is a cumulative sum over one global window —
+    single-partition, the classic 100 TB killer. This runs the standard
+    two-phase histogram cut instead:
+      1. bucket docs by floor(quality * n_buckets) — monotone in the
+         global order — and partially aggregate per-bucket token sums
+         (<= n_buckets + 1 rows cross the wire);
+      2. prefix-sum that SMALL frame (a window over <= 1001 rows, not
+         over data) to classify each bucket: fully funded (prefix + sum
+         < budget, with tokens >= 1 per doc every member's own prefix is
+         below budget), exhausted (prefix >= budget), or THE boundary
+         bucket;
+      3. only boundary-bucket docs — one bucket's occupancy, not the
+         corpus — enter a per-bucket ranking window for the exact cut.
+    Quality is fixed-order rational double arithmetic (identical IEEE
+    results in any engine), token counts are BIGINT-exact, so the kept
+    set is engine-portable. Empty docs (0 tokens) are dropped up front —
+    they carry no budget and would break the strict-prefix argument."""
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_expr
+
+    scored = (
+        docs.select(
+            id_col,
+            quality_expr(F.col(text_col)).alias("quality"),
+            F.size(tokens(F.lower(F.col(text_col)))).cast("bigint").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= 1)
+        .withColumn(
+            "__bucket", F.floor(F.col("quality") * n_buckets).cast("bigint")
+        )
+    )
+    bucket_agg = scored.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btok"))
+    wb = (
+        Window.orderBy(F.desc("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classified = bucket_agg.withColumn(
+        "__prefix", F.coalesce(F.sum("__btok").over(wb), F.lit(0).cast("bigint"))
+    )
+    full_buckets = classified.where(
+        F.col("__prefix") + F.col("__btok") <= F.lit(token_budget)
+    ).select("__bucket")
+    boundary = classified.where(
+        (F.col("__prefix") < F.lit(token_budget))
+        & (F.col("__prefix") + F.col("__btok") > F.lit(token_budget))
+    ).select("__bucket", "__prefix")
+
+    kept_full = scored.join(F.broadcast(full_buckets), "__bucket", "semi")
+    wdoc = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), "__bucket")
+        .withColumn(
+            "__doc_prefix",
+            F.col("__prefix")
+            + F.coalesce(F.sum("n_tokens").over(wdoc), F.lit(0).cast("bigint")),
+        )
+        .where(F.col("__doc_prefix") < F.lit(token_budget))
+    )
+    return (
+        kept_full.select(id_col, "n_tokens", "quality")
+        .unionByName(kept_boundary.select(id_col, "n_tokens", "quality"))
+        .orderBy(id_col)
+    )

@@ -315,3 +315,60 @@ def mixing_epochs_plan(
             / F.col("available_tokens")
         ).alias("repeat_factor"),
     )
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    token_budget: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled multilingual mixing (the mT5/XLM-R recipe,
+    Xue et al. 2021 sec 3.2): sample domain l with probability
+    q_l = p_l^alpha / sum_m p_m^alpha where p_l is the natural token
+    share — alpha < 1 flattens the distribution so low-resource domains
+    are upsampled without hand-written quotas (the complement of
+    mixing_epochs_plan, which takes explicit target shares).
+
+    Fixed at alpha = 0.5 so the power is sqrt(), which IEEE 754 requires
+    to be correctly rounded — the per-domain numerator is bit-identical
+    across engines (a libm pow(x, 0.3) would not be), and the
+    denominator's sum-order ulps sit far below the 6-decimal comparison
+    resolution. Since p_l^0.5 / sum p_m^0.5 = sqrt(n_l) / sum sqrt(n_m),
+    the corpus total N cancels and only integer token counts enter.
+
+    Shape: ONE partially-aggregated groupBy over the token stream to
+    domain granularity (domains are few — the aggregate output is a
+    handful of rows), then a one-row denominator frame broadcast back.
+    Reports per domain: available tokens, natural share, temperature
+    share, planned draw floor(budget * q_l), and the repeat factor
+    (epochs over the domain's supply; >1 = upsampled)."""
+    per_domain = (
+        docs.select(
+            F.col(domain_col).alias("domain"),
+            F.size(tokens(F.lower(F.col(text_col)))).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("n_tok").alias("available_tokens"))
+    )
+    denom = per_domain.agg(
+        F.sum("available_tokens").alias("__total_tokens"),
+        F.sum(F.sqrt(F.col("available_tokens").cast("double"))).alias("__sqrt_sum"),
+    )
+    planned = F.floor(
+        F.lit(float(token_budget))
+        * (F.sqrt(F.col("available_tokens").cast("double")) / F.col("__sqrt_sum"))
+    ).cast("bigint")
+    return per_domain.crossJoin(F.broadcast(denom)).select(
+        "domain",
+        "available_tokens",
+        (F.col("available_tokens").cast("double") / F.col("__total_tokens")).alias(
+            "raw_share"
+        ),
+        (F.sqrt(F.col("available_tokens").cast("double")) / F.col("__sqrt_sum")).alias(
+            "temp_share"
+        ),
+        planned.alias("planned_tokens"),
+        (planned.cast("double") / F.col("available_tokens")).alias("repeat_factor"),
+    )

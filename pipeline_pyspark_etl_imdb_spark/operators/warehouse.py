@@ -662,3 +662,47 @@ def join_size_estimate(
             / F.col("exact_rows")
         ).alias("rel_err"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostics — the report you run BEFORE a 100 TB
+    groupBy/join on ``key_col`` to decide whether it needs salting or an
+    AQE skew split (operators/skew.py / the AQE gate in
+    tests/test_plan_quality.py are the remedies; this is the detector).
+
+    Per hot key (top_n by frequency, key-string tiebreak): its row count,
+    its share of all rows, and its skew factor cnt * n_keys / total_rows
+    (1.0 = perfectly uniform; the max-task-to-mean-task ratio a hash
+    shuffle on this key would see). NULL keys participate (they hash to
+    one reducer too — the classic silent hot key).
+
+    Physical shape: ONE partial-aggregated groupBy(key) -> a global
+    TakeOrderedAndProject of top_n rows (no global sort, no window over
+    data) -> one-row totals frame joined in (broadcast by size). Extends
+    the reference's QA-count surface (SURVEY.md S2 A6,
+    src/etl_imdb.py:287-297) from table-level to key-level volumetrics."""
+    freq = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = freq.agg(
+        F.sum("cnt").alias("__total_rows"),
+        F.count("*").alias("__n_keys"),
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc_nulls_first("key_value")).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total_rows")).alias("row_share"),
+            (
+                (F.col("cnt") * F.col("__n_keys")).cast("double")
+                / F.col("__total_rows")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc_nulls_first("key_value"))
+    )

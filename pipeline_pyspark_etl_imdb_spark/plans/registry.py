@@ -1021,7 +1021,9 @@ QUERIES: dict[str, QueryFn] = {
     # part_association_rules, label_confusion_report, event_value_bands,
     # minhash_jaccard_estimates, event_dow_seasonality,
     # tfidf_cosine_pairs, hybrid_rrf_retrieval, ab_experiment_report,
-    # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus).
+    # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus,
+    # event_key_skew_profile, temperature_mixing_plan,
+    # quality_token_budget).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1499,6 +1501,15 @@ QUERIES: dict[str, QueryFn] = {
     "order_status_priority_cube": analytics.order_status_priority_cube,
     "customer_order_profile_left": analytics.customer_order_profile_left,
     "nation_role_set_ops": analytics.nation_role_set_ops,
+    "event_key_skew_profile": lambda s, d: warehouse.key_skew_profile(
+        _events(s, d), "user_id", top_n=20
+    ),
+    "temperature_mixing_plan": lambda s, d: importance.temperature_mix_plan(
+        _docs(s, d), token_budget=1_000_000
+    ),
+    "quality_token_budget": lambda s, d: corpus.select_to_token_budget(
+        _docs(s, d), token_budget=20_000
+    ),
 }
 
 # Queries whose results can't hash-match an external engine: sketch-based

@@ -1,0 +1,115 @@
+"""Greedy k-center diversity selection (farthest-point traversal,
+Gonzalez 1985) over an embedded corpus — the coreset/diversity-sampling
+step of training-data curation: where SemDeDup (operators/semdedup.py)
+REMOVES near-duplicate regions, k-center SELECTS a maximally-spread
+subset (a 2-approximation of the optimal k-center cover), the classic
+seed set for annotation budgets, eval-slice construction, and
+diversity-balanced fine-tuning pools.
+
+The sixth iterative-algorithm shape in this engine: like Lloyd's k-means
+(operators/kmeans.py) the model state is driver-held floats, but each
+round's distributed work is a REDUCTION to one row (the farthest point),
+not a k-row update. Per round:
+- min-distance-to-centers: Arrow-batched vectorized kernel against the
+  (c, dim) center matrix captured in the UDF closure — map-only, ZERO
+  shuffle (identical physics to kmeans._assign_udf);
+- argmax: orderBy(dist desc, id asc).limit(1) compiles to
+  TakeOrderedAndProject — per-partition top-1 then a driver merge of
+  #partitions rows; no Exchange of the corpus.
+So k picks cost k map-only scans of the corpus and move k rows total.
+At 100 TB you'd persist the (id, vec) projection once (callers can pass
+a cached frame); lineage stays flat because every round rebuilds from
+the scan + a literal matrix, exactly like kmeans.
+
+Determinism: the first center is the md5-min row (no RNG; same policy
+as kmeans.seed_centroids), ties on distance break by lowest id, and
+float arithmetic is the fixed NumPy kernel — so the picked set is
+reproducible run-to-run. It is NOT portable to an external SQL engine
+(summation order inside the vectorized kernel is NumPy's), hence the
+registry exposure is rows-only and tests/test_diversity.py pins the
+full pick sequence against an independent pure-NumPy greedy reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rows per NumPy chunk inside the distance UDF — bounds the (chunk, c,
+# dim) intermediate without changing any per-row result
+_CHUNK_ROWS = 1024
+
+
+def _min_dist_udf(centers_matrix: np.ndarray):
+    """Arrow-batched min squared distance to a closure-captured (c, dim)
+    center matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centers_matrix
+
+    @pandas_udf("double")
+    def f(v: pd.Series) -> pd.Series:
+        out = np.empty(len(v), dtype=np.float64)
+        arrs = v.to_numpy()
+        for lo in range(0, len(v), _CHUNK_ROWS):
+            hi = min(lo + _CHUNK_ROWS, len(v))
+            X = np.stack(arrs[lo:hi]).astype(np.float64)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out[lo:hi] = d.min(axis=1)
+        return pd.Series(out)
+
+    return f
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pick k maximally-spread vectors greedily; returns one row per pick:
+    (pick_order 0..k-1, <id_col>, sq_dist_at_pick — the squared distance
+    from the pick to the nearest earlier center, 0.0 for the seed). The
+    final pick's sq_dist_at_pick is the classic 2-approx bound on the
+    optimal k-center radius (every unpicked point is within sqrt(d) of a
+    center)."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    seed = (
+        base.withColumn(
+            "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":kcenter")))
+        )
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        return spark.createDataFrame(
+            [], f"pick_order int, {id_col} bigint, sq_dist_at_pick double"
+        )
+    picks = [(0, seed[0][id_col], 0.0)]
+    centers = [np.asarray(seed[0]["v"], dtype=np.float64)]
+
+    n = min(k, base.count())
+    for order in range(1, n):
+        far = (
+            base.where(~F.col(id_col).isin([p[1] for p in picks]))
+            .withColumn("__d", _min_dist_udf(np.stack(centers))("v"))
+            .orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        picks.append((order, far[0][id_col], float(far[0]["__d"])))
+        centers.append(np.asarray(far[0]["v"], dtype=np.float64))
+
+    return spark.createDataFrame(
+        picks, f"pick_order int, {id_col} bigint, sq_dist_at_pick double"
+    )

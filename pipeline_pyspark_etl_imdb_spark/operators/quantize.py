@@ -133,3 +133,56 @@ def matryoshka_recall(
         )
         .orderBy("query_id")
     )
+
+
+def jl_signs(in_dim: int, out_dim: int, salt: str = "jl") -> list[list[float]]:
+    """The +-1 projection matrix as PLAN-TIME literals: sign(j, d) from
+    the parity of md5('salt:j:d'). Derived in Python once per plan build
+    (out_dim x in_dim integers, model-sized), shared verbatim by the
+    Spark expression and the SQL oracle — the matrix never lives in any
+    engine, so there is no RNG or distribution step to keep in sync."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for d in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    embeddings: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, Achlioptas 2001
+    database-friendly +-1 variant: y_j = (1/sqrt(out_dim)) *
+    sum_d x_d * s(j, d) — the dimensionality-reduction lever that runs
+    BEFORE LSH/IVF indexing at corpus scale (project 1024 -> 64 dims
+    and every downstream distance costs 16x less, with distances
+    preserved to 1 +- eps by the JL lemma).
+
+    The sign matrix is md5-derived plan-time literals (jl_signs), so the
+    operator is a map-only fixed-order arithmetic fold that fuses into
+    the scan: no shuffle, no model broadcast, and bit-identical results
+    in any engine (every term is one correctly-rounded multiply of a
+    float-exact double by +-1.0; additions fold left-associatively in
+    declaration order in both Spark and the oracle's SQL)."""
+    signs = jl_signs(in_dim, out_dim, salt)
+    scale = 1.0 / float(out_dim) ** 0.5
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    comps = []
+    for j in range(out_dim):
+        expr: Column | None = None
+        for d in range(in_dim):
+            term = F.element_at("v", d + 1) * F.lit(signs[j][d])
+            expr = term if expr is None else expr + term
+        comps.append((expr * F.lit(scale)).alias(f"p{j}"))
+    return base.select(id_col, F.array(*comps).alias("projection"))

@@ -20,6 +20,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     bpe,
     components,
     corpus,
+    diversity,
     evalmetrics,
     eventtime,
     importance,
@@ -1023,7 +1024,8 @@ QUERIES: dict[str, QueryFn] = {
     # tfidf_cosine_pairs, hybrid_rrf_retrieval, ab_experiment_report,
     # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus,
     # event_key_skew_profile, temperature_mixing_plan,
-    # quality_token_budget).
+    # quality_token_budget, embedding_jl_projection,
+    # kcenter_diversity_picks).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1510,6 +1512,12 @@ QUERIES: dict[str, QueryFn] = {
     "quality_token_budget": lambda s, d: corpus.select_to_token_budget(
         _docs(s, d), token_budget=20_000
     ),
+    "embedding_jl_projection": lambda s, d: quantize.jl_project(
+        _emb(s, d), in_dim=64, out_dim=16
+    ),
+    "kcenter_diversity_picks": lambda s, d: diversity.kcenter_select(
+        _emb(s, d), k=8
+    ),
 }
 
 # Queries whose results can't hash-match an external engine: sketch-based
@@ -1532,4 +1540,5 @@ ROWS_ONLY: tuple[str, ...] = (
     "bpe_doc_token_budget",
     "unigram_lm_vocab",
     "quality_isotonic_calibration",
+    "kcenter_diversity_picks",
 )

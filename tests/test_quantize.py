@@ -72,3 +72,40 @@ def test_curriculum_stages_balanced_and_monotone(spark):
         hi = max(r.quality for r in out if r.stage == s)
         lo = min(r.quality for r in out if r.stage == s + 1)
         assert hi <= lo
+
+
+def test_jl_projection_map_only_and_distortion(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.quantize import jl_project, jl_signs
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    proj = jl_project(emb, in_dim=64, out_dim=16)
+    # map-only: the projection must fuse into the scan — no Exchange
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # signs are plan-time constants: stable across calls, balanced-ish
+    s1, s2 = jl_signs(64, 16), jl_signs(64, 16)
+    assert s1 == s2
+    flat = [x for row in s1 for x in row]
+    assert 0.35 < flat.count(1.0) / len(flat) < 0.65
+
+    rows = {r.vec_id: r for r in proj.limit(200).collect()}
+    import numpy as np
+
+    base = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.where(emb.vec_id.isin(list(rows))).collect()
+    }
+    S = np.array(s1)
+    ids = sorted(rows)[:20]
+    # projection equals the literal matrix product (independent recompute)
+    for i in ids[:5]:
+        want = (S @ base[i]) / 4.0  # 1/sqrt(16)
+        assert np.allclose(np.array(rows[i].projection), want, atol=1e-9)
+    # JL distortion sanity on sampled pairs: squared distances preserved
+    # within a loose band at out_dim=16 (eps ~ sqrt(8 ln n / d))
+    for a, b in zip(ids, ids[1:]):
+        d_full = float(((base[a] - base[b]) ** 2).sum())
+        pa, pb = np.array(rows[a].projection), np.array(rows[b].projection)
+        d_proj = float(((pa - pb) ** 2).sum())
+        if d_full > 1e-9:
+            assert 0.2 < d_proj / d_full < 5.0

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -169,20 +171,34 @@ def jl_project(
     and every downstream distance costs 16x less, with distances
     preserved to 1 +- eps by the JL lemma).
 
-    The sign matrix is md5-derived plan-time literals (jl_signs), so the
-    operator is a map-only fixed-order arithmetic fold that fuses into
-    the scan: no shuffle, no model broadcast, and bit-identical results
-    in any engine (every term is one correctly-rounded multiply of a
-    float-exact double by +-1.0; additions fold left-associatively in
-    declaration order in both Spark and the oracle's SQL)."""
-    signs = jl_signs(in_dim, out_dim, salt)
+    The sign matrix is md5-derived plan-time literals (jl_signs) and the
+    kernel is an Arrow-batched map-only pass — no shuffle, no model
+    broadcast (the out_dim x in_dim matrix rides in the UDF closure).
+    Exactness: the accumulation loop runs dimension-by-dimension in
+    declaration order (acc += x_d * s_jd, one correctly-rounded double
+    multiply and add per step, vectorized only ACROSS rows), which is
+    bit-identical to the oracle SQL's left-associative add chain — NOT
+    a NumPy pairwise-summed dot product, whose grouping would differ in
+    the last ulps. (A pure-expression Catalyst fold of the same
+    arithmetic is semantically identical but plans a 1024-node tree per
+    row batch — measured ~5 s of analyzer/codegen time at fixture scale
+    versus ~0.3 s for this kernel; the Pandas UDF is the deliberate
+    choice, same trade as kmeans._assign_udf.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.asarray(jl_signs(in_dim, out_dim, salt), dtype=np.float64)
     scale = 1.0 / float(out_dim) ** 0.5
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        acc = X[:, 0:1] * S[None, :, 0]
+        for d in range(1, S.shape[1]):
+            # fixed-order fold: one multiply + one add per dimension,
+            # identical rounding sequence to the SQL left-assoc chain
+            acc = acc + X[:, d : d + 1] * S[None, :, d]
+        acc = acc * scale
+        return pd.Series(list(acc))
+
     base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    comps = []
-    for j in range(out_dim):
-        expr: Column | None = None
-        for d in range(in_dim):
-            term = F.element_at("v", d + 1) * F.lit(signs[j][d])
-            expr = term if expr is None else expr + term
-        comps.append((expr * F.lit(scale)).alias(f"p{j}"))
-    return base.select(id_col, F.array(*comps).alias("projection"))
+    return base.select(id_col, _proj("v").alias("projection"))

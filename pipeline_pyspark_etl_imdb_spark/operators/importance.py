@@ -372,3 +372,77 @@ def temperature_mix_plan(
         planned.alias("planned_tokens"),
         (planned.cast("double") / F.col("available_tokens")).alias("repeat_factor"),
     )
+
+
+def span_dedup_trim(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup as a TRANSFORMATION (Lee et al. 2022's
+    ExactSubstr removal, at k-token-span granularity): span_dup_coverage
+    scores the damage, this rewrites the corpus. For every k-token span
+    occurring in >= min_docs distinct documents, exactly ONE occurrence
+    survives — the (lowest doc_id, lowest pos) keeper — and every other
+    occurrence has its k token positions deleted; each document comes
+    back as the ordered concatenation of its kept tokens (whitespace
+    normalized to single spaces — the token stream is the unit of this
+    operator, as in the paper's tokenized-corpus setting).
+
+    Per doc: (n_tokens, n_removed, trimmed_text). Docs shorter than k
+    tokens pass through untouched.
+
+    Scale shape: the span table is linear in corpus x k (no self-join —
+    a span in 10^6 docs is one aggregate row); the keeper is a
+    lexicographic min(struct(doc, pos)) inside that same partial
+    aggregate, NOT a window over occurrences; removal positions explode
+    by at most k per duplicated occurrence; reassembly is one left join
+    back to the token frame and a map-only indexed filter. Deterministic
+    end to end (keep-first policy, integer positions), so the rewritten
+    text hash-matches the oracle."""
+    rows = span_rows(docs, k=k, text_col=text_col, id_col=id_col)
+    keepers = (
+        rows.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("keep"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("span", F.col("keep.d").alias("__kd"), F.col("keep.p").alias("__kp"))
+    )
+    removed = (
+        rows.join(keepers, "span")
+        .where(~((F.col(id_col) == F.col("__kd")) & (F.col("pos") == F.col("__kp"))))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("rpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("rpos")).alias("__removed"))
+    )
+    base = _token_frame(docs, text_col, id_col)
+    return (
+        base.join(removed, id_col, "left")
+        .withColumn(
+            "__removed",
+            F.coalesce(F.col("__removed"), F.expr("CAST(array() AS array<int>)")),
+        )
+        .select(
+            id_col,
+            F.size("__tok").cast("bigint").alias("n_tokens"),
+            F.size("__removed").cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "__tok",
+                    lambda t, i: ~F.array_contains(F.col("__removed"), i),
+                ),
+            ).alias("trimmed_text"),
+        )
+    )

@@ -1025,7 +1025,7 @@ QUERIES: dict[str, QueryFn] = {
     # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus,
     # event_key_skew_profile, temperature_mixing_plan,
     # quality_token_budget, embedding_jl_projection,
-    # kcenter_diversity_picks).
+    # kcenter_diversity_picks, span_dedup_trim).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1518,6 +1518,7 @@ QUERIES: dict[str, QueryFn] = {
     "kcenter_diversity_picks": lambda s, d: diversity.kcenter_select(
         _emb(s, d), k=8
     ),
+    "span_dedup_trim": lambda s, d: importance.span_dedup_trim(_docs(s, d)),
 }
 
 # Queries whose results can't hash-match an external engine: sketch-based

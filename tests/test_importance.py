@@ -255,3 +255,39 @@ def test_bloom_probe_plan_broadcasts_bitmap(spark):
     plan = bloom_decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_trim_keep_first_and_reassembly(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.importance import span_dedup_trim
+
+    boiler = "a b c d e f g h"  # exactly one 8-token span
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one"),
+            (2, "prefix two " + boiler),
+            (3, "totally different text with no duplicate span here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup_trim(docs, k=8, min_docs=2).collect()}
+    # doc 1 owns the keeper occurrence (lowest doc_id): untouched
+    assert out[1].n_removed == 0
+    assert out[1].trimmed_text == boiler + " unique one"
+    # doc 2 loses the 8 boilerplate tokens, keeps its prefix
+    assert out[2].n_removed == 8
+    assert out[2].trimmed_text == "prefix two"
+    # doc 3 has no duplicated span
+    assert out[3].n_removed == 0
+    assert out[3].trimmed_text == out[3].trimmed_text.lower()
+
+
+def test_span_dedup_trim_full_removal_yields_empty_string(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.importance import span_dedup_trim
+
+    same = "q w e r t y u i"
+    docs = spark.createDataFrame(
+        [(1, same), (2, same)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup_trim(docs, k=8, min_docs=2).collect()}
+    assert out[1].n_removed == 0 and out[1].trimmed_text == same
+    assert out[2].n_removed == 8 and out[2].trimmed_text == ""

@@ -603,3 +603,53 @@ def test_prefix_filter_plan_shape(spark):
         ) or "windowspecdefinition(doc" in plan
     finally:
         release_tracked()
+
+
+def test_key_skew_profile_take_ordered_no_window(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import key_skew_profile
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    plan = _plan(key_skew_profile(events, "user_id", top_n=20))
+    # top-N must be a per-partition TakeOrdered merge, never a global
+    # sort or a rank window over the key-frequency frame
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # one-row totals frame
+
+
+def test_span_dedup_trim_window_free(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.importance import span_dedup_trim
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(span_dedup_trim(docs))
+    # the keeper pick is a struct-min INSIDE the span aggregate; a
+    # row_number-over-occurrences implementation would show Window here
+    assert "Window" not in plan
+
+
+def test_token_budget_windows_only_on_bounded_frames(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import select_to_token_budget
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(select_to_token_budget(docs, token_budget=20_000))
+    # the FORBIDDEN shape is a global cumsum window ordered by quality
+    # over the corpus — its spec would lead with quality#; every window
+    # here is bucket-scoped (prefix sums over the <= n_buckets+1 bucket
+    # frame, evaluated once per classification branch, plus the
+    # boundary-bucket doc ranking)
+    assert "windowspecdefinition(quality#" not in plan
+    assert plan.count("Window ") <= 3
+    # the doc-ranking window carries a partition list on __bucket
+    assert "], [__bucket#" in plan
+    # bucket classification frames come back via broadcast joins
+    assert "BroadcastExchange" in plan
+
+
+def test_temperature_mix_single_corpus_aggregate(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.importance import temperature_mix_plan
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(temperature_mix_plan(docs, token_budget=1_000_000))
+    # denominator is a broadcast one-row frame over the domain aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan

@@ -30,6 +30,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     neardup,
     prototypes,
     retrieval,
+    selection,
     semdedup,
     quantize,
     similarity,
@@ -1025,7 +1026,7 @@ QUERIES: dict[str, QueryFn] = {
     # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus,
     # event_key_skew_profile, temperature_mixing_plan,
     # quality_token_budget, embedding_jl_projection,
-    # kcenter_diversity_picks, span_dedup_trim).
+    # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1519,6 +1520,9 @@ QUERIES: dict[str, QueryFn] = {
         _emb(s, d), k=8
     ),
     "span_dedup_trim": lambda s, d: importance.span_dedup_trim(_docs(s, d)),
+    "lineitem_exact_median": lambda s, d: selection.exact_median_report(
+        s.read.parquet(f"{d}/lineitem.parquet"), "l_extendedprice"
+    ),
 }
 
 # Queries whose results can't hash-match an external engine: sketch-based

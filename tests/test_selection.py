@@ -1,0 +1,58 @@
+"""exact_kth / exact_median_report — histogram-narrowing order
+statistics. The registry query is oracle-backed; these tests pin the
+edge semantics the fixture can't reach (even/odd counts, duplicates
+across the middle, degenerate ranges) and agreement with Spark's own
+exact percentile aggregate."""
+
+from pyspark.sql import functions as F
+
+from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+    exact_kth,
+    exact_median_report,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(int(x),) for x in xs], "c bigint")
+
+
+def test_exact_kth_full_rank_sweep(spark):
+    xs = [7, 3, 3, 9, 1, 1000000, 42, 3]
+    vals = _vals(spark, xs)
+    want = sorted(xs)
+    for k in range(1, len(xs) + 1):
+        assert exact_kth(vals, k) == want[k - 1], k
+
+
+def test_median_odd_even_and_duplicates(spark):
+    # odd count -> middle value exactly
+    df = spark.createDataFrame([(x,) for x in (1.0, 2.0, 100.0)], "v double")
+    out = exact_median_report(df, "v", cents=False).collect()[0]
+    assert (out.n_rows, out.median) == (3, 2.0)
+    # even count -> mean of the two middles (possible .5)
+    df = spark.createDataFrame([(x,) for x in (1.0, 2.0, 3.0, 100.0)], "v double")
+    assert exact_median_report(df, "v", cents=False).collect()[0].median == 2.5
+    # duplicates spanning the middle: both order stats are the same value
+    df = spark.createDataFrame([(x,) for x in (1.0, 5.0, 5.0, 9.0)], "v double")
+    assert exact_median_report(df, "v", cents=False).collect()[0].median == 5.0
+    # all-equal column: range collapses immediately
+    df = spark.createDataFrame([(4.0,)] * 6, "v double")
+    assert exact_median_report(df, "v", cents=False).collect()[0].median == 4.0
+
+
+def test_median_matches_spark_percentile_on_fixture(spark):
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    got = exact_median_report(li, "l_extendedprice").collect()[0]
+    want = li.agg(
+        F.expr(
+            "percentile(CAST(l_extendedprice * 100 AS BIGINT), 0.5)"
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert abs(got.median - want / 100.0) < 1e-9
+    assert got.n_rows == li.where(F.col("l_extendedprice").isNotNull()).count()
+
+
+def test_median_null_only_and_empty(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    assert exact_median_report(df, "v", cents=False).count() == 0

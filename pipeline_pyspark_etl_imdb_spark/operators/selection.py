@@ -22,8 +22,8 @@ integers; nothing value-sized ever concentrates on one node, unlike a
 global sort (Exchange of the corpus) or percentile() (per-group value
 buffer).
 
-Works on any integer-mappable domain; lineitem prices are DECIMAL(12,2),
-so cents are BIGINT-exact and the whole walk is integer-deterministic —
+Works on any integer-mappable domain; prices carry 2 decimals, so
+round(x*100) cents are BIGINT-exact and the whole walk is deterministic —
 the registry query hash-matches the oracle's ORDER BY/OFFSET definition
 bit for bit.
 """
@@ -81,8 +81,12 @@ def exact_median_report(
     driver."""
     spark = df.sparkSession
     scale = 100 if cents else 1
+    # ROUND before the integer cast: prices are doubles, so x*100 sits
+    # within an ulp of the intended integer on either side; a bare cast
+    # truncates in Spark but rounds in the oracle engine — round() ties
+    # away from zero in both (same parity quantize.int8_quantize pins)
     vals = df.select(
-        (F.col(value_col) * scale).cast("bigint").alias("c")
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c")
     ).where(F.col("c").isNotNull())
     n = vals.count()
     if n == 0:
@@ -104,4 +108,119 @@ def exact_median_report(
         med = (a + b) / (2.0 * scale)
     return spark.createDataFrame(
         [(n, med)], "n_rows bigint, median double"
+    )
+
+
+def grouped_exact_median_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-group exact medians by the SAME histogram-narrowing walk, all
+    groups advanced in lockstep: driver state is one (lo, hi, k) triple
+    per group, and each round is ONE broadcast join of the G-row bounds
+    frame + one (group, bucket) aggregate — <= G x 256 rows back to the
+    driver. G groups cost the same NUMBER of jobs as one (rounds =
+    log_256 of the widest group's range), which is the whole point: the
+    per-group alternative (percentile() per group) buffers each group's
+    values on one executor, and G separate narrowing loops would run
+    G x rounds jobs.
+
+    Groups resolved early (range collapsed) drop out of the bounds
+    frame. Even-count groups finish with one shared adjacency pass (a
+    count-at-a and a min-above-a aggregate over all such groups at
+    once). Output: (group, n_rows, median), integer-deterministic."""
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull())
+
+    base = {
+        r["g"]: {"lo": int(r["lo"]), "hi": int(r["hi"]), "n": int(r["n"])}
+        for r in vals.groupBy("g")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    state = {
+        g: {"lo": s["lo"], "hi": s["hi"], "k": (s["n"] + 1) // 2}
+        for g, s in base.items()
+    }
+    active = {g for g, s in state.items() if s["lo"] < s["hi"]}
+    while active:
+        rows = []
+        for g in active:
+            s = state[g]
+            w = max(1, (s["hi"] - s["lo"] + N_BUCKETS) // N_BUCKETS)
+            rows.append((g, s["lo"], s["hi"], w))
+        bounds = spark.createDataFrame(
+            rows, "g string, __lo bigint, __hi bigint, __w bigint"
+        )
+        hist = (
+            vals.join(F.broadcast(bounds), "g")
+            .where(F.col("c").between(F.col("__lo"), F.col("__hi")))
+            .groupBy(
+                "g",
+                ((F.col("c") - F.col("__lo")) / F.col("__w"))
+                .cast("bigint")
+                .alias("b"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        per_group: dict[str, list[tuple[int, int]]] = {}
+        for r in hist:
+            per_group.setdefault(r["g"], []).append((int(r["b"]), int(r["n"])))
+        widths = {g: w for g, _, _, w in rows}
+        for g in list(active):
+            s, w = state[g], widths[g]
+            cum = 0
+            for b, n in sorted(per_group[g]):
+                if cum + n >= s["k"]:
+                    lo2 = s["lo"] + b * w
+                    s["hi"] = min(s["hi"], lo2 + w - 1)
+                    s["lo"] = lo2
+                    s["k"] -= cum
+                    break
+                cum += n
+            if w == 1 or s["lo"] >= s["hi"]:
+                s["hi"] = s["lo"]
+                active.discard(g)
+
+    a = {g: s["lo"] for g, s in state.items()}
+    evens = [g for g, s in base.items() if s["n"] % 2 == 0]
+    b_vals = dict(a)
+    if evens:
+        a_frame = spark.createDataFrame(
+            [(g, a[g]) for g in evens], "g string, __a bigint"
+        )
+        joined = vals.join(F.broadcast(a_frame), "g")
+        probe = {
+            r["g"]: (int(r["n_le"]), r["above"])
+            for r in joined.groupBy("g")
+            .agg(
+                F.sum((F.col("c") <= F.col("__a")).cast("bigint")).alias("n_le"),
+                F.min(F.when(F.col("c") > F.col("__a"), F.col("c"))).alias("above"),
+            )
+            .collect()
+        }
+        for g in evens:
+            k_hi = base[g]["n"] // 2 + 1
+            n_le, above = probe[g]
+            b_vals[g] = a[g] if n_le >= k_hi else int(above)
+
+    out = [
+        (
+            g,
+            base[g]["n"],
+            (a[g] + b_vals[g]) / (2.0 * scale)
+            if base[g]["n"] % 2 == 0
+            else float(a[g]) / scale,
+        )
+        for g in sorted(base)
+    ]
+    return spark.createDataFrame(
+        out, f"{group_col} string, n_rows bigint, median double"
     )

@@ -1026,7 +1026,8 @@ QUERIES: dict[str, QueryFn] = {
     # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus,
     # event_key_skew_profile, temperature_mixing_plan,
     # quality_token_budget, embedding_jl_projection,
-    # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median).
+    # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
+    # status_exact_median).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1522,6 +1523,9 @@ QUERIES: dict[str, QueryFn] = {
     "span_dedup_trim": lambda s, d: importance.span_dedup_trim(_docs(s, d)),
     "lineitem_exact_median": lambda s, d: selection.exact_median_report(
         s.read.parquet(f"{d}/lineitem.parquet"), "l_extendedprice"
+    ),
+    "status_exact_median": lambda s, d: selection.grouped_exact_median_report(
+        s.read.parquet(f"{d}/orders.parquet"), "o_orderstatus", "o_totalprice"
     ),
 }
 

@@ -46,7 +46,7 @@ def test_median_matches_spark_percentile_on_fixture(spark):
     got = exact_median_report(li, "l_extendedprice").collect()[0]
     want = li.agg(
         F.expr(
-            "percentile(CAST(l_extendedprice * 100 AS BIGINT), 0.5)"
+            "percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)"
         ).alias("m")
     ).collect()[0]["m"]
     assert abs(got.median - want / 100.0) < 1e-9
@@ -56,3 +56,50 @@ def test_median_matches_spark_percentile_on_fixture(spark):
 def test_median_null_only_and_empty(spark):
     df = spark.createDataFrame([(None,), (None,)], "v double")
     assert exact_median_report(df, "v", cents=False).count() == 0
+
+
+def test_grouped_median_matches_per_group_percentile(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_exact_median_report,
+    )
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    got = {
+        r.o_orderstatus: (r.n_rows, r.median)
+        for r in grouped_exact_median_report(
+            orders, "o_orderstatus", "o_totalprice"
+        ).collect()
+    }
+    want = {
+        r.g: (r.n, r.m / 100.0)
+        for r in orders.groupBy(F.col("o_orderstatus").alias("g"))
+        .agg(
+            F.count("o_totalprice").alias("n"),
+            F.expr(
+                "percentile(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5)"
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-9
+
+
+def test_grouped_median_mixed_group_shapes(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_exact_median_report,
+    )
+
+    df = spark.createDataFrame(
+        [("odd", 1.0), ("odd", 9.0), ("odd", 5.0),
+         ("even", 2.0), ("even", 4.0),
+         ("const", 7.0), ("const", 7.0), ("const", 7.0)],
+        "g string, v double",
+    )
+    out = {
+        r.g: r.median
+        for r in grouped_exact_median_report(df, "g", "v", cents=False).collect()
+    }
+    assert out == {"odd": 5.0, "even": 3.0, "const": 7.0}

@@ -706,3 +706,48 @@ def key_skew_profile(
         )
         .orderBy(F.desc("cnt"), F.asc_nulls_first("key_value"))
     )
+
+
+def hash_sample_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    row_key_cols: list[str],
+    k: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Mergeable quantile sketch with a DETERMINISTIC hash-reservoir —
+    the quantile member of the KMV family (kmv_sketch covers distinct
+    counts): per group keep the k rows with the smallest md5(row key)
+    and report exact interpolated quantiles OF THE SAMPLE as the
+    estimates. Because the reservoir is content-defined (md5 order,
+    value-independent — a uniform sample without replacement), the
+    kept set, and therefore the ESTIMATE ITSELF, is bit-deterministic
+    and hash-matches an external oracle — the property engine-native
+    approx sketches (approx_percentile/t-digest) can't offer. Merge =
+    re-sketch of the union (k-min of k-mins), same law as KMV; groups
+    with <= k rows are sampled whole, so their estimates are EXACT.
+
+    ``row_key_cols`` must identify rows (hashing the value would
+    collapse duplicates and bias the multiset); standard error is the
+    order-statistic bound ~ sqrt(q(1-q)/k) quantile-density⁻¹.
+
+    Physical shape: map-side md5 + rank<=k compiles to WindowGroupLimit
+    (each partition keeps k rows per group pre-shuffle, wire carries
+    O(groups * k)); the percentile aggregate then runs on k-row groups,
+    where its value buffer is bounded by construction."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+    from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in row_key_cols])
+    hashed = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.md5(F.concat(key, F.lit(":qsketch"))).alias("__h"),
+    ).select(*group_cols, "__v", hex_uniform("__h", 12).alias("h"))
+    sample = top_k_per_group(hashed, group_cols, [F.asc("h")], k)
+    aggs = [F.count("*").alias("n_sample")] + [
+        F.expr(f"percentile(__v, {q!r})").alias(f"p{int(q * 100)}_est")
+        for q in quantiles
+    ]
+    return sample.groupBy(*group_cols).agg(*aggs)

@@ -112,3 +112,75 @@ def test_kmv_jaccard_identical_groups_is_one(spark):
     got = kmv_jaccard_pairs(df, "g", "v").collect()[0]
     assert got.jaccard_est == 1.0
     assert got.n_union_kept == 50  # below k: sketch IS the set
+
+
+def test_quantile_sketch_small_group_is_exact(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        hash_sample_quantile_sketch,
+    )
+
+    # group smaller than k: the reservoir IS the population -> exact
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 12)], "g string, id long, v double"
+    )
+    out = hash_sample_quantile_sketch(
+        df, ["g"], "v", ["id"], k=128, quantiles=(0.5, 0.9)
+    ).collect()[0]
+    assert out.n_sample == 11
+    assert out.p50_est == 6.0  # exact interpolated median of 1..11
+    assert out.p90_est == 10.0
+
+
+def test_quantile_sketch_error_band_and_determinism(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        hash_sample_quantile_sketch,
+    )
+
+    n = 4000
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(n)], "g string, id long, v double"
+    )
+    r1 = hash_sample_quantile_sketch(df, ["g"], "v", ["id"], k=128).collect()[0]
+    r2 = hash_sample_quantile_sketch(df, ["g"], "v", ["id"], k=128).collect()[0]
+    # content-defined reservoir: bit-identical across runs
+    assert (r1.p50_est, r1.p90_est) == (r2.p50_est, r2.p90_est)
+    assert r1.n_sample == 128
+    # order-statistic error band ~ sqrt(q(1-q)/k): +-4 sigma on uniform
+    assert abs(r1.p50_est - n / 2) < 4 * (0.25 / 128) ** 0.5 * n
+    assert abs(r1.p90_est - 0.9 * n) < 4 * (0.09 / 128) ** 0.5 * n
+
+
+def test_quantile_sketch_merge_law(spark):
+    from pyspark.sql import functions as F
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+    from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
+
+    # the reservoir of a union equals the k-min of the two reservoirs'
+    # union (same law as KMV) — so shard sketches merge without re-reading
+    rows = [("g", i, float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    half_a, half_b = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        hash_sample_quantile_sketch,
+    )
+
+    whole = hash_sample_quantile_sketch(df, ["g"], "v", ["id"], k=64).collect()[0]
+    # union-of-shard-reservoirs: sketch each half with k=64, then sketch
+    # the union of kept rows again with k=64 — estimates must be identical
+    def kept(frame):
+        h = frame.select(
+            "g",
+            "v",
+            F.md5(
+                F.concat(F.concat_ws(":", F.col("id").cast("string")), F.lit(":qsketch"))
+            ).alias("__h"),
+            "id",
+        ).select("g", "v", "id", hex_uniform("__h", 12).alias("h"))
+        return top_k_per_group(h, ["g"], [F.asc("h")], 64).select("g", "v", "id")
+
+    merged_input = kept(half_a).unionByName(kept(half_b))
+    merged = hash_sample_quantile_sketch(
+        merged_input, ["g"], "v", ["id"], k=64
+    ).collect()[0]
+    assert (whole.p50_est, whole.p90_est) == (merged.p50_est, merged.p90_est)

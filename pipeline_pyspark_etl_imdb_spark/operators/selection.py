@@ -224,3 +224,69 @@ def grouped_exact_median_report(
     return spark.createDataFrame(
         out, f"{group_col} string, n_rows bigint, median double"
     )
+
+
+def weighted_exact_median_report(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """Weighted exact median by the same histogram narrowing, with the
+    rank measured in WEIGHT MASS: the reported value is the smallest v
+    whose cumulative weight (values ordered ascending) reaches half the
+    total — e.g. the quantity-weighted median unit price, "the price at
+    which the median UNIT shipped", which no unweighted quantile answers.
+    The per-round aggregate sums weights per bucket instead of counting
+    rows; everything else (driver-held integer bounds, BETWEEN pushdown,
+    O(log_256 range) one-row rounds) is unchanged — weighted quantiles
+    cost exactly what unweighted ones do.
+
+    Weights are rounded to BIGINT (integer mass keeps the walk exact and
+    the standard lower-weighted-median definition needs no
+    interpolation). Rows with NULL/non-positive weight carry no mass and
+    are dropped. Output: (total_weight, n_rows, weighted_median)."""
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+        F.round(F.col(weight_col), 0).cast("bigint").alias("wt"),
+    ).where(F.col("c").isNotNull() & (F.col("wt") > 0))
+    tot = vals.agg(
+        F.sum("wt").alias("w"),
+        F.count("*").alias("n"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).collect()[0]
+    if tot["n"] is None or tot["n"] == 0:
+        return spark.createDataFrame(
+            [], "total_weight bigint, n_rows bigint, weighted_median double"
+        )
+    total_w, n = int(tot["w"]), int(tot["n"])
+    k = (total_w + 1) // 2
+    lo, hi = int(tot["lo"]), int(tot["hi"])
+    while lo < hi:
+        width = max(1, (hi - lo + N_BUCKETS) // N_BUCKETS)
+        hist = (
+            vals.where(F.col("c").between(F.lit(lo), F.lit(hi)))
+            .groupBy(
+                ((F.col("c") - F.lit(lo)) / F.lit(width)).cast("bigint").alias("b")
+            )
+            .agg(F.sum("wt").alias("w"))
+            .collect()
+        )
+        cum = 0
+        for b, w in sorted((int(r["b"]), int(r["w"])) for r in hist):
+            if cum + w >= k:
+                lo2 = lo + b * width
+                hi = min(hi, lo2 + width - 1)
+                lo = lo2
+                k -= cum
+                break
+            cum += w
+        if width == 1:
+            break
+    return spark.createDataFrame(
+        [(total_w, n, float(lo) / scale)],
+        "total_weight bigint, n_rows bigint, weighted_median double",
+    )

@@ -1027,7 +1027,8 @@ QUERIES: dict[str, QueryFn] = {
     # event_key_skew_profile, temperature_mixing_plan,
     # quality_token_budget, embedding_jl_projection,
     # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
-    # status_exact_median, status_price_quantile_sketch).
+    # status_exact_median, status_price_quantile_sketch,
+    # lineitem_weighted_median).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1526,6 +1527,9 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "status_exact_median": lambda s, d: selection.grouped_exact_median_report(
         s.read.parquet(f"{d}/orders.parquet"), "o_orderstatus", "o_totalprice"
+    ),
+    "lineitem_weighted_median": lambda s, d: selection.weighted_exact_median_report(
+        s.read.parquet(f"{d}/lineitem.parquet"), "l_extendedprice", "l_quantity"
     ),
     "status_price_quantile_sketch": lambda s, d: warehouse.hash_sample_quantile_sketch(
         s.read.parquet(f"{d}/orders.parquet"),

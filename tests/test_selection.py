@@ -103,3 +103,56 @@ def test_grouped_median_mixed_group_shapes(spark):
         for r in grouped_exact_median_report(df, "g", "v", cents=False).collect()
     }
     assert out == {"odd": 5.0, "even": 3.0, "const": 7.0}
+
+
+def test_weighted_median_mass_concentration(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        weighted_exact_median_report,
+    )
+
+    # 100 units at price 1.00, 1 unit at price 99.00 -> the median UNIT
+    # is a 1.00 unit regardless of the row-median
+    df = spark.createDataFrame(
+        [(1.0, 100.0), (99.0, 1.0)], "v double, w double"
+    )
+    out = weighted_exact_median_report(df, "v", "w").collect()[0]
+    assert (out.total_weight, out.n_rows, out.weighted_median) == (101, 2, 1.0)
+    # flip the mass
+    df = spark.createDataFrame([(1.0, 1.0), (99.0, 100.0)], "v double, w double")
+    assert weighted_exact_median_report(df, "v", "w").collect()[0].weighted_median == 99.0
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    import random
+
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        weighted_exact_median_report,
+    )
+
+    rng = random.Random(7)
+    rows = [(round(rng.uniform(0, 500), 2), float(rng.randint(1, 9))) for _ in range(800)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = weighted_exact_median_report(df, "v", "w").collect()[0]
+    # brute force: smallest value whose ascending cum weight >= (W+1)//2
+    pairs = sorted((int(round(v * 100)), int(w)) for v, w in rows)
+    W = sum(w for _, w in pairs)
+    k, cum = (W + 1) // 2, 0
+    for c, w in pairs:
+        cum += w
+        if cum >= k:
+            want = c / 100.0
+            break
+    assert got.weighted_median == want
+    assert got.total_weight == W
+
+
+def test_weighted_median_drops_zero_weight(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        weighted_exact_median_report,
+    )
+
+    df = spark.createDataFrame(
+        [(5.0, 3.0), (1000.0, 0.0), (None, 4.0)], "v double, w double"
+    )
+    out = weighted_exact_median_report(df, "v", "w").collect()[0]
+    assert (out.total_weight, out.n_rows, out.weighted_median) == (3, 1, 5.0)

@@ -766,3 +766,45 @@ def cusum_monitor_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enriched_segment_kpi_stream(
+    events: DataFrame,
+    customers: DataFrame,
+    window_s: int = 600,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed KPI — the most common
+    production streaming shape (a fact stream decorated with a dimension
+    snapshot), distinct from click_purchase_join_stream's stream-stream
+    case: the static side carries NO watermark and holds NO join state —
+    it is re-planned every micro-batch, so a dim refresh lands on the
+    next trigger, and under broadcast it never shuffles the stream.
+    Unmatched users keep a NULL segment (left join — enrichment must not
+    drop facts).
+
+    Output: per (tumbling window, market segment) event counts and value
+    sums, watermark-bounded like every other windowed aggregate here."""
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        timed.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window("event_time", f"{window_s} seconds").alias("w"),
+            "segment",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -582,3 +582,37 @@ def test_cusum_stream_matches_batch(spark, events_batch, tmp_path):
     for u in want.index:
         assert got.loc[u, "cp_event_id"] == want.loc[u, "cp_event_id"], u
         assert abs(got.loc[u, "max_abs_cusum"] - want.loc[u, "max_abs_cusum"]) < 1e-9
+
+
+def test_enriched_segment_kpi_stream_matches_batch(spark, events_batch, tmp_path):
+    customers = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.enriched_segment_kpi_stream(stream, customers),
+        tmp_path,
+        "enriched",
+        "complete",
+    )
+    # batch twin: identical enrichment + window over the same fixture
+    from pyspark.sql import functions as F
+
+    timed = stream_ops.with_event_time(events_batch)
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    want = (
+        timed.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.window("event_time", "600 seconds").alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    assert not compare_frames(got, want)
+    # enrichment must not drop facts: totals equal the raw event count
+    assert got["n_events"].sum() == events_batch.count()

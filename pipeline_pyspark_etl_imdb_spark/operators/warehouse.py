@@ -751,3 +751,58 @@ def hash_sample_quantile_sketch(
         for q in quantiles
     ]
     return sample.groupBy(*group_cols).agg(*aggs)
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    min_pass_rate: float = 1.0,
+) -> DataFrame:
+    """Declarative data-contract check (the Great-Expectations pattern as
+    ONE aggregate): each rule is (name, boolean Column); the report gives
+    per rule the rows evaluated (NULL predicate results count as
+    violations — 3VL must not let unknowns pass a contract), violations,
+    pass rate, and the gate verdict pass_rate >= min_pass_rate. This is
+    the ASSERTION side of data quality — column_profile describes a
+    table, this enforces a contract on it, the step a pipeline runs
+    before publishing a table version (or between merge_upsert and the
+    snapshot swap).
+
+    Physical shape: every rule compiles to one conditional sum inside a
+    SINGLE partially-aggregated pass over the table — R rules cost one
+    scan, not R jobs — then a constant-size stack unpivot to rows (same
+    shape as the Gopher quality funnel). Rule order is preserved in
+    rule_idx so reports diff stably across runs."""
+    aggs = []
+    for i, (name, cond) in enumerate(rules):
+        ok = F.coalesce(cond.cast("boolean"), F.lit(False))
+        aggs.append(F.count("*").alias(f"__n{i}"))
+        aggs.append(F.sum((~ok).cast("bigint")).alias(f"__v{i}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', __n{i}, __v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(rules)}, {stack_args}) AS "
+                "(rule_idx, rule, n_rows, n_violations)"
+            )
+        )
+        .select(
+            "rule_idx",
+            "rule",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            (
+                (F.col("n_rows") - F.col("n_violations")).cast("double")
+                / F.col("n_rows")
+            ).alias("pass_rate"),
+            (
+                (F.col("n_rows") - F.col("n_violations")).cast("double")
+                / F.col("n_rows")
+                >= F.lit(min_pass_rate)
+            ).alias("passed"),
+        )
+        .orderBy("rule_idx")
+    )

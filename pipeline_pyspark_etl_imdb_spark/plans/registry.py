@@ -1028,7 +1028,7 @@ QUERIES: dict[str, QueryFn] = {
     # quality_token_budget, embedding_jl_projection,
     # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
     # status_exact_median, status_price_quantile_sketch,
-    # lineitem_weighted_median).
+    # lineitem_weighted_median, orders_contract_report).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1527,6 +1527,16 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "status_exact_median": lambda s, d: selection.grouped_exact_median_report(
         s.read.parquet(f"{d}/orders.parquet"), "o_orderstatus", "o_totalprice"
+    ),
+    "orders_contract_report": lambda s, d: warehouse.expectation_report(
+        s.read.parquet(f"{d}/orders.parquet"),
+        [
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+            ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("custkey_positive", F.col("o_custkey") > 0),
+            ("priority_prefixed", F.col("o_orderpriority").rlike("^[1-5]-")),
+        ],
     ),
     "lineitem_weighted_median": lambda s, d: selection.weighted_exact_median_report(
         s.read.parquet(f"{d}/lineitem.parquet"), "l_extendedprice", "l_quantity"

@@ -296,3 +296,58 @@ def test_join_size_estimate_fixture_reasonable(spark):
     ).collect()[0]
     assert got.exact_rows > 0
     assert got.rel_err < 0.5  # 1/16 key sample on ~1.5k keys
+
+
+def test_expectation_report_nulls_are_violations(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import expectation_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (None, 4.0)],
+        "k int, v double",
+    )
+    out = {
+        r.rule: r
+        for r in expectation_report(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),  # NULL v must count as violation
+                ("k_not_null", F.col("k").isNotNull()),
+            ],
+            min_pass_rate=0.5,
+        ).collect()
+    }
+    assert out["v_positive"].n_violations == 2  # NULL and -5.0
+    assert out["k_not_null"].n_violations == 1
+    assert out["v_positive"].passed and out["k_not_null"].passed
+    strict = expectation_report(
+        df, [("k_not_null", F.col("k").isNotNull())], min_pass_rate=1.0
+    ).collect()[0]
+    assert not strict.passed
+
+
+def test_expectation_report_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import expectation_report
+
+    from tests.conftest import SF_ORACLE
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    plan = (
+        expectation_report(
+            orders,
+            [
+                ("a", F.col("o_totalprice") > 0),
+                ("b", F.col("o_custkey") > 0),
+                ("c", F.col("o_orderdate").isNotNull()),
+            ],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # R rules = ONE scan + one partial/final aggregate pair, never R jobs
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") <= 2

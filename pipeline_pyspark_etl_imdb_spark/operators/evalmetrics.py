@@ -21,6 +21,8 @@ scores are continuous.)
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -314,3 +316,83 @@ def isotonic_calibration(
     return scored.sparkSession.createDataFrame(
         rows, "bin int, n bigint, frac_pos double, calibrated double"
     ).orderBy("bin")
+
+
+def ranking_eval(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Ranking-quality evaluation of cosine retrieval: per query vector,
+    nDCG@k and MRR@k with label agreement as the relevance signal — the
+    standard report for a retrieval/embedding rollout (ann_recall_report
+    measures an INDEX against brute force; this measures the brute-force
+    ranking itself against ground truth, the complementary axis).
+
+    Definitions: binary relevance rel_r = [query label == neighbor
+    label]; DCG = sum rel_r / log2(r+1); IDCG over min(k, corpus
+    relevant) ideal ranks (NULL nDCG when a query's label has no other
+    members — no ideal ranking exists); MRR = max(rel_r / r), i.e. the
+    reciprocal of the first relevant rank, 0 when none retrieved.
+
+    Shape: the ranked list comes from cosine_knn (bounded query set
+    broadcast, corpus never shuffles, WindowGroupLimit cut); labels join
+    back via one broadcast (query side) and one equi-join (neighbor
+    side); per-query metrics are one partial-aggregated groupBy; the
+    per-label corpus counts frame is label-cardinality-sized and
+    broadcasts. log2 enters only at the final scoring expression (6-dp
+    comparison absorbs libm ulps, same policy as the DSIR/Zipf ln use)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.similarity import cosine_knn
+
+    ranked = cosine_knn(
+        embeddings, k=k, query_ids=list(query_ids), id_col=id_col, vec_col=vec_col
+    )
+    labels = embeddings.select(F.col(id_col), F.col(label_col).alias("__lab"))
+    q_labels = F.broadcast(
+        labels.where(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("query_id"), F.col("__lab").alias("q_lab")
+        )
+    )
+    n_labels = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__lab").alias("n_lab")
+    )
+    rel = (F.col("q_lab") == F.col("n_lab")).cast("int")
+    per_query = (
+        ranked.join(q_labels, "query_id")
+        .join(n_labels, "neighbor_id")
+        .groupBy("query_id", "q_lab")
+        .agg(
+            F.sum(rel / F.log2(F.col("rk") + 1)).alias("dcg"),
+            F.max(rel.cast("double") / F.col("rk")).alias("mrr"),
+            F.sum(rel).cast("bigint").alias("n_retrieved_rel"),
+        )
+    )
+    label_counts = F.broadcast(
+        labels.groupBy(F.col("__lab").alias("q_lab")).agg(
+            (F.count("*") - 1).alias("n_rel_corpus")
+        )
+    )
+    ideal_n = F.least(F.lit(k), F.col("n_rel_corpus"))
+    idcg = F.when(
+        F.col("n_rel_corpus") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), ideal_n),
+            F.lit(0.0),
+            lambda acc, r: acc + F.lit(1.0) / F.log2(r + 1),
+        ),
+    )
+    return (
+        per_query.join(label_counts, "q_lab")
+        .select(
+            "query_id",
+            F.col("n_rel_corpus").cast("bigint").alias("n_rel_corpus"),
+            "n_retrieved_rel",
+            "dcg",
+            (F.col("dcg") / idcg).alias("ndcg"),
+            "mrr",
+        )
+        .orderBy("query_id")
+    )

@@ -1028,7 +1028,8 @@ QUERIES: dict[str, QueryFn] = {
     # quality_token_budget, embedding_jl_projection,
     # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
     # status_exact_median, status_price_quantile_sketch,
-    # lineitem_weighted_median, orders_contract_report).
+    # lineitem_weighted_median, orders_contract_report,
+    # retrieval_ndcg_report).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1527,6 +1528,9 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "status_exact_median": lambda s, d: selection.grouped_exact_median_report(
         s.read.parquet(f"{d}/orders.parquet"), "o_orderstatus", "o_totalprice"
+    ),
+    "retrieval_ndcg_report": lambda s, d: evalmetrics.ranking_eval(
+        _emb(s, d), query_ids=KNN_QUERY_IDS, k=10
     ),
     "orders_contract_report": lambda s, d: warehouse.expectation_report(
         s.read.parquet(f"{d}/orders.parquet"),

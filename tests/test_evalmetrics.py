@@ -198,3 +198,30 @@ def test_isotonic_pav_matches_reference_and_is_monotone(spark):
     got = {r.bin: r.calibrated for r in out}
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_ranking_eval_perfect_and_degenerate(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import ranking_eval
+
+    # two tight clusters far apart: retrieval within a cluster is perfect,
+    # so nDCG@k == 1 and MRR == 1 for a clustered query; a singleton-label
+    # query has no ideal ranking -> NULL nDCG, MRR 0
+    rows = []
+    for i in range(4):  # label 0 cluster near (1, 0)
+        rows.append((i, [1.0, float(i) * 1e-4], 0))
+    for i in range(4):  # label 1 cluster near (0, 1)
+        rows.append((10 + i, [float(i) * 1e-4, 1.0], 1))
+    rows.append((99, [-1.0, -1.0], 2))  # singleton label
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.query_id: r
+        for r in ranking_eval(emb, query_ids=[0, 99], k=3).collect()
+    }
+    q0 = out[0]
+    assert (q0.n_rel_corpus, q0.n_retrieved_rel) == (3, 3)
+    assert abs(q0.ndcg - 1.0) < 1e-12
+    assert q0.mrr == 1.0
+    q99 = out[99]
+    assert q99.n_rel_corpus == 0 and q99.ndcg is None and q99.mrr == 0.0

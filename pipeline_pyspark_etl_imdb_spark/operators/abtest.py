@@ -140,3 +140,92 @@ def time_to_convert(events: DataFrame) -> DataFrame:
         F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
         F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
     )
+
+
+def cuped_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-standard
+    experiment-sensitivity technique): adjust each user's post-period
+    metric Y by their PRE-period covariate X — Y' = Y - theta (X - mean
+    X) with theta = cov(X,Y)/var(X) — so between-user variance that
+    existed before the experiment can't drown the treatment effect. The
+    pre/post cutover is the midpoint of the observed time range
+    (deterministic from the data, integer-µs arithmetic); X and Y are
+    per-user value sums, variants are the md5 assignment.
+
+    One-row report: user count, theta, per-variant raw and adjusted
+    means, both deltas (B - A), and the achieved variance reduction —
+    which at the optimal theta equals corr(X,Y)², reported from the
+    moment sums directly (no second pass over adjusted values).
+
+    Exactness: the event-count-sized summations (per-user X, Y) are
+    DECIMAL-exact (order-independent); pooled and per-variant moments
+    aggregate the per-USER frame — population-sized, not event-sized —
+    and feed fixed-order double expressions. Shape: one partial-agg
+    groupBy(user) + two one-row aggregates broadcast together; the
+    time-range frame is one row, cross-joined before the scan aggregate."""
+    us = ts_micros(events, "ts")
+    rng = events.agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    base = events.select(F.col("user_id"), us.alias("__us"), F.col("value"))
+    mid = ((F.col("__lo") + F.col("__hi")) / 2).cast("bigint")
+    per_user = (
+        base.crossJoin(F.broadcast(rng))
+        .withColumn("__mid", mid)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("__us") < F.col("__mid"), F.col("value")).otherwise(0.0)
+                .cast("decimal(18,6)")
+            ).cast("double").alias("x"),
+            F.sum(
+                F.when(F.col("__us") >= F.col("__mid"), F.col("value")).otherwise(0.0)
+                .cast("decimal(18,6)")
+            ).cast("double").alias("y"),
+        )
+        .join(F.broadcast(ab_assignment(events, salt=salt)), "user_id")
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    byv = per_user.groupBy().agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("x"))).alias("sx_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("x"))).alias("sx_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("y"))).alias("sy_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("y"))).alias("sy_b"),
+    )
+    j = pooled.crossJoin(F.broadcast(byv))
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
+    # degenerate pre-period (all X equal): no covariate signal exists;
+    # theta = 0 reduces CUPED to the raw comparison instead of NaN
+    theta = F.when(var_x > 0, cov / var_x).otherwise(F.lit(0.0))
+    mean_x = F.col("sx") / n
+    mean_y_a = F.col("sy_a") / F.col("n_a")
+    mean_y_b = F.col("sy_b") / F.col("n_b")
+    cuped_a = mean_y_a - theta * (F.col("sx_a") / F.col("n_a") - mean_x)
+    cuped_b = mean_y_b - theta * (F.col("sx_b") / F.col("n_b") - mean_x)
+    return j.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        theta.alias("theta"),
+        mean_y_a.alias("mean_y_a"),
+        mean_y_b.alias("mean_y_b"),
+        cuped_a.alias("cuped_mean_a"),
+        cuped_b.alias("cuped_mean_b"),
+        (mean_y_b - mean_y_a).alias("delta_raw"),
+        (cuped_b - cuped_a).alias("delta_cuped"),
+        F.when(var_x * var_y > 0, (cov * cov) / (var_x * var_y))
+        .otherwise(F.lit(0.0))
+        .alias("variance_reduction"),
+    )

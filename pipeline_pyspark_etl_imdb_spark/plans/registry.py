@@ -1029,7 +1029,7 @@ QUERIES: dict[str, QueryFn] = {
     # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
     # status_exact_median, status_price_quantile_sketch,
     # lineitem_weighted_median, orders_contract_report,
-    # retrieval_ndcg_report).
+    # retrieval_ndcg_report, cuped_experiment_report).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1529,6 +1529,7 @@ QUERIES: dict[str, QueryFn] = {
     "status_exact_median": lambda s, d: selection.grouped_exact_median_report(
         s.read.parquet(f"{d}/orders.parquet"), "o_orderstatus", "o_totalprice"
     ),
+    "cuped_experiment_report": lambda s, d: abtest.cuped_report(_events(s, d)),
     "retrieval_ndcg_report": lambda s, d: evalmetrics.ranking_eval(
         _emb(s, d), query_ids=KNN_QUERY_IDS, k=10
     ),

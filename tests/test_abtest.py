@@ -75,3 +75,55 @@ def test_time_to_convert_matches_python(events):
 
     assert got.p50_s == pytest.approx(np.percentile(lat, 50), rel=1e-12)
     assert got.p90_s == pytest.approx(np.percentile(lat, 90), rel=1e-12)
+
+
+def _mk_events(spark, rows):
+    # (user_id, ts_micros, value) -> events-shaped frame with timestamp ts
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "user_id long, us long, value double"
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+
+
+def test_cuped_degenerate_preperiod_falls_back_to_raw(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.abtest import cuped_report
+
+    # identical pre-period for every user -> var_x = 0 -> theta must be 0
+    # and CUPED must equal the raw comparison, not NaN
+    rows = []
+    for u in range(20):
+        rows.append((u, 1_000_000, 100.0))            # pre (same for all)
+        rows.append((u, 9_000_000, 50.0 + u))          # post varies
+    out = cuped_report(_mk_events(spark, rows)).collect()[0]
+    assert out.theta == 0.0
+    assert out.variance_reduction == 0.0
+    assert out.delta_cuped == out.delta_raw
+    assert out.cuped_mean_a == out.mean_y_a
+
+
+def test_cuped_strong_covariate_recovers_effect(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.abtest import (
+        ab_assignment,
+        cuped_report,
+    )
+
+    # persistent per-user level: post = pre + 5 for variant B, +0 for A.
+    # CUPED should drive theta ~ 1 and pull delta_cuped toward the true
+    # effect even when user levels are imbalanced across variants.
+    events = _mk_events(
+        spark, [(u, 1_000_000, 100.0 + 7.0 * u) for u in range(40)]
+    )
+    variants = {
+        r.user_id: r.variant for r in ab_assignment(events).collect()
+    }
+    rows = []
+    for u in range(40):
+        pre = 100.0 + 7.0 * u
+        rows.append((u, 1_000_000, pre))
+        rows.append((u, 9_000_000, pre + (5.0 if variants[u] == "B" else 0.0)))
+    out = cuped_report(_mk_events(spark, rows)).collect()[0]
+    assert 0.9 < out.theta < 1.1
+    assert out.variance_reduction > 0.5
+    assert abs(out.delta_cuped - 5.0) <= abs(out.delta_raw - 5.0) + 1e-9
+    assert abs(out.delta_cuped - 5.0) < 1.0

@@ -107,3 +107,52 @@ def test_link_prediction_matches_bruteforce(spark, raw):
     for k, (c, j) in want.items():
         assert got[k][0] == c
         assert got[k][1] == pytest.approx(j)
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=40),
+    kfrac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_exact_kth_matches_sorted_order_statistic(spark, xs, kfrac):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import exact_kth
+
+    k = 1 + int(kfrac * (len(xs) - 1))
+    vals = spark.createDataFrame([(int(x),) for x in xs], "c bigint")
+    assert exact_kth(vals, k) == sorted(xs)[k - 1]
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),  # value (cents-free)
+            st.integers(min_value=0, max_value=9),  # weight (0 = dropped)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_bruteforce_property(spark, rows):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        weighted_exact_median_report,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in rows], "v double, w double"
+    )
+    out = weighted_exact_median_report(df, "v", "w", cents=False).collect()
+    kept = sorted((v, w) for v, w in rows if w > 0)
+    if not kept:
+        assert out == []
+        return
+    W = sum(w for _, w in kept)
+    k, cum = (W + 1) // 2, 0
+    for v, w in kept:
+        cum += w
+        if cum >= k:
+            want = float(v)
+            break
+    got = out[0]
+    assert got.weighted_median == want
+    assert got.total_weight == W and got.n_rows == len(kept)

@@ -806,3 +806,34 @@ def expectation_report(
         )
         .orderBy("rule_idx")
     )
+
+
+def incremental_join_delta(
+    a_base: DataFrame,
+    a_delta: DataFrame,
+    b_base: DataFrame,
+    b_delta: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view under INSERT-only
+    deltas — the join counterpart of merge_partial_aggregates (which
+    refreshes aggregate views): the new rows of J = A ⋈ B after batches
+    ΔA, ΔB arrive are exactly
+
+        ΔJ  =  ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (the bilinearity of ⋈ over union; tested as J(A∪ΔA, B∪ΔB) ==
+    J(A, B) ∪ ΔJ with no overlap). Refreshing by recomputing the view
+    rescans and RE-SHUFFLES both base tables; this touches each base
+    once with the (batch-sized) delta BROADCAST against it — at 100 TB
+    the refresh is two map-only scans plus a delta×delta join, no
+    Exchange of anything base-sized, and cost scales with the delta,
+    not the view.
+
+    Assumes batch keys are new OR joins are append-semantics (insert
+    only — updates/deletes need the signed-multiplicity generalization;
+    CDC upserts are merge_upsert's job)."""
+    d1 = F.broadcast(a_delta).join(b_base, key)
+    d2 = a_base.join(F.broadcast(b_delta), key)
+    d3 = a_delta.join(F.broadcast(b_delta), key)
+    return d1.unionByName(d2).unionByName(d3)

@@ -648,6 +648,26 @@ def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def _incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to customers, refreshed incrementally: rows whose
+    order key is 0 mod 7 arrive as the orders batch, customers 0 mod 11
+    as the dim batch. Output = ONLY the new join rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return warehouse.incremental_join_delta(
+        orders.where(F.col("o_orderkey") % 7 != 0),
+        orders.where(F.col("o_orderkey") % 7 == 0),
+        cust.where(F.col("custkey") % 11 != 0),
+        cust.where(F.col("custkey") % 11 == 0),
+        "custkey",
+    ).orderBy("o_orderkey", "custkey")
+
+
+
 def _incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion: odd doc_ids arrive as the new batch, even
     doc_ids are the existing corpus; keep batch docs that are neither
@@ -1029,7 +1049,8 @@ QUERIES: dict[str, QueryFn] = {
     # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
     # status_exact_median, status_price_quantile_sketch,
     # lineitem_weighted_median, orders_contract_report,
-    # retrieval_ndcg_report, cuped_experiment_report).
+    # retrieval_ndcg_report, cuped_experiment_report,
+    # incremental_join_delta).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1530,6 +1551,7 @@ QUERIES: dict[str, QueryFn] = {
         s.read.parquet(f"{d}/orders.parquet"), "o_orderstatus", "o_totalprice"
     ),
     "cuped_experiment_report": lambda s, d: abtest.cuped_report(_events(s, d)),
+    "incremental_join_delta": _incremental_join_delta,
     "retrieval_ndcg_report": lambda s, d: evalmetrics.ranking_eval(
         _emb(s, d), query_ids=KNN_QUERY_IDS, k=10
     ),

@@ -351,3 +351,62 @@ def test_expectation_report_single_pass(spark):
     # R rules = ONE scan + one partial/final aggregate pair, never R jobs
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") <= 2
+
+
+def test_incremental_join_delta_bilinearity(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        incremental_join_delta,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    a, da = orders.where("o_orderkey % 7 != 0"), orders.where("o_orderkey % 7 = 0")
+    b, db = cust.where("custkey % 11 != 0"), cust.where("custkey % 11 = 0")
+
+    delta = incremental_join_delta(a, da, b, db, "custkey")
+    old = a.join(b, "custkey")
+    new = orders.join(cust, "custkey")
+    key = lambda r: (r.o_orderkey, r.custkey)
+    got = {key(r) for r in old.collect()} | {key(r) for r in delta.collect()}
+    want = {key(r) for r in new.collect()}
+    assert got == want
+    # ΔJ is disjoint from the old view (insert-only semantics)
+    assert not ({key(r) for r in delta.collect()} & {key(r) for r in old.collect()})
+
+
+def test_incremental_join_delta_never_shuffles_bases(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        incremental_join_delta,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    plan = (
+        incremental_join_delta(
+            orders.where("o_orderkey % 7 != 0"),
+            orders.where("o_orderkey % 7 = 0"),
+            cust.where("custkey % 11 != 0"),
+            cust.where("custkey % 11 = 0"),
+            "custkey",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every join broadcasts a delta: no sort-merge join, no shuffle
+    # Exchange of a base table anywhere in the refresh
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "Exchange hashpartitioning" not in plan

@@ -837,3 +837,61 @@ def incremental_join_delta(
     d2 = a_base.join(F.broadcast(b_delta), key)
     d3 = a_delta.join(F.broadcast(b_delta), key)
     return d1.unionByName(d2).unionByName(d3)
+
+
+def signed_join_delta(
+    a_base: DataFrame,
+    a_delta: DataFrame,
+    b_base: DataFrame,
+    b_delta: DataFrame,
+    key: str,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """General incremental join maintenance — updates and DELETES, not
+    just inserts — via signed multiplicities (the Z-set/DBSP device,
+    public: Budiu et al. 2023): a delta row carries ``sign`` +1 (insert)
+    or -1 (retract); an update is a -1 on the old row plus a +1 on the
+    new one. The join delta is the same bilinear expansion as
+    incremental_join_delta, with output sign = product of input signs
+    (base rows are implicitly +1). Applying ΔJ = summing multiplicities
+    per row and keeping rows with net multiplicity > 0 — apply_signed()
+    below — reproduces the full recompute exactly (tested with random
+    mixed insert/retract/update batches).
+
+    Same physical shape as the insert-only case: deltas broadcast, bases
+    are touched once each, map-only, no base-table Exchange."""
+    a_d = a_delta.withColumnRenamed(sign_col, "__sa")
+    b_d = b_delta.withColumnRenamed(sign_col, "__sb")
+    d1 = (
+        F.broadcast(a_d)
+        .join(b_base, key)
+        .withColumn(sign_col, F.col("__sa"))
+        .drop("__sa")
+    )
+    d2 = (
+        a_base.join(F.broadcast(b_d), key)
+        .withColumn(sign_col, F.col("__sb"))
+        .drop("__sb")
+    )
+    d3 = (
+        a_d.join(F.broadcast(b_d), key)
+        .withColumn(sign_col, F.col("__sa") * F.col("__sb"))
+        .drop("__sa", "__sb")
+    )
+    return d1.unionByName(d2).unionByName(d3)
+
+
+def apply_signed(view: DataFrame, delta: DataFrame, sign_col: str = "sign") -> DataFrame:
+    """Fold a signed delta into a (multiplicity-1) view: per full row,
+    net multiplicity = 1 (if in the view) + sum of delta signs; rows
+    with net > 0 survive. One groupBy on the row itself — the apply step
+    shuffles only view ∪ delta rows for the touched keys' rows (callers
+    at scale partition-prune the view to touched partitions first)."""
+    cols = [c for c in view.columns]
+    tagged = view.withColumn(sign_col, F.lit(1)).unionByName(delta)
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum(sign_col).alias("__net"))
+        .where(F.col("__net") > 0)
+        .select(*cols)
+    )

@@ -648,6 +648,35 @@ def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def _signed_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set refresh end to end: orders 0 mod 13 get a price UPDATE
+    (retract old row, insert +10), customers 0 mod 17 are DELETED; the
+    output is the refreshed view (old join + signed delta folded in),
+    which must equal a full recompute over the new table states."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    touched = F.col("o_orderkey") % 13 == 0
+    a_delta = (
+        orders.where(touched)
+        .withColumn("sign", F.lit(-1))
+        .unionByName(
+            orders.where(touched)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+            .withColumn("sign", F.lit(1))
+        )
+    )
+    b_delta = cust.where(F.col("custkey") % 17 == 0).withColumn("sign", F.lit(-1))
+    view_old = orders.join(cust, "custkey")
+    delta = warehouse.signed_join_delta(orders, a_delta, cust, b_delta, "custkey")
+    return warehouse.apply_signed(view_old, delta).orderBy(
+        "o_orderkey", "custkey"
+    )
+
+
 def _incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders joined to customers, refreshed incrementally: rows whose
     order key is 0 mod 7 arrive as the orders batch, customers 0 mod 11
@@ -1050,7 +1079,7 @@ QUERIES: dict[str, QueryFn] = {
     # status_exact_median, status_price_quantile_sketch,
     # lineitem_weighted_median, orders_contract_report,
     # retrieval_ndcg_report, cuped_experiment_report,
-    # incremental_join_delta).
+    # incremental_join_delta, signed_join_refresh).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1552,6 +1581,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "cuped_experiment_report": lambda s, d: abtest.cuped_report(_events(s, d)),
     "incremental_join_delta": _incremental_join_delta,
+    "signed_join_refresh": _signed_join_refresh,
     "retrieval_ndcg_report": lambda s, d: evalmetrics.ranking_eval(
         _emb(s, d), query_ids=KNN_QUERY_IDS, k=10
     ),

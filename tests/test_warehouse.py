@@ -410,3 +410,42 @@ def test_incremental_join_delta_never_shuffles_bases(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 3
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_signed_join_delta_random_mixed_batches(spark):
+    import random
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        apply_signed,
+        signed_join_delta,
+    )
+
+    rng = random.Random(11)
+    a_rows = [(k, f"a{i}") for i, k in enumerate(rng.choices(range(8), k=30))]
+    b_rows = [(k, f"b{i}") for i, k in enumerate(rng.choices(range(8), k=20))]
+    # mixed batch: retract ~1/3 of existing rows, insert fresh ones
+    a_retract = [r for r in a_rows if rng.random() < 0.33]
+    a_insert = [(rng.randrange(8), f"a_new{i}") for i in range(10)]
+    b_retract = [r for r in b_rows if rng.random() < 0.33]
+    b_insert = [(rng.randrange(8), f"b_new{i}") for i in range(6)]
+
+    A = spark.createDataFrame(a_rows, "k int, av string")
+    B = spark.createDataFrame(b_rows, "k int, bv string")
+    dA = spark.createDataFrame(
+        [(*r, -1) for r in a_retract] + [(*r, 1) for r in a_insert],
+        "k int, av string, sign int",
+    )
+    dB = spark.createDataFrame(
+        [(*r, -1) for r in b_retract] + [(*r, 1) for r in b_insert],
+        "k int, bv string, sign int",
+    )
+    view_old = A.join(B, "k")
+    refreshed = apply_signed(view_old, signed_join_delta(A, dA, B, dB, "k"))
+
+    a_new = [r for r in a_rows if r not in a_retract] + a_insert
+    b_new = [r for r in b_rows if r not in b_retract] + b_insert
+    want = {
+        (k, av, bv) for k, av in a_new for k2, bv in b_new if k == k2
+    }
+    got = {(r.k, r.av, r.bv) for r in refreshed.collect()}
+    assert got == want

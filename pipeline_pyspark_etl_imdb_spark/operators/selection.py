@@ -290,3 +290,56 @@ def weighted_exact_median_report(
         [(total_w, n, float(lo) / scale)],
         "total_weight bigint, n_rows bigint, weighted_median double",
     )
+
+
+MAD_CONSISTENCY = 1.4826  # 1 / Phi^-1(3/4): MAD -> sigma under normality
+
+
+def mad_anomaly_report(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    scale: int = 10_000,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    composition payoff of the narrowing machinery: median and MAD are
+    each an exact_kth run (values quantized to 1/scale units so the
+    walk is integer-exact; both engines derive the statistics from the
+    same quantized domain), then one map-only pass flags rows with
+    |x - median| > z_cut * 1.4826 * MAD and reports their robust z.
+    Unlike the mean/stddev z-score (event_value_anomalies), a few
+    extreme points cannot inflate the yardstick they are measured
+    against — the standard robust alternative.
+
+    Degenerate spread (MAD == 0: at least half the values identical)
+    flags nothing, documented rather than dividing by zero. Cost:
+    2 narrowing runs + 1 flag scan — O(log_256 range) one-row jobs
+    total, no global sort, no percentile value buffer."""
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(id_col),
+        F.col(value_col).alias("__x"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, value double, robust_z double"
+        )
+    k = (n + 1) // 2
+    med_c = exact_kth(vals, k)
+    dev = vals.select(F.abs(F.col("c") - F.lit(med_c)).alias("c"))
+    mad_c = exact_kth(dev, k)
+    if mad_c == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, value double, robust_z double"
+        )
+    med = float(med_c) / scale
+    sigma = MAD_CONSISTENCY * (float(mad_c) / scale)
+    return (
+        vals.withColumn("robust_z", (F.col("__x") - F.lit(med)) / F.lit(sigma))
+        .where(F.abs(F.col("robust_z")) > F.lit(float(z_cut)))
+        .select(F.col(id_col), F.col("__x").alias("value"), "robust_z")
+        .orderBy(id_col)
+    )

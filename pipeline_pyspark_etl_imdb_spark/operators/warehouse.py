@@ -895,3 +895,42 @@ def apply_signed(view: DataFrame, delta: DataFrame, sign_col: str = "sign") -> D
         .where(F.col("__net") > 0)
         .select(*cols)
     )
+
+
+def signed_agg_refresh(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Retraction-aware KPI refresh — the aggregate face of the Z-set
+    device (signed_join_delta covers joins): the signed event batch
+    collapses to ONE partial state per touched group (n = Σ sign,
+    total = Σ sign·value, DECIMAL-exact), which merges into the
+    materialized view by plain addition; groups whose net count reaches
+    zero disappear, so deletes fold through the same path as inserts.
+    Refresh cost = one aggregate of the batch + a key-cardinality merge,
+    never a rescan of history. Only for decomposable aggregates — count
+    and sum retract exactly; min/max do not (a retracted minimum needs
+    the full recompute or an ordered-state sketch)."""
+    d = delta.groupBy(*keys).agg(
+        F.sum(sign_col).cast("bigint").alias("n"),
+        F.sum(
+            F.col(sign_col) * F.col(value_col).cast("decimal(18,6)")
+        ).alias("__tot"),
+    )
+    v = view.select(
+        *keys,
+        F.col("n"),
+        F.col("total").cast("decimal(18,6)").alias("__tot"),
+    )
+    return (
+        merge_partial_aggregates(
+            [v, d],
+            keys,
+            {"n": F.sum("n"), "__tot": F.sum("__tot")},
+        )
+        .where(F.col("n") > 0)
+        .select(*keys, "n", F.col("__tot").cast("double").alias("total"))
+    )

@@ -648,6 +648,38 @@ def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def _signed_daily_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware daily-KPI refresh: orders 0 mod 19 get a +5 price
+    UPDATE (retract + reinsert), orders 0 mod 23 (and not updated) are
+    DELETED; the signed batch folds into the materialized daily view and
+    must equal a recompute over the mutated table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_orderdate").alias("day"), "o_totalprice"
+    )
+    view = orders.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+    upd = F.col("o_orderkey") % 19 == 0
+    dele = (F.col("o_orderkey") % 23 == 0) & ~upd
+    delta = (
+        orders.where(upd)
+        .withColumn("sign", F.lit(-1))
+        .unionByName(
+            orders.where(upd)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+            .withColumn("sign", F.lit(1))
+        )
+        .unionByName(orders.where(dele).withColumn("sign", F.lit(-1)))
+        .select("day", "o_totalprice", "sign")
+    )
+    return warehouse.signed_agg_refresh(
+        view, delta, ["day"], "o_totalprice"
+    ).orderBy("day")
+
+
 def _signed_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-set refresh end to end: orders 0 mod 13 get a price UPDATE
     (retract old row, insert +10), customers 0 mod 17 are DELETED; the
@@ -1079,7 +1111,8 @@ QUERIES: dict[str, QueryFn] = {
     # status_exact_median, status_price_quantile_sketch,
     # lineitem_weighted_median, orders_contract_report,
     # retrieval_ndcg_report, cuped_experiment_report,
-    # incremental_join_delta, signed_join_refresh).
+    # incremental_join_delta, signed_join_refresh,
+    # signed_daily_kpi_refresh, event_value_mad_anomalies).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1582,6 +1615,10 @@ QUERIES: dict[str, QueryFn] = {
     "cuped_experiment_report": lambda s, d: abtest.cuped_report(_events(s, d)),
     "incremental_join_delta": _incremental_join_delta,
     "signed_join_refresh": _signed_join_refresh,
+    "signed_daily_kpi_refresh": _signed_daily_kpi_refresh,
+    "event_value_mad_anomalies": lambda s, d: selection.mad_anomaly_report(
+        _events(s, d), "event_id", "value"
+    ),
     "retrieval_ndcg_report": lambda s, d: evalmetrics.ranking_eval(
         _emb(s, d), query_ids=KNN_QUERY_IDS, k=10
     ),

@@ -156,3 +156,23 @@ def test_weighted_median_drops_zero_weight(spark):
     )
     out = weighted_exact_median_report(df, "v", "w").collect()[0]
     assert (out.total_weight, out.n_rows, out.weighted_median) == (3, 1, 5.0)
+
+
+def test_mad_report_flags_outliers_not_bulk(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import mad_anomaly_report
+
+    rows = [(i, 100.0 + (i % 7)) for i in range(50)] + [(990, 5000.0), (991, -900.0)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out = mad_anomaly_report(df, "event_id", "value").collect()
+    assert {r.event_id for r in out} == {990, 991}
+    zs = {r.event_id: r.robust_z for r in out}
+    assert zs[990] > 3.0 and zs[991] < -3.0
+
+
+def test_mad_report_degenerate_spread_flags_nothing(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import mad_anomaly_report
+
+    # >= half identical values -> MAD 0 -> documented empty result
+    rows = [(i, 42.0) for i in range(30)] + [(100 + i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    assert mad_anomaly_report(df, "event_id", "value").count() == 0

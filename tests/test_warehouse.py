@@ -449,3 +449,19 @@ def test_signed_join_delta_random_mixed_batches(spark):
     }
     got = {(r.k, r.av, r.bv) for r in refreshed.collect()}
     assert got == want
+
+
+def test_signed_agg_refresh_deletes_can_empty_a_group(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import signed_agg_refresh
+
+    view = spark.createDataFrame(
+        [("d1", 2, 30.0), ("d2", 1, 5.0)], "day string, n long, total double"
+    )
+    # retract both d1 rows -> the whole group disappears; d2 gains a row
+    delta = spark.createDataFrame(
+        [("d1", 10.0, -1), ("d1", 20.0, -1), ("d2", 7.0, 1)],
+        "day string, v double, sign int",
+    )
+    out = {r.day: r for r in signed_agg_refresh(view, delta, ["day"], "v").collect()}
+    assert set(out) == {"d2"}
+    assert out["d2"].n == 2 and out["d2"].total == 12.0

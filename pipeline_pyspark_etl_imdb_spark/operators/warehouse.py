@@ -934,3 +934,48 @@ def signed_agg_refresh(
         .where(F.col("n") > 0)
         .select(*keys, "n", F.col("__tot").cast("double").alias("total"))
     )
+
+
+def pit_dimension_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    time_col: str,
+    attrs: list[str],
+    version_from: str = "valid_from",
+    version_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time ("as-was") dimension lookup: each fact row picks the
+    SCD2 version whose half-open validity interval [valid_from,
+    valid_to) contains the fact's time — the standard warehouse pattern
+    for reporting against the attribute values that HELD at transaction
+    time rather than today's (is_current would silently rewrite
+    history).
+
+    Physically this is NOT an interval inequality join (whose naive plan
+    is a per-key cross of facts x versions): version VALIDITY is
+    equivalent to a backward as-of join against the version-START rows,
+    which asof.asof_join runs as one union + one key-partitioned carry
+    window — one shuffle total, no fact x version blowup. Equivalence
+    holds because SCD2 intervals chain per key: the latest start <= t is
+    exactly the holding interval, and a same-date empty run [d, d)
+    loses the tie to the holding run via greatest valid_to (NULL =
+    current coalesced to a +infinity sentinel)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.asof import asof_join
+
+    sentinel = F.lit("9999-12-31").cast(versions.schema[version_to].dataType)
+    vstarts = versions.select(
+        key,
+        F.col(version_from).alias(time_col),
+        F.coalesce(F.col(version_to), sentinel).alias("__vto"),
+        *attrs,
+    )
+    return asof_join(
+        facts,
+        vstarts,
+        on=time_col,
+        by=key,
+        value_cols=attrs,
+        tie_col="__vto",
+        right_on_alias="version_from",
+    )

@@ -648,6 +648,37 @@ def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def _orders_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 priority dimension: every
+    order decorated with the priority version that HELD on its order
+    date (as-was reporting). Dates stringified for cross-engine
+    canonicalization, as in the scd2 query."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    log = orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    vers = warehouse.scd2(
+        log,
+        key="o_custkey",
+        attrs=["o_orderpriority"],
+        order_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+    facts = orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    out = warehouse.pit_dimension_join(
+        facts,
+        vers.withColumnRenamed("o_orderpriority", "priority_asof"),
+        key="o_custkey",
+        time_col="o_orderdate",
+        attrs=["priority_asof"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "priority_asof",
+        F.date_format("version_from", "yyyy-MM-dd").alias("version_from"),
+    ).orderBy("o_orderkey")
+
+
 def _signed_daily_kpi_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction-aware daily-KPI refresh: orders 0 mod 19 get a +5 price
     UPDATE (retract + reinsert), orders 0 mod 23 (and not updated) are
@@ -1112,7 +1143,8 @@ QUERIES: dict[str, QueryFn] = {
     # lineitem_weighted_median, orders_contract_report,
     # retrieval_ndcg_report, cuped_experiment_report,
     # incremental_join_delta, signed_join_refresh,
-    # signed_daily_kpi_refresh, event_value_mad_anomalies).
+    # signed_daily_kpi_refresh, event_value_mad_anomalies,
+    # orders_pit_priority).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1616,6 +1648,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_join_delta": _incremental_join_delta,
     "signed_join_refresh": _signed_join_refresh,
     "signed_daily_kpi_refresh": _signed_daily_kpi_refresh,
+    "orders_pit_priority": _orders_pit_priority,
     "event_value_mad_anomalies": lambda s, d: selection.mad_anomaly_report(
         _events(s, d), "event_id", "value"
     ),

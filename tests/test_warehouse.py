@@ -465,3 +465,29 @@ def test_signed_agg_refresh_deletes_can_empty_a_group(spark):
     out = {r.day: r for r in signed_agg_refresh(view, delta, ["day"], "v").collect()}
     assert set(out) == {"d2"}
     assert out["d2"].n == 2 and out["d2"].total == 12.0
+
+
+def test_pit_join_same_date_empty_run_loses_tie(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        pit_dimension_join,
+        scd2,
+    )
+
+    # customer 1 changes priority twice on day 2 (keys 20 < 21): the
+    # run [d2, d2) is EMPTY and must never decorate a fact; facts on d2
+    # and later get 'C', facts on d1 get 'A'
+    log = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 10), (1, "B", "2024-01-02", 20),
+         (1, "C", "2024-01-02", 21), (1, "C", "2024-01-03", 30)],
+        "k int, prio string, d string, seq int",
+    ).select("k", "prio", F.to_date("d").alias("d"), "seq")
+    vers = scd2(log, key="k", attrs=["prio"], order_col="d", tiebreak_col="seq")
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-04")],
+        "k int, d string",
+    ).select("k", F.to_date("d").alias("d"))
+    out = {
+        str(r.d): r.prio
+        for r in pit_dimension_join(facts, vers, "k", "d", ["prio"]).collect()
+    }
+    assert out == {"2024-01-01": "A", "2024-01-02": "C", "2024-01-04": "C"}

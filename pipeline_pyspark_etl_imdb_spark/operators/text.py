@@ -748,3 +748,48 @@ def lang_id_kappa(docs: DataFrame, label_col: str = "lang") -> DataFrame:
         pe.alias("expected_agreement"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+def lang_token_entropy(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language unigram entropy — the third corpus-health axis next
+    to the Zipf slope (vocab_zipf_fit) and distinct-n (ngram_diversity):
+    H = ln N - (sum c_w ln c_w) / N over the language's token counts,
+    plus the normalized efficiency H / ln(vocab) in [0, 1] (1 = uniform
+    usage; a collapse toward 0 flags template/boilerplate flooding long
+    before eyeballing samples would).
+
+    Shape: one (lang, token) partial-aggregated count, then one
+    lang-granular rollup carrying sum(c ln c) — vocabulary-sized
+    intermediate, never corpus-sized; ln only at the scoring expression
+    (6-dp comparison absorbs libm ulps, the DSIR/Zipf policy).
+    Single-token vocabularies report efficiency NULL (ln 1 = 0 —
+    no usage distribution exists to be uneven)."""
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "__clnc"
+        ),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("__clnc") / F.col("n_tokens")
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        h.alias("entropy_nats"),
+        F.when(
+            F.col("vocab_size") > 1,
+            h / F.log(F.col("vocab_size").cast("double")),
+        ).alias("entropy_efficiency"),
+    ).orderBy("lang")

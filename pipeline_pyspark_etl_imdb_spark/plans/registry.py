@@ -1144,7 +1144,7 @@ QUERIES: dict[str, QueryFn] = {
     # retrieval_ndcg_report, cuped_experiment_report,
     # incremental_join_delta, signed_join_refresh,
     # signed_daily_kpi_refresh, event_value_mad_anomalies,
-    # orders_pit_priority).
+    # orders_pit_priority, lang_token_entropy).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1649,6 +1649,7 @@ QUERIES: dict[str, QueryFn] = {
     "signed_join_refresh": _signed_join_refresh,
     "signed_daily_kpi_refresh": _signed_daily_kpi_refresh,
     "orders_pit_priority": _orders_pit_priority,
+    "lang_token_entropy": lambda s, d: text_ops.lang_token_entropy(_docs(s, d)),
     "event_value_mad_anomalies": lambda s, d: selection.mad_anomaly_report(
         _events(s, d), "event_id", "value"
     ),

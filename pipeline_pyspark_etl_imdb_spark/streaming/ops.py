@@ -808,3 +808,29 @@ def enriched_segment_kpi_stream(
             "total_value",
         )
     )
+
+
+def distinct_users_stream(
+    events: DataFrame, window_s: int = 600, watermark_s: int = 3600
+) -> DataFrame:
+    """Streaming cardinality monitor: approximate distinct users per
+    tumbling window — the audience-size / bot-flood alarm. HLL++ state
+    is a few KB per open window regardless of user cardinality (an
+    exact distinct would hold every key in state), and the estimator is
+    deterministic for a given input set, so the availableNow run
+    batch-parity-matches the same aggregate computed in batch mode."""
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{watermark_s} seconds"
+    )
+    return (
+        timed.groupBy(F.window("event_time", f"{window_s} seconds").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "approx_users",
+            "n_events",
+        )
+    )

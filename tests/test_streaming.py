@@ -616,3 +616,31 @@ def test_enriched_segment_kpi_stream_matches_batch(spark, events_batch, tmp_path
     assert not compare_frames(got, want)
     # enrichment must not drop facts: totals equal the raw event count
     assert got["n_events"].sum() == events_batch.count()
+
+
+def test_distinct_users_stream_matches_batch(spark, events_batch, tmp_path):
+    from pyspark.sql import functions as F
+
+    stream = stream_ops.read_events_stream(spark, SF_SMOKE)
+    got = _run(
+        spark,
+        stream_ops.distinct_users_stream(stream),
+        tmp_path,
+        "distincts",
+        "complete",
+    )
+    timed = stream_ops.with_event_time(events_batch)
+    want = (
+        timed.groupBy(F.window("event_time", "600 seconds").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "approx_users",
+            "n_events",
+        )
+        .toPandas()
+    )
+    assert not compare_frames(got, want)

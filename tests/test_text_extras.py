@@ -78,3 +78,27 @@ def test_kappa_perfect_and_skew_corrected(spark):
     r2 = text_ops.lang_id_kappa(docs2).collect()[0]
     assert r2.accuracy == 0.9
     assert r2.kappa == pytest.approx(0.0)
+
+
+def test_lang_token_entropy_uniform_and_skewed(spark):
+    import math
+
+    from pipeline_pyspark_etl_imdb_spark.operators.text import lang_token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            ("uni", "a b c d"),          # 4 tokens, each once: H = ln 4
+            ("skew", "x x x x x x x y"), # heavy head: H << ln 2? (no: 2 types)
+            ("mono", "z z z z"),         # single type: H = 0, efficiency NULL
+        ],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in lang_token_entropy(docs).collect()}
+    assert abs(out["uni"].entropy_nats - math.log(4)) < 1e-12
+    assert abs(out["uni"].entropy_efficiency - 1.0) < 1e-12
+    p = 7 / 8
+    want = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    assert abs(out["skew"].entropy_nats - want) < 1e-12
+    assert out["skew"].entropy_efficiency < 1.0
+    assert out["mono"].entropy_nats == 0.0
+    assert out["mono"].entropy_efficiency is None

@@ -716,3 +716,83 @@ def select_to_token_budget(
         .unionByName(kept_boundary.select(id_col, "n_tokens", "quality"))
         .orderBy(id_col)
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    id_col: str,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Optimal-allocation stratified sampling (Neyman 1934, the survey
+    design classic): the sample budget goes to strata in proportion to
+    N_h * sigma_h — high-variance strata get more rows, near-constant
+    strata barely any — which minimizes the variance of the stratified
+    mean estimator at fixed cost. The missing piece between
+    group_hash_sample (fixed k per group) and weighted_hash_sample
+    (per-row weights): here the DESIGN ITSELF is computed from the data.
+
+    Determinism end to end: per-stratum moments accumulate in DECIMAL
+    (order-independent), sigma and the floor() allocation are fixed-order
+    double expressions on those exact sums, and the draw is the md5-rank
+    cut — so the sampled set hash-matches the oracle. Zero-variance
+    strata get allocation 0 (their mean is already exact from any single
+    row — by convention the estimator uses the stratum constant);
+    allocations cap at the stratum size.
+
+    Shape: ONE partial-aggregated moment pass (strata-sized result),
+    allocation frame broadcast back, one rank window per stratum cut at
+    the stratum's own allocation. The variable per-group limit keeps
+    this a plain rank filter (WindowGroupLimit needs a literal), but the
+    window is key-partitioned — no single-partition funnel."""
+    vals = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("sample_id"),
+        # DECIMAL(12,2): 2-decimal money is exact, and the square stays
+        # inside both engines' int128 decimal kernels (an 18,6 square
+        # overflows the oracle engine's multiply)
+        F.col(value_col).cast("decimal(12,2)").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    moments = vals.groupBy("stratum").agg(
+        F.count("*").alias("n_h"),
+        F.sum("__v").cast("double").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("double").alias("__ss"),
+    )
+    var = F.when(
+        F.col("n_h") > 1,
+        F.greatest(
+            F.lit(0.0),
+            (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("n_h"))
+            / (F.col("n_h") - 1),
+        ),
+    ).otherwise(F.lit(0.0))
+    weighted = moments.select(
+        "stratum", "n_h", (F.col("n_h") * F.sqrt(var)).alias("__w")
+    )
+    tot = weighted.agg(F.sum("__w").alias("__wsum"))
+    alloc = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            F.least(
+                F.col("n_h"),
+                F.floor(F.lit(float(total_n)) * F.col("__w") / F.col("__wsum"))
+                .cast("bigint"),
+            ).alias("alloc_n"),
+        )
+    )
+    w = Window.partitionBy("stratum").orderBy(F.asc("__h"), F.asc("sample_id"))
+    return (
+        vals.withColumn(
+            "__h",
+            F.md5(F.concat(F.col("sample_id").cast("string"), F.lit(":" + salt))),
+        )
+        .join(F.broadcast(alloc), "stratum")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("alloc_n"))
+        .select("stratum", "sample_id", "alloc_n", F.col("n_h").alias("stratum_n"))
+        .orderBy("stratum", "sample_id")
+    )

@@ -1144,7 +1144,7 @@ QUERIES: dict[str, QueryFn] = {
     # retrieval_ndcg_report, cuped_experiment_report,
     # incremental_join_delta, signed_join_refresh,
     # signed_daily_kpi_refresh, event_value_mad_anomalies,
-    # orders_pit_priority, lang_token_entropy).
+    # orders_pit_priority, lang_token_entropy, neyman_order_sample).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1650,6 +1650,13 @@ QUERIES: dict[str, QueryFn] = {
     "signed_daily_kpi_refresh": _signed_daily_kpi_refresh,
     "orders_pit_priority": _orders_pit_priority,
     "lang_token_entropy": lambda s, d: text_ops.lang_token_entropy(_docs(s, d)),
+    "neyman_order_sample": lambda s, d: corpus.neyman_stratified_sample(
+        s.read.parquet(f"{d}/orders.parquet"),
+        "o_orderstatus",
+        "o_totalprice",
+        total_n=300,
+        id_col="o_orderkey",
+    ),
     "event_value_mad_anomalies": lambda s, d: selection.mad_anomaly_report(
         _events(s, d), "event_id", "value"
     ),

@@ -30,3 +30,34 @@ def test_stratified_fractions_and_determinism(spark):
 
     src_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {r.doc_id for r in a} <= src_ids
+
+
+def test_neyman_allocation_follows_variance(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import (
+        neyman_stratified_sample,
+    )
+
+    # same size strata: 'wild' has huge spread, 'calm' tiny, 'flat' zero
+    rows = (
+        [("wild", i, float(1000 * (i % 10))) for i in range(100)]
+        + [("calm", 1000 + i, 50.0 + (i % 2)) for i in range(100)]
+        + [("flat", 2000 + i, 7.0) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "s string, id long, v double")
+    out = neyman_stratified_sample(df, "s", "v", total_n=60, id_col="id")
+    by = {
+        r.s: r.n
+        for r in out.groupBy(out.stratum.alias("s")).count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # zero-variance stratum draws nothing; the volatile one dominates
+    assert "flat" not in by
+    assert by["wild"] > 50 and by.get("calm", 0) < 5
+    # deterministic: same call -> same sampled ids
+    ids1 = {r.sample_id for r in out.collect()}
+    ids2 = {
+        r.sample_id
+        for r in neyman_stratified_sample(df, "s", "v", total_n=60, id_col="id").collect()
+    }
+    assert ids1 == ids2

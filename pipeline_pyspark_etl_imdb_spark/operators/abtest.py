@@ -163,6 +163,10 @@ def cuped_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
     and feed fixed-order double expressions. Shape: one partial-agg
     groupBy(user) + two one-row aggregates broadcast together; the
     time-range frame is one row, cross-joined before the scan aggregate."""
+    # NULL user_id rows are excluded up front: they cannot receive a
+    # variant (the assignment join is null-unsafe) and silently vanishing
+    # from the moments would diverge from any external replication
+    events = events.where(F.col("user_id").isNotNull())
     us = ts_micros(events, "ts")
     rng = events.agg(
         F.min(us).alias("__lo"), F.max(us).alias("__hi")

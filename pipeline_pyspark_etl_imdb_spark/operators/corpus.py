@@ -675,7 +675,12 @@ def select_to_token_budget(
             quality_expr(F.col(text_col)).alias("quality"),
             F.size(tokens(F.lower(F.col(text_col)))).cast("bigint").alias("n_tokens"),
         )
-        .where(F.col("n_tokens") >= 1)
+        # split('') is [''] (size 1), so the token-count guard alone
+        # misses empty docs — their quality is NULL (0/0 punct ratio)
+        # and a NULL bucket would vanish in the null-unsafe joins;
+        # exclude them explicitly so both engines agree they cost no
+        # budget
+        .where((F.col("n_tokens") >= 1) & (F.length(F.col(text_col)) > 0))
         .withColumn(
             "__bucket", F.floor(F.col("quality") * n_buckets).cast("bigint")
         )
@@ -771,7 +776,16 @@ def neyman_stratified_sample(
     weighted = moments.select(
         "stratum", "n_h", (F.col("n_h") * F.sqrt(var)).alias("__w")
     )
-    tot = weighted.agg(F.sum("__w").alias("__wsum"))
+    tot = weighted.agg(
+        F.sum("__w").alias("__wsum"), F.sum("n_h").alias("__nsum")
+    )
+    # all-zero variance across every stratum: Neyman weights carry no
+    # signal, so fall back to PROPORTIONAL allocation — without this
+    # guard 0/0 is NULL and least() would skip it, returning the whole
+    # table and ignoring total_n entirely
+    share = F.when(
+        F.col("__wsum") > 0, F.col("__w") / F.col("__wsum")
+    ).otherwise(F.col("n_h").cast("double") / F.col("__nsum"))
     alloc = (
         weighted.crossJoin(F.broadcast(tot))
         .select(
@@ -779,8 +793,7 @@ def neyman_stratified_sample(
             "n_h",
             F.least(
                 F.col("n_h"),
-                F.floor(F.lit(float(total_n)) * F.col("__w") / F.col("__wsum"))
-                .cast("bigint"),
+                F.floor(F.lit(float(total_n)) * share).cast("bigint"),
             ).alias("alloc_n"),
         )
     )

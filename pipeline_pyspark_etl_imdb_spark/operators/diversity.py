@@ -96,8 +96,7 @@ def kcenter_select(
     picks = [(0, seed[0][id_col], 0.0)]
     centers = [np.asarray(seed[0]["v"], dtype=np.float64)]
 
-    n = min(k, base.count())
-    for order in range(1, n):
+    for order in range(1, k):
         far = (
             base.where(~F.col(id_col).isin([p[1] for p in picks]))
             .withColumn("__d", _min_dist_udf(np.stack(centers))("v"))

@@ -25,7 +25,8 @@ buffer).
 Works on any integer-mappable domain; prices carry 2 decimals, so
 round(x*100) cents are BIGINT-exact and the whole walk is deterministic —
 the registry query hash-matches the oracle's ORDER BY/OFFSET definition
-bit for bit.
+bit for bit. Bucket indexes use integer `div`, never double division —
+past 2^53 the float quotient mis-buckets boundary values.
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def exact_kth(values: DataFrame, k: int, col: str = "c") -> int:
         width = max(1, (hi - lo + N_BUCKETS) // N_BUCKETS)
         hist = (
             values.where(F.col(col).between(F.lit(lo), F.lit(hi)))
-            .groupBy(((F.col(col) - F.lit(lo)) / F.lit(width)).cast("bigint").alias("b"))
+            .groupBy(F.expr(f"CAST((`{col}` - {lo}) div {width} AS BIGINT)").alias("b"))
             .agg(F.count("*").alias("n"))
             .collect()
         )
@@ -136,7 +137,9 @@ def grouped_exact_median_report(
     vals = df.select(
         F.col(group_col).cast("string").alias("g"),
         F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
-    ).where(F.col("c").isNotNull())
+    ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
+    # NULL group keys are excluded: the bounds-frame join is null-unsafe
+    # and "the median of the NULL group" has no caller-visible contract
 
     base = {
         r["g"]: {"lo": int(r["lo"]), "hi": int(r["hi"]), "n": int(r["n"])}
@@ -163,9 +166,7 @@ def grouped_exact_median_report(
             .where(F.col("c").between(F.col("__lo"), F.col("__hi")))
             .groupBy(
                 "g",
-                ((F.col("c") - F.col("__lo")) / F.col("__w"))
-                .cast("bigint")
-                .alias("b"),
+                F.expr("CAST((c - __lo) div __w AS BIGINT)").alias("b"),
             )
             .agg(F.count("*").alias("n"))
             .collect()
@@ -270,7 +271,7 @@ def weighted_exact_median_report(
         hist = (
             vals.where(F.col("c").between(F.lit(lo), F.lit(hi)))
             .groupBy(
-                ((F.col("c") - F.lit(lo)) / F.lit(width)).cast("bigint").alias("b")
+                F.expr(f"CAST((c - {lo}) div {width} AS BIGINT)").alias("b")
             )
             .agg(F.sum("wt").alias("w"))
             .collect()

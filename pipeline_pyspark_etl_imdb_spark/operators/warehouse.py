@@ -739,12 +739,23 @@ def hash_sample_quantile_sketch(
     from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
     from pipeline_pyspark_etl_imdb_spark.operators.topk import top_k_per_group
 
-    key = F.concat_ws(":", *[F.col(c).cast("string") for c in row_key_cols])
-    hashed = df.select(
-        *group_cols,
-        F.col(value_col).alias("__v"),
-        F.md5(F.concat(key, F.lit(":qsketch"))).alias("__h"),
-    ).select(*group_cols, "__v", hex_uniform("__h", 12).alias("h"))
+    # prefix-free row identity: concat of per-column md5 digests (fixed
+    # width, so ('x', NULL) can never collide with (NULL, 'x') and values
+    # containing separators can't shift across columns); rows with a NULL
+    # key column are dropped — they have no stable identity to sample by
+    key = F.concat(*[F.md5(F.col(c).cast("string")) for c in row_key_cols])
+    not_null = F.lit(True)
+    for c in row_key_cols:
+        not_null = not_null & F.col(c).isNotNull()
+    hashed = (
+        df.where(not_null)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("__v"),
+            F.md5(F.concat(key, F.lit(":qsketch"))).alias("__h"),
+        )
+        .select(*group_cols, "__v", hex_uniform("__h", 12).alias("h"))
+    )
     sample = top_k_per_group(hashed, group_cols, [F.asc("h")], k)
     aggs = [F.count("*").alias("n_sample")] + [
         F.expr(f"percentile(__v, {q!r})").alias(f"p{int(q * 100)}_est")
@@ -773,14 +784,19 @@ def expectation_report(
     scan, not R jobs — then a constant-size stack unpivot to rows (same
     shape as the Gopher quality funnel). Rule order is preserved in
     rule_idx so reports diff stably across runs."""
+    if not rules:
+        raise ValueError("expectation_report needs at least one rule")
     aggs = []
     for i, (name, cond) in enumerate(rules):
         ok = F.coalesce(cond.cast("boolean"), F.lit(False))
         aggs.append(F.count("*").alias(f"__n{i}"))
         aggs.append(F.sum((~ok).cast("bigint")).alias(f"__v{i}"))
     one = df.agg(*aggs)
+    # rule names land inside a SQL string literal — escape quotes so a
+    # name like "price isn't null" can't terminate the literal
     stack_args = ", ".join(
-        f"{i}, '{name}', __n{i}, __v{i}" for i, (name, _) in enumerate(rules)
+        f"{i}, '{name.replace(chr(39), chr(39) * 2)}', __n{i}, __v{i}"
+        for i, (name, _) in enumerate(rules)
     )
     return (
         one.select(

@@ -127,3 +127,19 @@ def test_cuped_strong_covariate_recovers_effect(spark):
     assert out.variance_reduction > 0.5
     assert abs(out.delta_cuped - 5.0) <= abs(out.delta_raw - 5.0) + 1e-9
     assert abs(out.delta_cuped - 5.0) < 1.0
+
+
+def test_cuped_excludes_null_users(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.abtest import cuped_report
+
+    rows = [(u, 1_000_000, 10.0) for u in range(10)] + [
+        (u, 9_000_000, 20.0) for u in range(10)
+    ]
+    base = _mk_events(spark, rows)
+    with_null = base.unionByName(
+        _mk_events(spark, [(None, 1_000_000, 999.0), (None, 9_000_000, 999.0)])
+    )
+    a = cuped_report(base).collect()[0]
+    b = cuped_report(with_null).collect()[0]
+    assert a.n_users == b.n_users == 10
+    assert a.mean_y_a == b.mean_y_a and a.mean_y_b == b.mean_y_b

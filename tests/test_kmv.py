@@ -169,11 +169,12 @@ def test_quantile_sketch_merge_law(spark):
     # union-of-shard-reservoirs: sketch each half with k=64, then sketch
     # the union of kept rows again with k=64 — estimates must be identical
     def kept(frame):
+        # mirrors the operator's prefix-free key: per-column md5 digests
         h = frame.select(
             "g",
             "v",
             F.md5(
-                F.concat(F.concat_ws(":", F.col("id").cast("string")), F.lit(":qsketch"))
+                F.concat(F.md5(F.col("id").cast("string")), F.lit(":qsketch"))
             ).alias("__h"),
             "id",
         ).select("g", "v", "id", hex_uniform("__h", 12).alias("h"))

@@ -61,3 +61,19 @@ def test_neyman_allocation_follows_variance(spark):
         for r in neyman_stratified_sample(df, "s", "v", total_n=60, id_col="id").collect()
     }
     assert ids1 == ids2
+
+
+def test_neyman_zero_variance_everywhere_falls_back_proportional(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import (
+        neyman_stratified_sample,
+    )
+
+    # every stratum constant: without the wsum guard 0/0 -> NULL and
+    # least() skips it, returning ALL rows and ignoring total_n
+    rows = [("a", i, 5.0) for i in range(100)] + [("b", 200 + i, 9.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "s string, id long, v double")
+    out = neyman_stratified_sample(df, "s", "v", total_n=40, id_col="id")
+    by = {r.s: r.n for r in out.groupBy(out.stratum.alias("s")).count()
+          .withColumnRenamed("count", "n").collect()}
+    assert sum(by.values()) <= 40
+    assert by["b"] > by["a"]  # proportional to stratum size

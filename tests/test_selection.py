@@ -176,3 +176,16 @@ def test_mad_report_degenerate_spread_flags_nothing(spark):
     rows = [(i, 42.0) for i in range(30)] + [(100 + i, float(i)) for i in range(10)]
     df = spark.createDataFrame(rows, "event_id long, value double")
     assert mad_anomaly_report(df, "event_id", "value").count() == 0
+
+
+def test_grouped_median_null_group_excluded_not_crash(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_exact_median_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 90.0)],
+        "g string, v double",
+    )
+    out = grouped_exact_median_report(df, "g", "v", cents=False).collect()
+    assert [(r.g, r.median) for r in out] == [("a", 2.0)]

@@ -491,3 +491,36 @@ def test_pit_join_same_date_empty_run_loses_tie(spark):
         for r in pit_dimension_join(facts, vers, "k", "d", ["prio"]).collect()
     }
     assert out == {"2024-01-01": "A", "2024-01-02": "C", "2024-01-04": "C"}
+
+
+def test_expectation_report_quoted_rule_name_and_empty_rules(spark):
+    import pytest
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import expectation_report
+
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    out = expectation_report(
+        df, [("price isn't null", F.col("v").isNotNull())], min_pass_rate=0.4
+    ).collect()
+    assert out[0].rule == "price isn't null"
+    assert out[0].n_violations == 1
+    with pytest.raises(ValueError):
+        expectation_report(df, [])
+
+
+def test_quantile_sketch_null_keys_dropped_and_no_cross_column_collision(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        hash_sample_quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "x", None, 1.0), ("g", None, "x", 2.0), ("g", "a", "b", 3.0),
+         ("g", "c", "d", 4.0)],
+        "g string, k1 string, k2 string, v double",
+    )
+    out = hash_sample_quantile_sketch(
+        df, ["g"], "v", ["k1", "k2"], k=10, quantiles=(0.5,)
+    ).collect()[0]
+    # both NULL-key rows dropped; remaining 2 rows sampled whole
+    assert out.n_sample == 2
+    assert out.p50_est == 3.5

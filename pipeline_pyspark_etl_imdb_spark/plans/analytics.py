@@ -618,3 +618,52 @@ def segment_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("intercept"),
         ((cov * cov) / (varx * vary)).alias("r2"),
     ).orderBy("c_mktsegment")
+
+
+def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue — trend +
+    day-of-week seasonal + residual (the STL-lite recipe behind
+    seasonal-adjusted anomaly detection: a Monday dip is not an anomaly
+    if Mondays always dip; `event_dow_seasonality` reports the indexes,
+    this subtracts them):
+
+      trend_t    = centered 7-day moving average (edge days average the
+                   rows available in frame — both engines' AVG-over-frame
+                   semantics);
+      seasonal_d = mean detrended value of the day's weekday, re-centered
+                   to zero DAY-WEIGHTED mean (weekday effects weighted by
+                   their day counts — so the level stays in trend and the
+                   identity below is exact even on partial weeks);
+      residual   = total − trend − seasonal, the anomaly signal.
+
+    Shape: one day-granular aggregate (calendar-sized, DECIMAL-exact),
+    then ROWS-frame and weekday windows over that SMALL frame — the
+    partition-less windows see days, not orders. The decomposition
+    identity total == trend + seasonal + residual holds exactly by
+    construction and is oracle-checked."""
+    orders = _table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("__t"))
+        .select("day", F.col("__t").cast("double").alias("total"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    with_trend = daily.withColumn("trend", F.avg("total").over(w7))
+    wd = Window.partitionBy(F.dayofweek("day"))
+    with_season = with_trend.withColumn(
+        "__s_raw", F.avg(F.col("total") - F.col("trend")).over(wd)
+    )
+    # re-center so the 7 weekday effects sum to zero (level stays in trend)
+    wall = Window.partitionBy()
+    centered = with_season.withColumn(
+        "seasonal",
+        F.col("__s_raw")
+        - F.mean(F.col("__s_raw")).over(wall),
+    )
+    return centered.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total",
+        "trend",
+        "seasonal",
+        (F.col("total") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    ).orderBy("day")

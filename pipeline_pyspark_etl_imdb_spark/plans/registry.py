@@ -1144,7 +1144,8 @@ QUERIES: dict[str, QueryFn] = {
     # retrieval_ndcg_report, cuped_experiment_report,
     # incremental_join_delta, signed_join_refresh,
     # signed_daily_kpi_refresh, event_value_mad_anomalies,
-    # orders_pit_priority, lang_token_entropy, neyman_order_sample).
+    # orders_pit_priority, lang_token_entropy, neyman_order_sample,
+    # revenue_seasonal_decomposition).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1650,6 +1651,7 @@ QUERIES: dict[str, QueryFn] = {
     "signed_daily_kpi_refresh": _signed_daily_kpi_refresh,
     "orders_pit_priority": _orders_pit_priority,
     "lang_token_entropy": lambda s, d: text_ops.lang_token_entropy(_docs(s, d)),
+    "revenue_seasonal_decomposition": analytics.revenue_seasonal_decomposition,
     "neyman_order_sample": lambda s, d: corpus.neyman_stratified_sample(
         s.read.parquet(f"{d}/orders.parquet"),
         "o_orderstatus",

@@ -196,3 +196,41 @@ def test_km_retention_matches_product_limit_reference(spark):
     assert got[1] == (4, 2, 0, pytest.approx(2 / 3 * 0.5))
     assert got[2][0:3] == (2, 0, 2)
     assert got[2][3] == pytest.approx(1 / 3)
+
+
+def test_seasonal_decomposition_catches_spike_not_weekday_dip(spark, tmp_path):
+    """A recurring Monday dip lands in the seasonal component; a one-off
+    spike lands in the residual — the seasonal-adjusted anomaly story."""
+    import datetime
+
+    from pipeline_pyspark_etl_imdb_spark.plans import analytics
+
+    base = datetime.date(2024, 1, 1)  # a Monday
+    rows = []
+    oid = 0
+    for d in range(56):  # 8 full weeks
+        day = base + datetime.timedelta(days=d)
+        total = 100.0 - (40.0 if day.weekday() == 0 else 0.0)
+        if d == 30:
+            total += 500.0  # the one-off spike
+        oid += 1
+        rows.append((oid, day, total))
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate date, o_totalprice double")
+    path = str(tmp_path / "orders.parquet")
+    df.write.parquet(path)
+    out = {
+        r.day: r
+        for r in analytics.revenue_seasonal_decomposition(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # identity holds everywhere
+    for r in out.values():
+        assert abs(r.total - (r.trend + r.seasonal + r.residual)) < 1e-9
+    # Mondays away from the spike: the dip is SEASONAL, residual ~ 0
+    monday = (base + datetime.timedelta(days=7)).isoformat()
+    assert out[monday].seasonal < -20.0
+    assert abs(out[monday].residual) < 15.0
+    # the spike day carries a large positive residual
+    spike = (base + datetime.timedelta(days=30)).isoformat()
+    assert out[spike].residual > 300.0

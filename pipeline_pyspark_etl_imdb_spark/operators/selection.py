@@ -112,45 +112,17 @@ def exact_median_report(
     )
 
 
-def grouped_exact_median_report(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    cents: bool = True,
-) -> DataFrame:
-    """Per-group exact medians by the SAME histogram-narrowing walk, all
-    groups advanced in lockstep: driver state is one (lo, hi, k) triple
-    per group, and each round is ONE broadcast join of the G-row bounds
-    frame + one (group, bucket) aggregate — <= G x 256 rows back to the
-    driver. G groups cost the same NUMBER of jobs as one (rounds =
-    log_256 of the widest group's range), which is the whole point: the
-    per-group alternative (percentile() per group) buffers each group's
-    values on one executor, and G separate narrowing loops would run
-    G x rounds jobs.
-
-    Groups resolved early (range collapsed) drop out of the bounds
-    frame. Even-count groups finish with one shared adjacency pass (a
-    count-at-a and a min-above-a aggregate over all such groups at
-    once). Output: (group, n_rows, median), integer-deterministic."""
-    spark = df.sparkSession
-    scale = 100 if cents else 1
-    vals = df.select(
-        F.col(group_col).cast("string").alias("g"),
-        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
-    ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
-    # NULL group keys are excluded: the bounds-frame join is null-unsafe
-    # and "the median of the NULL group" has no caller-visible contract
-
-    base = {
-        r["g"]: {"lo": int(r["lo"]), "hi": int(r["hi"]), "n": int(r["n"])}
-        for r in vals.groupBy("g")
-        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
-        .collect()
-    }
-    state = {
-        g: {"lo": s["lo"], "hi": s["hi"], "k": (s["n"] + 1) // 2}
-        for g, s in base.items()
-    }
+def grouped_kth(
+    vals: DataFrame, targets: dict[str, tuple[int, int, int]]
+) -> dict[str, int]:
+    """The lockstep narrowing loop shared by the grouped median and MAD:
+    ``vals`` is (g string, c bigint); ``targets`` maps each group to
+    (k, lo, hi). Every active group advances through ONE broadcast
+    bounds-frame join + one (group, bucket) aggregate per round; returns
+    the k-th smallest c per group. G groups cost the same number of jobs
+    as one."""
+    spark = vals.sparkSession
+    state = {g: {"lo": lo, "hi": hi, "k": k} for g, (k, lo, hi) in targets.items()}
     active = {g for g, s in state.items() if s["lo"] < s["hi"]}
     while active:
         rows = []
@@ -189,8 +161,47 @@ def grouped_exact_median_report(
             if w == 1 or s["lo"] >= s["hi"]:
                 s["hi"] = s["lo"]
                 active.discard(g)
+    return {g: s["lo"] for g, s in state.items()}
 
-    a = {g: s["lo"] for g, s in state.items()}
+
+def grouped_exact_median_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-group exact medians by the SAME histogram-narrowing walk, all
+    groups advanced in lockstep: driver state is one (lo, hi, k) triple
+    per group, and each round is ONE broadcast join of the G-row bounds
+    frame + one (group, bucket) aggregate — <= G x 256 rows back to the
+    driver. G groups cost the same NUMBER of jobs as one (rounds =
+    log_256 of the widest group's range), which is the whole point: the
+    per-group alternative (percentile() per group) buffers each group's
+    values on one executor, and G separate narrowing loops would run
+    G x rounds jobs.
+
+    Groups resolved early (range collapsed) drop out of the bounds
+    frame. Even-count groups finish with one shared adjacency pass (a
+    count-at-a and a min-above-a aggregate over all such groups at
+    once). Output: (group, n_rows, median), integer-deterministic."""
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
+    # NULL group keys are excluded: the bounds-frame join is null-unsafe
+    # and "the median of the NULL group" has no caller-visible contract
+
+    base = {
+        r["g"]: {"lo": int(r["lo"]), "hi": int(r["hi"]), "n": int(r["n"])}
+        for r in vals.groupBy("g")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    a = grouped_kth(
+        vals, {g: ((s["n"] + 1) // 2, s["lo"], s["hi"]) for g, s in base.items()}
+    )
     evens = [g for g, s in base.items() if s["n"] % 2 == 0]
     b_vals = dict(a)
     if evens:
@@ -343,4 +354,90 @@ def mad_anomaly_report(
         .where(F.abs(F.col("robust_z")) > F.lit(float(z_cut)))
         .select(F.col(id_col), F.col("__x").alias("value"), "robust_z")
         .orderBy(id_col)
+    )
+
+
+def grouped_mad_anomaly_report(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    scale: int = 10_000,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Per-group MAD outliers — every group gets its OWN robust yardstick
+    (a price that is wild for one segment can be routine for another),
+    with both the medians and the MADs found by the SHARED lockstep
+    narrowing (grouped_kth): two lockstep phases + one flag scan however
+    many groups there are. Same quantized-domain statistics and literal
+    arithmetic as mad_anomaly_report, so the flagged set hash-matches
+    the oracle; groups with MAD 0 flag nothing (documented degenerate),
+    NULL group keys are excluded (no contract)."""
+    vals = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(id_col),
+        F.col(value_col).alias("__x"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
+    spark = df.sparkSession
+    base = {
+        r["g"]: (int(r["n"]), int(r["lo"]), int(r["hi"]))
+        for r in vals.groupBy("g")
+        .agg(F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    }
+    if not base:
+        return spark.createDataFrame(
+            [], f"{group_col} string, {id_col} bigint, value double, robust_z double"
+        )
+    med = grouped_kth(
+        vals.select("g", "c"),
+        {g: ((n + 1) // 2, lo, hi) for g, (n, lo, hi) in base.items()},
+    )
+    med_frame = spark.createDataFrame(
+        [(g, m) for g, m in med.items()], "g string, __med bigint"
+    )
+    dev = vals.join(F.broadcast(med_frame), "g").select(
+        "g", F.abs(F.col("c") - F.col("__med")).alias("c")
+    )
+    dev_bounds = {
+        r["g"]: (int(r["lo"]), int(r["hi"]))
+        for r in dev.groupBy("g")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    }
+    mad = grouped_kth(
+        dev,
+        {
+            g: ((base[g][0] + 1) // 2, dev_bounds[g][0], dev_bounds[g][1])
+            for g in base
+        },
+    )
+    params = [
+        (
+            g,
+            float(med[g]) / scale,
+            MAD_CONSISTENCY * (float(mad[g]) / scale),
+        )
+        for g in sorted(base)
+        if mad[g] > 0
+    ]
+    if not params:
+        return spark.createDataFrame(
+            [], f"{group_col} string, {id_col} bigint, value double, robust_z double"
+        )
+    p_frame = spark.createDataFrame(params, "g string, __med double, __sigma double")
+    return (
+        vals.join(F.broadcast(p_frame), "g")
+        .withColumn(
+            "robust_z", (F.col("__x") - F.col("__med")) / F.col("__sigma")
+        )
+        .where(F.abs(F.col("robust_z")) > F.lit(float(z_cut)))
+        .select(
+            F.col("g").alias(group_col),
+            F.col(id_col),
+            F.col("__x").alias("value"),
+            "robust_z",
+        )
+        .orderBy(group_col, id_col)
     )

@@ -1145,7 +1145,7 @@ QUERIES: dict[str, QueryFn] = {
     # incremental_join_delta, signed_join_refresh,
     # signed_daily_kpi_refresh, event_value_mad_anomalies,
     # orders_pit_priority, lang_token_entropy, neyman_order_sample,
-    # revenue_seasonal_decomposition).
+    # revenue_seasonal_decomposition, status_price_mad_anomalies).
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1661,6 +1661,16 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "event_value_mad_anomalies": lambda s, d: selection.mad_anomaly_report(
         _events(s, d), "event_id", "value"
+    ),
+    # z_cut=1.3: TPC-H prices are near-uniform (robust z maxes out at
+    # ~1.38 — a bounded distribution has no 3-sigma tail), so the cut
+    # sits just inside the extremes to exercise the per-group machinery
+    "status_price_mad_anomalies": lambda s, d: selection.grouped_mad_anomaly_report(
+        s.read.parquet(f"{d}/orders.parquet"),
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        z_cut=1.3,
     ),
     "retrieval_ndcg_report": lambda s, d: evalmetrics.ranking_eval(
         _emb(s, d), query_ids=KNN_QUERY_IDS, k=10

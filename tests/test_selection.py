@@ -189,3 +189,26 @@ def test_grouped_median_null_group_excluded_not_crash(spark):
     )
     out = grouped_exact_median_report(df, "g", "v", cents=False).collect()
     assert [(r.g, r.median) for r in out] == [("a", 2.0)]
+
+
+def test_grouped_mad_per_group_yardsticks(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_mad_anomaly_report,
+    )
+
+    # value 200 is WILD for the calm group but routine for the wild one;
+    # the flat group (MAD 0) must flag nothing at any value
+    rows = (
+        [("calm", i, 100.0 + (i % 5)) for i in range(40)]
+        + [("calm", 900, 200.0)]
+        + [("wild", 100 + i, float(100 * (i % 7))) for i in range(40)]
+        + [("wild", 901, 200.0)]
+        + [("flat", 200 + i, 7.0) for i in range(20)]
+        + [("flat", 902, 7000.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = grouped_mad_anomaly_report(df, "g", "id", "v").collect()
+    flagged = {(r.g, r.id) for r in out}
+    assert ("calm", 900) in flagged
+    assert ("wild", 901) not in flagged
+    assert not any(g == "flat" for g, _ in flagged)

@@ -7,14 +7,14 @@ groups the registry's percentile queries aggregate, a scale bug for an
 exact global median over 10^11 rows. approx_percentile bounds memory but
 surrenders exactness. The classic third way (distributed selection /
 "median of a billion numbers"): narrow an integer value range around the
-k-th order statistic with a 256-ary histogram per round —
+k-th order statistic with a wide (N_BUCKETS-ary) histogram per round —
 
     round := one partially-aggregated conditional groupBy producing
-             <= 256 (bucket, count) rows; the driver walks the prefix
+             <= N_BUCKETS (bucket, count) rows; the driver walks the prefix
              sums, picks the bucket containing rank k, rescales k to the
              bucket, and recurses into its sub-range.
 
-O(log_256 range) rounds (3 for cent-priced values up to ~$10^6), each a
+O(log_N range) rounds (3 at N_BUCKETS=4096 for cent-priced values), each a
 full scan with the BETWEEN range pushed down to the parquet reader (so
 later rounds touch only row groups whose min/max straddle the narrowed
 range — the scan itself shrinks as the range does). Driver state is two
@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_BUCKETS = 256
+# 4096-ary narrowing: a cents-scaled price range (~5e9) resolves in 3
+# rounds instead of 5 at 256-ary, and the per-round driver collect is
+# still only groups x 4096 rows — job-scheduling latency, not histogram
+# size, is what each extra round costs
+N_BUCKETS = 4096
 
 
 def exact_kth(values: DataFrame, k: int, col: str = "c") -> int:
@@ -379,6 +383,12 @@ def grouped_mad_anomaly_report(
         F.col(value_col).alias("__x"),
         F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
     ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
+    from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
+    # the walk re-reads this frame ~7 times (base bounds + two lockstep
+    # phases + flag pass); persist for the call, released by the
+    # harnesses' release_tracked()
+    vals = tracked_persist(vals)
     spark = df.sparkSession
     base = {
         r["g"]: (int(r["n"]), int(r["lo"]), int(r["hi"]))
@@ -400,16 +410,18 @@ def grouped_mad_anomaly_report(
     dev = vals.join(F.broadcast(med_frame), "g").select(
         "g", F.abs(F.col("c") - F.col("__med")).alias("c")
     )
-    dev_bounds = {
-        r["g"]: (int(r["lo"]), int(r["hi"]))
-        for r in dev.groupBy("g")
-        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
-        .collect()
-    }
+    # deviation bounds come free from the base bounds: |c - med| lies in
+    # [0, max(med - lo, hi - med)] — a containing range is all the
+    # narrowing loop needs (empty low buckets just contribute nothing),
+    # so no extra min/max job over the deviation frame
     mad = grouped_kth(
         dev,
         {
-            g: ((base[g][0] + 1) // 2, dev_bounds[g][0], dev_bounds[g][1])
+            g: (
+                (base[g][0] + 1) // 2,
+                0,
+                max(med[g] - base[g][1], base[g][2] - med[g]),
+            )
             for g in base
         },
     )

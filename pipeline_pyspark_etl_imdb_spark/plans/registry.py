@@ -1099,53 +1099,10 @@ def _kmv_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- DRIVER WINDOW (first 50) --------------------------------------
-    # r3 rotation: slots 1-21 are the oracle-backed queries that have
-    # NEVER had a driver CORRECTNESS row (registered behind the 50-slot
-    # window in r2); slots 22-25 the never-checked rows-only queries;
-    # slots 26-38 the queries NEW in r3 (LSH-verified dedup, ANN recall,
-    # data-selection battery, SQL-surface widening, entity resolution,
-    # Bloom decontamination, bigram LM); slots 39-45 the five newest
-    # oracle-backed r3 queries (SemDeDup-LSH, KMV sketch, dataset split,
-    # k-anonymity, triangles) plus jaccard/minhash whose operators took
-    # the r3 df-cap change; slots 46-50 re-confirm refactored r1 queries
-    # (embedding_neardup, ann_ivf, region_revenue, skew_safe pair). The
-    # r2-green surface rotates behind the window;
-    # approx_user_stats/distinct_users_sketch stay out permanently
-    # (no_oracle by design, spark_rows already recorded). Displaced
-    # re-confirmations (knn_bruteforce, lsh_buckets, ann_lsh,
-    # dedup_components, dedup_canonical_corpus) stay locally verified and
-    # their code paths run in-window via lsh_verified_pairs,
-    # ann_recall_report, and jaccard_pairs.
-    #
-    # R4 ROTATION BACKLOG (never driver-checked, currently behind the
-    # window — move into slots 1-50 next round): the 22 late-r3 queries
-    # listed in ROUND3_NOTES (bm25_docs, l_diversity_customers,
-    # contrastive_doc_negatives, rag_chunk_bm25, embedding_int8_quantize,
-    # matryoshka_recall16, curriculum_stages, segment_price_trend,
-    # quality_auc, prefix_filter_pairs, quality_calibration,
-    # quality_psi_drift, event_audience_overlap, vocab_zipf_fit,
-    # quality_threshold_metrics, semdedup_kmeans, bpe_merge_table,
-    # bpe_token_counts, media_ahash_values, media_audio_fingerprints,
-    # pack_best_fit_assignment, copurchase_k_core) plus the
-    # continuation batch (embedding_prototype_scores,
-    # copurchase_link_prediction, event_cusum_changepoints,
-    # decayed_user_engagement, event_type_trigrams, lang_ngram_diversity,
-    # bpe_doc_token_budget, revenue_attribution_ushape,
-    # part_association_rules, label_confusion_report, event_value_bands,
-    # minhash_jaccard_estimates, event_dow_seasonality,
-    # tfidf_cosine_pairs, hybrid_rrf_retrieval, ab_experiment_report,
-    # funnel_time_to_convert, unigram_lm_vocab, dedup_signal_consensus,
-    # event_key_skew_profile, temperature_mixing_plan,
-    # quality_token_budget, embedding_jl_projection,
-    # kcenter_diversity_picks, span_dedup_trim, lineitem_exact_median,
-    # status_exact_median, status_price_quantile_sketch,
-    # lineitem_weighted_median, orders_contract_report,
-    # retrieval_ndcg_report, cuped_experiment_report,
-    # incremental_join_delta, signed_join_refresh,
-    # signed_daily_kpi_refresh, event_value_mad_anomalies,
-    # orders_pit_priority, lang_token_entropy, neyman_order_sample,
-    # revenue_seasonal_decomposition, status_price_mad_anomalies).
+    # NOTE: the dict literal below is in historical (r3) order; the
+    # DRIVER WINDOW (first 50 names the driver actually checks) is
+    # imposed by the _R4_WINDOW reorder after the literal — see the
+    # bottom of this file for the r4 rotation rationale.
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1718,3 +1675,97 @@ ROWS_ONLY: tuple[str, ...] = (
     "quality_isotonic_calibration",
     "kcenter_diversity_picks",
 )
+
+
+# --- R4 DRIVER WINDOW ---------------------------------------------------
+# The driver hash-checks the FIRST 50 entries of QUERIES at sf0.01 each
+# round. r3 grew the registry 120 -> 208 and left 59 oracle-backed
+# queries with no driver CORRECTNESS row ever (all green under the
+# identical local protocol in tests/test_entry_oracle.py, but the driver
+# is the signal of record — VERDICT r3 item #1). The r4 window is
+# therefore: slot 1 the round's only red row (k_anonymity_customers —
+# the HUGEINT-vs-BIGINT oracle cast is fixed in plans/oracles.py, values
+# were verified identical by the judge) and its latent twin
+# l_diversity_customers, then the 48 highest-risk never-checked queries,
+# numerically subtle first (exact medians / MAD narrowing, CUPED theta,
+# AUC rank-sums, PSI, calibration, seasonal decomposition, Zipf fit,
+# BM25/RRF, view maintenance, quantization).
+_R4_WINDOW: tuple[str, ...] = (
+    "k_anonymity_customers",
+    "l_diversity_customers",
+    "lineitem_exact_median",
+    "status_exact_median",
+    "lineitem_weighted_median",
+    "event_value_mad_anomalies",
+    "status_price_mad_anomalies",
+    "cuped_experiment_report",
+    "quality_auc",
+    "quality_psi_drift",
+    "quality_threshold_metrics",
+    "quality_calibration",
+    "quality_conformal_gate",
+    "segment_price_trend",
+    "vocab_zipf_fit",
+    "bm25_docs",
+    "rag_chunk_bm25",
+    "hybrid_rrf_retrieval",
+    "revenue_attribution_ushape",
+    "part_association_rules",
+    "incremental_join_delta",
+    "signed_join_refresh",
+    "signed_daily_kpi_refresh",
+    "orders_pit_priority",
+    "prefix_filter_pairs",
+    "tfidf_cosine_pairs",
+    "embedding_int8_quantize",
+    "matryoshka_recall16",
+    "embedding_jl_projection",
+    "retrieval_ndcg_report",
+    "orders_contract_report",
+    "status_price_quantile_sketch",
+    "neyman_order_sample",
+    "revenue_seasonal_decomposition",
+    "lang_token_entropy",
+    "span_dedup_trim",
+    "temperature_mixing_plan",
+    "quality_token_budget",
+    "event_key_skew_profile",
+    "user_km_retention",
+    "lang_id_kappa",
+    "lang_id_confusion",
+    "ab_experiment_report",
+    "funnel_time_to_convert",
+    "event_cusum_changepoints",
+    "dedup_signal_consensus",
+    "minhash_jaccard_estimates",
+    "label_confusion_report",
+    "embedding_prototype_scores",
+    "copurchase_link_prediction",
+)
+
+# Never-checked oracle-backed queries deliberately DEFERRED to the r5
+# window (the 10 structurally simplest of the 60 candidates — plain
+# group-bys, banding, lag windows, md5-rank draws — least likely to hide
+# an engine-vs-oracle disagreement). Slots 51-60 so the r5 reorder is a
+# straight promotion.
+_R5_BACKLOG: tuple[str, ...] = (
+    "event_audience_overlap",
+    "event_type_trigrams",
+    "event_value_bands",
+    "event_dow_seasonality",
+    "decayed_user_engagement",
+    "lang_ngram_diversity",
+    "curriculum_stages",
+    "contrastive_doc_negatives",
+    "revenue_concentration",
+    "join_size_estimate_ol",
+)
+
+_head = _R4_WINDOW + _R5_BACKLOG
+assert len(set(_head)) == len(_head)
+assert all(name in QUERIES for name in _head), sorted(
+    set(_head) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _head} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_head)
+}

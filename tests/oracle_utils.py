@@ -67,6 +67,34 @@ def canon_rows(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
 
 
+def _value_class(v) -> str | None:
+    """Numeric class AFTER canonicalization. The driver hashes stringified
+    values, so an integer-valued column that reaches pandas as float64 (e.g.
+    an uncast DuckDB HUGEIN T sum) hashes "5.0" against Spark's "5" and goes
+    red even though the values are numerically equal — the exact failure
+    mode of r3's k_anonymity_customers. Python's 5 == 5.0 hides it from a
+    pure value compare, so classes are checked separately."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return None  # strings/dates/tuples: a class clash fails the value compare
+
+
+def _column_classes(rows: list[tuple], ncols: int) -> list[set[str]]:
+    classes: list[set[str]] = [set() for _ in range(ncols)]
+    for row in rows:
+        for i, v in enumerate(row):
+            c = _value_class(v)
+            if c is not None:
+                classes[i].add(c)
+    return classes
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
@@ -78,6 +106,15 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_rows, o_rows = canon_rows(spark_pdf), canon_rows(oracle_pdf)
+    cols = sorted(spark_pdf.columns)
+    s_cls = _column_classes(s_rows, len(cols))
+    o_cls = _column_classes(o_rows, len(cols))
+    for col, sc, oc in zip(cols, s_cls, o_cls):
+        if sc and oc and sc != oc:
+            problems.append(
+                f"numeric-class mismatch on {col!r}: spark={sorted(sc)} "
+                f"oracle={sorted(oc)} (driver hashes '5' vs '5.0' as different)"
+            )
     if s_rows != o_rows:
         diffs = [
             f"  row {i}: spark={s} oracle={o}"

@@ -653,3 +653,91 @@ def test_temperature_mix_single_corpus_aggregate(spark):
     # denominator is a broadcast one-row frame over the domain aggregate
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+# --- GLOBAL partition-less-window gate ----------------------------------
+# A WindowExec with an empty partition spec moves its whole input to ONE
+# partition ("No Partition Defined for Window" warning) — a scale-killer
+# iff the input is data-sized. Every query below is audited: its
+# partition-less windows consume a BOUNDED frame that does not grow with
+# the data. Anything new that plans an empty-partition window must either
+# restructure (the reference itself never global-sorts for a top-N,
+# /root/reference/src/etl_imdb.py:210-212) or justify itself here.
+_BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    # ranks.total_order_ranks: the offsets window sees ~#partitions rows
+    "quality_auc": "rank partition offsets (~n_partitions rows)",
+    "revenue_concentration": "rank partition offsets (~n_partitions rows)",
+    "customer_spend_deciles": "rank partition offsets (~n_partitions rows)",
+    "curriculum_stages": "rank partition offsets (~n_partitions rows)",
+    # calendar- or bin-grain frames, independent of row count
+    "revenue_yoy": "year-grain lag (observation span in years)",
+    "revenue_seasonal_decomposition": "calendar-day frame",
+    "user_km_retention": "day-grain KM curve (observation span in days)",
+    "quality_psi_drift": "n_bins-row PSI frame",
+    "quality_token_budget": "<= n_buckets+1 histogram prefix-sum frames",
+    # vocabulary / candidate cuts applied BEFORE the window
+    "vocab_zipf_fit": "top-V vocabulary (V rows)",
+    "vocab_top_tokens": "top-V vocabulary (V rows)",
+    "hybrid_rrf_retrieval": "per-system top-k fused candidates (<= systems*k)",
+}
+
+
+def _empty_partition_windows(sdf) -> list[str]:
+    hits: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if name == "InMemoryTableScanExec":
+            try:
+                walk(node.relation().cachedPlan())
+            except Exception:
+                pass
+        if "Window" in name:
+            try:
+                if node.partitionSpec().isEmpty():
+                    hits.append(name)
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(sdf._jdf.queryExecution().executedPlan())
+    return hits
+
+
+def test_no_unbounded_partitionless_windows_anywhere(spark):
+    """Walk EVERY registry query's physical plan; any empty-partition
+    Window node must belong to a query on the audited-bounded whitelist.
+    sf0.001 keeps the iterative queries' materialization cheap — window
+    partition specs don't depend on input statistics."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders: dict[str, list[str]] = {}
+    stale_whitelist = set(_BOUNDED_GLOBAL_WINDOWS)
+    for name, fn in QUERIES.items():
+        try:
+            hits = _empty_partition_windows(fn(spark, sf))
+        finally:
+            release_tracked()
+            spark.catalog.clearCache()
+        if hits:
+            if name in _BOUNDED_GLOBAL_WINDOWS:
+                stale_whitelist.discard(name)
+            else:
+                offenders[name] = hits
+    assert not offenders, (
+        "queries with partition-less windows not on the audited-bounded "
+        f"whitelist: {offenders}"
+    )
+    # a whitelist entry whose window disappeared is stale — prune it so
+    # the audit stays truthful
+    assert not stale_whitelist, f"stale whitelist entries: {sorted(stale_whitelist)}"

@@ -41,16 +41,45 @@ from pyspark.sql import functions as F
 N_BUCKETS = 4096
 
 
+_I64_MAX = 2**63 - 1
+
+
+def _bucket_expr(col: str, lo: int, width: int, hi: int):
+    """``(col - lo) div width`` as a Column — in BIGINT arithmetic when
+    the range provably can't overflow, else via DECIMAL(38,0) (exact for
+    any int64 domain). ``hi - lo`` itself can exceed int64 (a domain
+    spanning +-2^62 has range 2^63): the long subtraction then WRAPS
+    under non-ANSI semantics and the walk narrows into garbage bounds —
+    found by tests/test_selection_property.py. The decimal path costs
+    more per row but runs at most the first round or two; the range
+    collapses below the threshold immediately after."""
+    if hi - lo <= _I64_MAX - 1:
+        return F.expr(f"CAST((`{col}` - {lo}) div {width} AS BIGINT)")
+    return F.expr(
+        f"CAST((CAST(`{col}` AS DECIMAL(38,0)) - {lo}) div {width} AS BIGINT)"
+    )
+
+
+# histogram rounds executed by the most recent exact_kth call — lets the
+# property suite assert the O(log_N range) bound without counting Spark
+# jobs (AQE splits one query into several jobs; same pattern as
+# pagerank.last_n_rounds)
+last_n_rounds: int = 0
+
+
 def exact_kth(values: DataFrame, k: int, col: str = "c") -> int:
     """The k-th smallest (1-based) of an integer column, by histogram
     narrowing. Caller guarantees 1 <= k <= count."""
+    global last_n_rounds
+    last_n_rounds = 0
     row = values.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
     lo, hi = int(row["lo"]), int(row["hi"])
     while lo < hi:
+        last_n_rounds += 1
         width = max(1, (hi - lo + N_BUCKETS) // N_BUCKETS)
         hist = (
             values.where(F.col(col).between(F.lit(lo), F.lit(hi)))
-            .groupBy(F.expr(f"CAST((`{col}` - {lo}) div {width} AS BIGINT)").alias("b"))
+            .groupBy(_bucket_expr(col, lo, width, hi).alias("b"))
             .agg(F.count("*").alias("n"))
             .collect()
         )
@@ -137,13 +166,19 @@ def grouped_kth(
         bounds = spark.createDataFrame(
             rows, "g string, __lo bigint, __hi bigint, __w bigint"
         )
+        # same int64-overflow guard as _bucket_expr: if ANY active group's
+        # range exceeds int64, bucket via DECIMAL(38,0) this round (exact
+        # for every group; ranges collapse below the threshold after it)
+        if any(hi - lo > _I64_MAX - 1 for _, lo, hi, _ in rows):
+            b_expr = F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) - __lo) div __w AS BIGINT)"
+            )
+        else:
+            b_expr = F.expr("CAST((c - __lo) div __w AS BIGINT)")
         hist = (
             vals.join(F.broadcast(bounds), "g")
             .where(F.col("c").between(F.col("__lo"), F.col("__hi")))
-            .groupBy(
-                "g",
-                F.expr("CAST((c - __lo) div __w AS BIGINT)").alias("b"),
-            )
+            .groupBy("g", b_expr.alias("b"))
             .agg(F.count("*").alias("n"))
             .collect()
         )

@@ -328,44 +328,64 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
     (SURVEY.md §2 W1-W3; reference parity src/etl_imdb.py:262-276) with
     a running-sum frame.
 
-    Exactness: the global mean uses a DECIMAL(28,12) sum (order-
-    independent); the running CUSUM is a ROWS-frame window sum whose
-    fold order is pinned by (ts, event_id), so both engines add the
-    same doubles in the same order.
+    Exactness (revised in r4 after an sf0.1 oracle mismatch): a double
+    running sum is NOT portable even with the fold order pinned — DuckDB
+    evaluates window sums over a segment TREE, so its float association
+    differs from a left-to-right fold on most rows. The walk therefore
+    stays in DECIMAL end to end: with run_i = Σ_{j<=i} v_j (6-decimal
+    quantized, exact) and m_i the running non-null count,
+        cusum_i = run_i - m_i * (total / N)
+    is ranked by the EXACT integer-scaled score
+        score_i = |N * run_i - m_i * total|
+    (same argmax, no division), and only the one surviving row per user
+    converts to double — via CAST(decimal AS STRING) then strtod, because
+    DuckDB's direct decimal->double cast is off by 1 ulp near rounding
+    boundaries while strtod is correctly rounded in both engines. The
+    declared decimal widths are exact for |value| < 10^4, per-user sums
+    < 10^10, and N < 10^12; past that the multiplications overflow to
+    NULL (non-ANSI) rather than silently losing precision.
 
     Physical shape: ONE Exchange on user_id serves both windows and the
     rank filter (same-key windows reuse the partitioning); the global
-    mean is a 1-row broadcast cross join. Nothing corpus-sized moves
-    twice."""
+    (total, N) pair is a 1-row broadcast cross join. Nothing corpus-sized
+    moves twice."""
     us = ts_micros(events).alias("us")
-    base = events.select("user_id", "event_id", us, F.col("value"))
-    mean = base.agg(
-        (
-            F.sum(F.col("value").cast("decimal(28,12)")).cast("double")
-            / F.count("*")
-        ).alias("__mean")
+    v_dec = F.col("value").cast("decimal(18,6)")
+    base = events.select("user_id", "event_id", us, v_dec.alias("__v"))
+    totals = base.agg(
+        F.sum("__v").cast("decimal(20,6)").alias("__total"),
+        F.count("*").cast("decimal(12,0)").alias("__n"),
     )
     w_cum = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cusum = (
-        base.crossJoin(F.broadcast(mean))
-        .withColumn("__cusum", F.sum(F.col("value") - F.col("__mean")).over(w_cum))
-        .withColumn("__abs", F.abs(F.col("__cusum")))
+    scored = (
+        base.crossJoin(F.broadcast(totals))
+        .withColumn("__run", F.sum("__v").over(w_cum).cast("decimal(16,6)"))
+        .withColumn("__m", F.count("__v").over(w_cum).cast("decimal(12,0)"))
+        .withColumn(
+            "__score",
+            F.abs(
+                F.col("__n") * F.col("__run") - F.col("__m") * F.col("__total")
+            ),
+        )
     )
     w_rank = Window.partitionBy("user_id").orderBy(
-        F.desc("__abs"), F.asc("us"), F.asc("event_id")
+        F.desc("__score"), F.asc("us"), F.asc("event_id")
     )
     return (
-        cusum.withColumn("__rk", F.row_number().over(w_rank))
+        scored.withColumn("__rk", F.row_number().over(w_rank))
         .where(F.col("__rk") == 1)
         .select(
             "user_id",
             F.col("event_id").alias("cp_event_id"),
             F.col("us").alias("cp_us"),
-            F.col("__abs").alias("max_abs_cusum"),
+            (
+                F.col("__score").cast("string").cast("double")
+                / F.col("__n").cast("double")
+            ).alias("max_abs_cusum"),
         )
     )
 

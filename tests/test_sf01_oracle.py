@@ -1,0 +1,79 @@
+"""Opt-in sf0.1 oracle re-check for the numerically sensitive queries
+(``pytest -m sf01``; excluded from the default run by pytest.ini).
+
+The sf0.01 fixtures have narrow value ranges; the histogram-narrowing and
+DECIMAL paths have RANGE-dependent edge cases — the 2^53 div-bucketing
+and round-before-cast bugs found in r3, and the int64-wrap bucket bug
+found in r4, were all range bugs the small fixture couldn't trigger.
+This suite runs the exact medians / MAD / CUPED / AUC / PSI / OLS /
+seasonal / attribution / calibration family against the identical DuckDB
+oracle protocol at 10x the data."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_utils import compare_frames, duckdb_conn
+
+SF01 = "/root/testdata/sf0.1"
+
+# the numerically sensitive subset: iterative integer walks, pooled
+# float moments, rank statistics, bin-boundary classifications
+SENSITIVE = [
+    "lineitem_exact_median",
+    "status_exact_median",
+    "lineitem_weighted_median",
+    "event_value_mad_anomalies",
+    "status_price_mad_anomalies",
+    "cuped_experiment_report",
+    "ab_experiment_report",
+    "quality_auc",
+    "quality_psi_drift",
+    "quality_threshold_metrics",
+    "quality_calibration",
+    "quality_conformal_gate",
+    "segment_price_trend",
+    "vocab_zipf_fit",
+    "revenue_seasonal_decomposition",
+    "event_dow_seasonality",
+    "event_cusum_changepoints",
+    "user_km_retention",
+    "decayed_user_engagement",
+    "revenue_attribution_ushape",
+    "part_association_rules",
+    "temperature_mixing_plan",
+    "quality_token_budget",
+    "lang_token_entropy",
+    "neyman_order_sample",
+    "customer_spend_deciles",
+    "revenue_concentration",
+    "status_price_quantile_sketch",
+    "embedding_jl_projection",
+    "matryoshka_recall16",
+    "embedding_int8_quantize",
+    "winsorized_price_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle01():
+    conn = duckdb_conn(SF01)
+    yield conn
+    conn.close()
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_sensitive_query_matches_oracle_at_sf01(spark, oracle01, name):
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert name in queries, f"unknown registry query {name}"
+    assert name in oracles, f"{name} has no oracle"
+    try:
+        spark_pdf = queries[name](spark, SF01).toPandas()
+        oracle_pdf = oracle01.execute(oracles[name]).df()
+        problems = compare_frames(spark_pdf, oracle_pdf)
+        assert not problems, f"{name} @ sf0.1:\n" + "\n".join(problems)
+    finally:
+        release_tracked()
+        spark.catalog.clearCache()

@@ -396,3 +396,74 @@ def ranking_eval(
         )
         .orderBy("query_id")
     )
+
+
+def contingency_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """One-row independence report for two categorical columns:
+    (n, n_a, n_b, chi2, cramers_v, mutual_info) — the feature-selection /
+    leakage screen ("is lang informative about source?") run before a
+    column is trusted as a stratification key or dropped as redundant.
+
+        chi2 = sum_ij (O_ij - E_ij)^2 / E_ij,  E_ij = r_i * c_j / n
+        V    = sqrt(chi2 / (n * (min(R,C) - 1)))
+        MI   = sum_ij p_ij * ln(p_ij * n^2 / (r_i * c_j))   [nats]
+
+    Shape: ONE partial-aggregated groupBy(a, b) builds the contingency
+    cells (RxC rows — category-domain-sized, never data-sized); marginals
+    come from two windows OVER THE CELLS frame partitioned by each axis
+    (the psi_drift pattern: no second scan of the source); the final
+    fold is a constant-size aggregate. Exactness: every count is BIGINT;
+    the per-cell doubles are division/multiplication chains evaluated
+    identically cross-engine, and ln parity follows the PSI precedent.
+    Rows with a NULL in either column are excluded — a NULL level has no
+    stable cross-engine ordering or distinct-count contract."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_a = Window.partitionBy("a").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_b = Window.partitionBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marg = (
+        cells.withColumn("n", F.sum("o").over(w_all))
+        .withColumn("r", F.sum("o").over(w_a))
+        .withColumn("c", F.sum("o").over(w_b))
+        .withColumn("n_a", F.size(F.collect_set("a").over(w_all)))
+        .withColumn("n_b", F.size(F.collect_set("b").over(w_all)))
+    )
+    o = F.col("o").cast("double")
+    n = F.col("n").cast("double")
+    e = F.col("r").cast("double") * F.col("c").cast("double") / n
+    chi2_cell = (o - e) * (o - e) / e
+    mi_cell = (o / n) * F.log(
+        o * n / (F.col("r").cast("double") * F.col("c").cast("double"))
+    )
+    agg = marg.agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.first("n_a").cast("bigint").alias("n_a"),
+        F.first("n_b").cast("bigint").alias("n_b"),
+        F.sum(chi2_cell).alias("chi2"),
+        F.sum(mi_cell).alias("mutual_info"),
+    )
+    dof = F.least(F.col("n_a"), F.col("n_b")) - F.lit(1)
+    v = F.when(
+        dof > 0,
+        F.sqrt(F.col("chi2") / (F.col("n").cast("double") * dof.cast("double"))),
+    )
+    return agg.select(
+        "n", "n_a", "n_b", "chi2", v.alias("cramers_v"), "mutual_info"
+    )

@@ -145,31 +145,35 @@ def exact_median_report(
     )
 
 
-def grouped_kth(
-    vals: DataFrame, targets: dict[str, tuple[int, int, int]]
-) -> dict[str, int]:
-    """The lockstep narrowing loop shared by the grouped median and MAD:
-    ``vals`` is (g string, c bigint); ``targets`` maps each group to
-    (k, lo, hi). Every active group advances through ONE broadcast
-    bounds-frame join + one (group, bucket) aggregate per round; returns
-    the k-th smallest c per group. G groups cost the same number of jobs
-    as one."""
+def grouped_multi_kth(
+    vals: DataFrame, targets: dict[tuple[str, str], tuple[int, int, int]]
+) -> dict[tuple[str, str], int]:
+    """The lockstep narrowing loop generalized to MULTIPLE ranks per
+    group: ``vals`` is (g string, c bigint); ``targets`` maps each
+    (group, tag) — e.g. ("F", "p25") — to (k, lo, hi). Every active
+    target advances through ONE broadcast bounds-frame join + one
+    (group, tag, bucket) aggregate per round; a row feeds every active
+    tag of its group whose range covers it (the join fans out by at most
+    the number of tags, typically 2-3 quantiles). G groups x T tags cost
+    the same number of JOBS as one target."""
     spark = vals.sparkSession
-    state = {g: {"lo": lo, "hi": hi, "k": k} for g, (k, lo, hi) in targets.items()}
-    active = {g for g, s in state.items() if s["lo"] < s["hi"]}
+    state = {
+        gt: {"lo": lo, "hi": hi, "k": k} for gt, (k, lo, hi) in targets.items()
+    }
+    active = {gt for gt, s in state.items() if s["lo"] < s["hi"]}
     while active:
         rows = []
-        for g in active:
-            s = state[g]
+        for g, tag in active:
+            s = state[(g, tag)]
             w = max(1, (s["hi"] - s["lo"] + N_BUCKETS) // N_BUCKETS)
-            rows.append((g, s["lo"], s["hi"], w))
+            rows.append((g, tag, s["lo"], s["hi"], w))
         bounds = spark.createDataFrame(
-            rows, "g string, __lo bigint, __hi bigint, __w bigint"
+            rows, "g string, __tag string, __lo bigint, __hi bigint, __w bigint"
         )
-        # same int64-overflow guard as _bucket_expr: if ANY active group's
-        # range exceeds int64, bucket via DECIMAL(38,0) this round (exact
-        # for every group; ranges collapse below the threshold after it)
-        if any(hi - lo > _I64_MAX - 1 for _, lo, hi, _ in rows):
+        # same int64-overflow guard as _bucket_expr: if ANY active range
+        # exceeds int64, bucket via DECIMAL(38,0) this round (exact for
+        # every target; ranges collapse below the threshold after it)
+        if any(hi - lo > _I64_MAX - 1 for _, _, lo, hi, _ in rows):
             b_expr = F.expr(
                 "CAST((CAST(c AS DECIMAL(38,0)) - __lo) div __w AS BIGINT)"
             )
@@ -178,18 +182,20 @@ def grouped_kth(
         hist = (
             vals.join(F.broadcast(bounds), "g")
             .where(F.col("c").between(F.col("__lo"), F.col("__hi")))
-            .groupBy("g", b_expr.alias("b"))
+            .groupBy("g", "__tag", b_expr.alias("b"))
             .agg(F.count("*").alias("n"))
             .collect()
         )
-        per_group: dict[str, list[tuple[int, int]]] = {}
+        per_target: dict[tuple[str, str], list[tuple[int, int]]] = {}
         for r in hist:
-            per_group.setdefault(r["g"], []).append((int(r["b"]), int(r["n"])))
-        widths = {g: w for g, _, _, w in rows}
-        for g in list(active):
-            s, w = state[g], widths[g]
+            per_target.setdefault((r["g"], r["__tag"]), []).append(
+                (int(r["b"]), int(r["n"]))
+            )
+        widths = {(g, tag): w for g, tag, _, _, w in rows}
+        for gt in list(active):
+            s, w = state[gt], widths[gt]
             cum = 0
-            for b, n in sorted(per_group[g]):
+            for b, n in sorted(per_target[gt]):
                 if cum + n >= s["k"]:
                     lo2 = s["lo"] + b * w
                     s["hi"] = min(s["hi"], lo2 + w - 1)
@@ -199,8 +205,21 @@ def grouped_kth(
                 cum += n
             if w == 1 or s["lo"] >= s["hi"]:
                 s["hi"] = s["lo"]
-                active.discard(g)
-    return {g: s["lo"] for g, s in state.items()}
+                active.discard(gt)
+    return {gt: s["lo"] for gt, s in state.items()}
+
+
+def grouped_kth(
+    vals: DataFrame, targets: dict[str, tuple[int, int, int]]
+) -> dict[str, int]:
+    """The lockstep narrowing loop shared by the grouped median and MAD:
+    ``vals`` is (g string, c bigint); ``targets`` maps each group to
+    (k, lo, hi). Every active group advances through ONE broadcast
+    bounds-frame join + one (group, bucket) aggregate per round; returns
+    the k-th smallest c per group. G groups cost the same number of jobs
+    as one. (Thin single-rank face of grouped_multi_kth.)"""
+    got = grouped_multi_kth(vals, {(g, ""): t for g, t in targets.items()})
+    return {g: v for (g, _), v in got.items()}
 
 
 def grouped_exact_median_report(
@@ -320,9 +339,7 @@ def weighted_exact_median_report(
         width = max(1, (hi - lo + N_BUCKETS) // N_BUCKETS)
         hist = (
             vals.where(F.col("c").between(F.lit(lo), F.lit(hi)))
-            .groupBy(
-                F.expr(f"CAST((c - {lo}) div {width} AS BIGINT)").alias("b")
-            )
+            .groupBy(_bucket_expr("c", lo, width, hi).alias("b"))
             .agg(F.sum("wt").alias("w"))
             .collect()
         )
@@ -487,4 +504,154 @@ def grouped_mad_anomaly_report(
             "robust_z",
         )
         .orderBy(group_col, id_col)
+    )
+
+
+def grouped_exact_iqr_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cents: bool = True,
+    fence: float = 1.5,
+) -> DataFrame:
+    """Per-group EXACT quartiles + Tukey-fence outlier counts:
+    (group, n_rows, p25, p50, p75, iqr, n_low_outliers, n_high_outliers)
+    — the robust spread report behind box plots and fence-based data
+    cleaning, computed without percentile()'s per-group value buffers.
+
+    Quantile definition: type-1 (lower) order statistic, p_q = the
+    ceil(q*n)-th smallest — an actual data value, integer-deterministic,
+    so the report hash-matches an ORDER BY/OFFSET oracle with no
+    interpolation ambiguity. All THREE quartiles of ALL groups advance
+    through one grouped_multi_kth lockstep walk (a row feeds at most 3
+    range-overlapping targets per round), then ONE broadcast-fence pass
+    counts outliers: G groups x 3 ranks cost log_N(range) + 1 jobs
+    total. Fences are fence*iqr beyond the quartiles in integer-cents
+    space, so the counts are exact too."""
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
+    base = {
+        r["g"]: {"lo": int(r["lo"]), "hi": int(r["hi"]), "n": int(r["n"])}
+        for r in vals.groupBy("g")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    if not base:
+        return spark.createDataFrame(
+            [],
+            f"{group_col} string, n_rows bigint, p25 double, p50 double, "
+            "p75 double, iqr double, n_low_outliers bigint, "
+            "n_high_outliers bigint",
+        )
+    qs = (("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4))
+    targets = {
+        (g, tag): (-((-num * s["n"]) // den), s["lo"], s["hi"])  # ceil(q*n)
+        for g, s in base.items()
+        for tag, num, den in qs
+    }
+    picked = grouped_multi_kth(vals, targets)
+    # one shared fence pass: integer fences from the exact quartiles
+    # (scaled by 2 so fence=1.5 stays integral: compare 2c vs 2*bound)
+    fl = int(round(fence * 2))
+    fences = [
+        (
+            g,
+            2 * picked[(g, "p25")]
+            - fl * (picked[(g, "p75")] - picked[(g, "p25")]),
+            2 * picked[(g, "p75")]
+            + fl * (picked[(g, "p75")] - picked[(g, "p25")]),
+        )
+        for g in base
+    ]
+    f_frame = spark.createDataFrame(fences, "g string, __flo bigint, __fhi bigint")
+    counts = {
+        r["g"]: (int(r["n_low"]), int(r["n_high"]))
+        for r in vals.join(F.broadcast(f_frame), "g")
+        .groupBy("g")
+        .agg(
+            F.sum((2 * F.col("c") < F.col("__flo")).cast("bigint")).alias("n_low"),
+            F.sum((2 * F.col("c") > F.col("__fhi")).cast("bigint")).alias("n_high"),
+        )
+        .collect()
+    }
+    out = [
+        (
+            g,
+            base[g]["n"],
+            picked[(g, "p25")] / scale,
+            picked[(g, "p50")] / scale,
+            picked[(g, "p75")] / scale,
+            (picked[(g, "p75")] - picked[(g, "p25")]) / scale,
+            counts[g][0],
+            counts[g][1],
+        )
+        for g in sorted(base)
+    ]
+    return spark.createDataFrame(
+        out,
+        f"{group_col} string, n_rows bigint, p25 double, p50 double, "
+        "p75 double, iqr double, n_low_outliers bigint, n_high_outliers bigint",
+    )
+
+
+def trimmed_mean_report(
+    df: DataFrame,
+    value_col: str,
+    trim: float = 0.05,
+    cents: bool = True,
+) -> DataFrame:
+    """One-row EXACT trimmed mean: drop the lowest and highest
+    floor(trim*n) values, mean the rest — the robust location estimate
+    that, unlike the median, still uses ~90% of the data. Cut values
+    come from two exact_kth narrowing walks (shared scan shapes); the
+    interior mean is ONE conditional DECIMAL sum, made exact under ties
+    by counting boundary duplicates: rows equal to a cut value
+    contribute only as many copies as the trim leaves inside. Output:
+    (n_rows, n_trimmed_each, trimmed_mean)."""
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c")
+    ).where(F.col("c").isNotNull())
+    n = vals.count()
+    t = int(trim * n)
+    if n == 0 or n - 2 * t <= 0:
+        return spark.createDataFrame(
+            [], "n_rows bigint, n_trimmed_each bigint, trimmed_mean double"
+        )
+    lo_cut = exact_kth(vals, t + 1)  # smallest kept value
+    hi_cut = exact_kth(vals, n - t)  # largest kept value
+    agg = vals.agg(
+        F.sum(
+            F.when(F.col("c").between(F.lit(lo_cut), F.lit(hi_cut)), F.col("c"))
+        ).cast("decimal(38,0)").alias("s_in"),
+        F.sum((F.col("c") < F.lit(lo_cut)).cast("bigint")).alias("n_below"),
+        F.sum((F.col("c") == F.lit(lo_cut)).cast("bigint")).alias("n_at_lo"),
+        F.sum((F.col("c") > F.lit(hi_cut)).cast("bigint")).alias("n_above"),
+        F.sum((F.col("c") == F.lit(hi_cut)).cast("bigint")).alias("n_at_hi"),
+    ).collect()[0]
+    s = int(agg["s_in"])
+    # boundary ties: trim wants exactly t rows off each side; the strict
+    # inequalities removed n_below/n_above, so remove the shortfall as
+    # copies of the cut values (exact integer arithmetic)
+    extra_lo = t - int(agg["n_below"])
+    extra_hi = t - int(agg["n_above"])
+    if lo_cut == hi_cut:
+        # degenerate: the kept range is a single value
+        kept = n - 2 * t
+        s = lo_cut * kept
+    else:
+        s -= extra_lo * lo_cut + extra_hi * hi_cut
+        kept = n - 2 * t
+    # float(s) FIRST, then two divisions — mirrors the oracle's
+    # CAST(s AS DOUBLE)/kept/scale step order (identical roundings; s is
+    # exact in double through ~2^53 total kept cents)
+    mean = (float(s) / kept) / scale if kept else None
+    return spark.createDataFrame(
+        [(n, t, float(mean))],
+        "n_rows bigint, n_trimmed_each bigint, trimmed_mean double",
     )

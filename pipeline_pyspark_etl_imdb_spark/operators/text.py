@@ -793,3 +793,72 @@ def lang_token_entropy(
             h / F.log(F.col("vocab_size").cast("double")),
         ).alias("entropy_efficiency"),
     ).orderBy("lang")
+
+
+def token_pmi_pairs(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top adjacent-token collocations by pointwise mutual information:
+    (w1, w2, n_pair, pmi) — the classic phrase detector (Church & Hanks
+    1990; word2vec's phrase pass uses the same score). High-PMI pairs
+    are multi-word units a tokenizer or n-gram LM should treat as one.
+
+        pmi = ln( (c12/B) / ((c1/N) * (c2/N)) )
+
+    with B = total bigrams, N = total tokens, marginals from the token
+    stream. min_count prunes the bigram table BEFORE the marginal joins
+    (the association-rules discipline: support-prune, then join), so the
+    joined frame is collocation-candidate-sized, not corpus-sized; the
+    unigram side is vocabulary-sized and co-partitioned on the word key.
+    Ranked by the raw probability RATIO (ln is monotone, so same order),
+    computed as one integer-derived double division per row —
+    cross-engine-identical while c12*N^2 stays under 2^53 (holds through
+    ~10^7-token fixtures; past that the ratio is still correct to an ulp
+    and only exact-ties at the cut could flip). TakeOrderedAndProject for
+    the top cut, never a global sort."""
+    toks = docs.select(
+        F.lower(F.col(text_col)).alias("__t")
+    ).withColumn("__tok", tokens("__t"))
+    unigrams = toks.select(F.explode("__tok").alias("w"))
+    uni_c = unigrams.groupBy("w").agg(F.count("*").alias("cw"))
+    grams = toks.select(F.explode(bigram_list("__tok")).alias("bigram"))
+    pair_c = (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+    )
+    # totals as 1-row broadcast frames (constant-size aggregates)
+    tot = unigrams.agg(F.count("*").alias("n_tokens")).crossJoin(
+        grams.agg(F.count("*").alias("n_bigrams"))
+    )
+    joined = (
+        pair_c.join(uni_c.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni_c.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = (
+        F.col("n_pair").cast("double")
+        * F.col("n_tokens").cast("double")
+        * F.col("n_tokens").cast("double")
+        / (
+            F.col("n_bigrams").cast("double")
+            * F.col("c1").cast("double")
+            * F.col("c2").cast("double")
+        )
+    )
+    return (
+        joined.withColumn("__ratio", ratio)
+        .orderBy(F.desc("__ratio"), F.asc("bigram"))
+        .limit(top)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log("__ratio").alias("pmi"),
+        )
+    )

@@ -667,3 +667,71 @@ def revenue_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         "seasonal",
         (F.col("total") - F.col("trend") - F.col("seasonal")).alias("residual"),
     ).orderBy("day")
+
+
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per ordering customer, quintile scores for
+    Recency (days since last order, 5 = most recent), Frequency (order
+    count, 5 = most), Monetary (DECIMAL-exact spend, 5 = highest), plus
+    the concatenated 'rfm' segment label — the classic
+    marketing-selection operator, and a showcase of the distributed-rank
+    primitive: THREE total orders over the customer-domain frame, each a
+    ranks.total_order_ranks range shuffle (no single-partition window,
+    no data-sized Exchange — the frame is customer-sized, not
+    order-sized). Ties are broken by custkey, so every ntile matches SQL
+    NTILE(5) OVER (ORDER BY metric, custkey) bit-for-bit; the monetary
+    rank orders on the exact DECIMAL, never a rounded double."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    orders = _table(spark, sf_dir, "orders")
+    # NULL custkeys are excluded: Spark sorts NULLS FIRST ascending,
+    # DuckDB NULLS LAST, so a null key would shift every ntile boundary
+    per_cust = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum(_dec("o_totalprice")).alias("__spend"),
+        )
+    )
+    mx = per_cust.agg(F.max("__last").alias("__mx"))
+    base = per_cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff(F.col("__mx"), F.col("__last")).cast("bigint").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "__spend",
+    )
+    r = total_order_ranks(base, ["recency_days", "o_custkey"], ntile=5).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "__spend",
+        (6 - F.col("bucket")).alias("r_score"),
+    )
+    f = total_order_ranks(r, ["frequency", "o_custkey"], ntile=5).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "__spend",
+        "r_score",
+        F.col("bucket").alias("f_score"),
+    )
+    m = total_order_ranks(f, ["__spend", "o_custkey"], ntile=5).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "r_score",
+        "f_score",
+        F.col("bucket").alias("m_score"),
+    )
+    return m.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    ).orderBy("o_custkey")

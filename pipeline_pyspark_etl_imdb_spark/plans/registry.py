@@ -1769,3 +1769,68 @@ assert all(name in QUERIES for name in _head), sorted(
 QUERIES = {name: QUERIES[name] for name in _head} | {
     name: fn for name, fn in QUERIES.items() if name not in set(_head)
 }
+
+
+# --- r4 additions (behind the window; rotate into the r5 window) --------
+# Growth deliberately capped well below the 50-slot verification rate
+# (VERDICT r3 item #2): 6 new oracle-backed queries, so the r5 window can
+# clear the full never-checked backlog (10 deferred + these 6 + re-checks).
+def _status_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_exact_iqr_report,
+    )
+
+    return grouped_exact_iqr_report(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_orderstatus",
+        "o_totalprice",
+    ).orderBy("o_orderstatus")
+
+
+def _lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        trimmed_mean_report,
+    )
+
+    return trimmed_mean_report(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_extendedprice"
+    )
+
+
+def _lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        contingency_stats,
+    )
+
+    return contingency_stats(_docs(spark, sf_dir), "lang", "source")
+
+
+def _token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.text import token_pmi_pairs
+
+    return token_pmi_pairs(_docs(spark, sf_dir), min_count=5, top=50)
+
+
+def _doc_char_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration health check: what share of the corpus's
+    characters sit in the top-x% largest documents — the same whale-curve
+    primitive as revenue_concentration, pointed at training data (a
+    too-steep curve means a handful of megadocs dominate the token
+    budget)."""
+    out = warehouse.revenue_concentration(
+        _docs(spark, sf_dir), key_col="doc_id", value_col="n_chars"
+    )
+    return out.select(
+        "top_pct",
+        "n_top",
+        F.col("revenue_top").alias("chars_top"),
+        "share",
+    )
+
+
+QUERIES["status_price_iqr"] = _status_price_iqr
+QUERIES["lineitem_trimmed_mean"] = _lineitem_trimmed_mean
+QUERIES["lang_source_contingency"] = _lang_source_contingency
+QUERIES["token_pmi_pairs"] = _token_pmi_pairs
+QUERIES["customer_rfm_scores"] = analytics.customer_rfm_scores
+QUERIES["doc_char_concentration"] = _doc_char_concentration

@@ -679,6 +679,10 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "vocab_zipf_fit": "top-V vocabulary (V rows)",
     "vocab_top_tokens": "top-V vocabulary (V rows)",
     "hybrid_rrf_retrieval": "per-system top-k fused candidates (<= systems*k)",
+    # r4 additions
+    "lang_source_contingency": "contingency cells frame (RxC category domain)",
+    "customer_rfm_scores": "rank partition offsets x3 (~n_partitions rows)",
+    "doc_char_concentration": "rank partition offsets (~n_partitions rows)",
 }
 
 

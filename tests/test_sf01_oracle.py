@@ -51,6 +51,13 @@ SENSITIVE = [
     "matryoshka_recall16",
     "embedding_int8_quantize",
     "winsorized_price_stats",
+    # r4 additions
+    "status_price_iqr",
+    "lineitem_trimmed_mean",
+    "lang_source_contingency",
+    "token_pmi_pairs",
+    "customer_rfm_scores",
+    "doc_char_concentration",
 ]
 
 

@@ -34,12 +34,19 @@ def k_core(
     dst_col: str = "dst",
     *,
     max_iter: int = 50,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, degree) for every node of the k-core, ordered degree DESC
     then node ASC; degree is the node's degree WITHIN the core. Empty
     result when no k-core exists. Raises if not converged in ``max_iter``
     rounds (each round removes at least one node, so max_iter bounds the
-    peel depth, not the node count)."""
+    peel depth, not the node count).
+
+    ``edges_distinct=True`` lets a caller that already guarantees
+    distinct undirected pairs (e.g. triangles.cooccurrence_edges, which
+    emits each a<b pair once) skip the symmetrize-dedup shuffle — the
+    two emitted orientations of distinct pairs are distinct by
+    construction."""
     # one-pass symmetrize (same single-evaluation idiom as
     # connected_components: the edge list is usually an expensive
     # candidate-pair subtree — emit both orientations from one pass)
@@ -53,10 +60,10 @@ def k_core(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .distinct()
-        .repartition(F.col("a"))
-        .persist()
     )
+    if not edges_distinct:
+        sym = sym.distinct()
+    sym = sym.repartition(F.col("a")).persist()
     # INCREMENTAL peel — iterate degrees, never edges: degrees aggregate
     # once from the pinned edge list; each later round subtracts only the
     # contributions of the nodes peeled THAT round (one broadcast join of
@@ -76,6 +83,18 @@ def k_core(
         .agg(F.count("*").alias("degree"))
         .localCheckpoint(eager=True)
     )
+    # frame-proportional partitioning (the pagerank discipline): the
+    # degree frame is node-domain-sized (8-16 B rows); coalescing its
+    # per-round checkpoints by row volume keeps the peel's many small
+    # stages from paying shuffle_n task launches each — at real scale
+    # the formula saturates at the session's shuffle width and the
+    # layout is unchanged
+    shuffle_n = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n_nodes = deg.count()
+    np_deg = max(1, min(shuffle_n, n_nodes // 100_000 + 1))
+    deg = deg.coalesce(np_deg)
     try:
         for _ in range(max_iter):
             keep = deg.where(F.col("degree") >= k)
@@ -101,6 +120,7 @@ def k_core(
                         F.col("degree") - F.coalesce(F.col("__d"), F.lit(0))
                     ).alias("degree"),
                 )
+                .coalesce(np_deg)
                 .localCheckpoint(eager=True)
             )
         raise RuntimeError(f"k_core: no fixpoint in {max_iter} iterations")

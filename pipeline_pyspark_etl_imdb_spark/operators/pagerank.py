@@ -76,7 +76,7 @@ def pagerank(
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    nodes = (
+    nodes0 = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
@@ -88,21 +88,48 @@ def pagerank(
         .select("node", F.coalesce("dang", F.lit(True)).alias("dang"))
         .persist()
     )
-    n = nodes.count()
-    # one shuffle up front: edges carry their source out-degree and stay
-    # partitioned on src for every iteration's join
+    n = nodes0.count()
+    # frame-proportional partitioning: the rank/node frames are 2-3
+    # columns of ~20 B/row, the edge frame similar — sizing partitions by
+    # ROW VOLUME (capped at the session's shuffle width, floored for
+    # local parallelism) instead of inheriting shuffle_n everywhere is
+    # what keeps per-round stages from paying 32 task launches to move
+    # 16k rows; at real scale both formulas saturate at shuffle_n and
+    # the layout is identical to before
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges_deg = (
-        e.join(out_deg, "src")
-        .repartition(shuffle_n, "src")
-        .persist()
-    )
-    edges_deg.count()  # materialize once, outside the loop
+    np_nodes = max(1, min(shuffle_n, n // 100_000 + 1))
+    nodes = nodes0.coalesce(np_nodes)
     bcast = n <= broadcast_max_nodes
+    # one shuffle up front; the pinned layout depends on how the rank
+    # frame arrives each round:
+    # - broadcast regime (n within budget): partition edges by DST, so
+    #   the groupBy(dst) inside the per-round broadcast subtree is a
+    #   map-side-COMPLETE aggregate with no Exchange at all;
+    # - partitioned regime (billion-node graphs): partition by SRC, so
+    #   the per-round rank join co-locates against the pinned layout and
+    #   only the small (node, rank) frame moves — dst layout there would
+    #   re-shuffle the EDGES every round.
+    # The expensive caller subtree (edges is usually itself a join) is
+    # evaluated ONCE: materialize at natural partitioning, size the
+    # pinned layout from the measured count, repartition FROM CACHE.
+    e_deg0 = e.join(out_deg, "src").persist()
+    n_edges = e_deg0.count()
+    ep_edges = max(4, min(shuffle_n, n_edges // 200_000 + 1))
+    edges_deg = e_deg0.repartition(ep_edges, "dst" if bcast else "src").persist()
+    edges_deg.count()  # materialize once, outside the loop
+    e_deg0.unpersist()
+
+    def _dangling_mass(r: DataFrame) -> float:
+        # ONE scalar off a checkpointed node frame (np_nodes tasks);
+        # holding it as a driver float removes the per-round in-plan
+        # dangling subtree (a whole stage) from the checkpoint job
+        m = r.where("dang").agg(F.sum("rank").alias("m")).collect()[0]["m"]
+        return (m or 0.0) / n
 
     global last_n_rounds
     last_n_rounds = 0
     ranks = nodes.select("node", "dang", F.lit(1.0 / n).alias("rank"))
+    dm = _dangling_mass(ranks)
     for _ in range(n_iter):
         r_src = ranks.select(F.col("node").alias("src"), "rank")
         if bcast:
@@ -113,31 +140,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass folded back as ONE scalar (map-only filtered sum
-        # over the flagged rank frame; no join, no shuffle)
-        dangling = (
-            ranks.where("dang")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .select((F.col("m") / n).alias("dm"))
-        )
         c_side = contribs.select(F.col("dst").alias("node"), "contrib")
         if bcast:
             c_side = F.broadcast(c_side)
         new_ranks = (
             nodes.join(c_side, "node", "left")
-            .crossJoin(dangling)
             .select(
                 "node",
                 "dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm"))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm))
                 ).alias("rank"),
             )
         )
         old = ranks
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # LAZY checkpoint: the dangling-mass aggregate right below is the
+        # first action, so materialization and the dm scalar share ONE
+        # job instead of paying separate eager-checkpoint + agg barriers
+        ranks = new_ranks.localCheckpoint(eager=False)
+        dm = _dangling_mass(ranks)
         last_n_rounds += 1
         converged = False
         if tol is not None:
@@ -161,7 +184,7 @@ def pagerank(
         if converged:
             break
     edges_deg.unpersist()
-    nodes.unpersist()
+    nodes0.unpersist()
     return ranks.select("node", "rank")
 
 

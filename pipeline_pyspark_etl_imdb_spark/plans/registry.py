@@ -1341,6 +1341,9 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_k_core": lambda s, d: kcore.k_core(
         triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet")),
         k=80,
+        # cooccurrence_edges emits each a<b pair exactly once, so the
+        # symmetrize-dedup shuffle is provably redundant here
+        edges_distinct=True,
     ),
     # prototypicality pruning signal (SemDeDup/CLIP-score family):
     # cosine to the per-label centroid; DECIMAL-exact centroid sums make

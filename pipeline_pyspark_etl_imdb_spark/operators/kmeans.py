@@ -213,7 +213,7 @@ def lloyd_kmeans(
         # the update only rewrites existing keys): row index == cluster id
         return np.stack([np.array(vec) for _, vec in sorted(c.items())])
 
-    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge(key, pdf):
         S = np.stack(pdf["s"].to_numpy()).sum(axis=0)
         n = int(pdf["n"].sum())
         return pd.DataFrame(

@@ -87,14 +87,77 @@ class BpeModel:
 
 
 def bpe_learn(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    local_vocab_max: int = 1_000_000,
 ) -> BpeModel:
     """Learn ``n_merges`` BPE merges over the corpus.
 
     Ties on pair count break lexicographically (left asc, right asc) so
     the learned vocabulary is bit-deterministic on any engine. Stops
-    early if no adjacent pair remains (fully merged corpus)."""
-    seg = word_counts(docs, text_col).select(
+    early if no adjacent pair remains (fully merged corpus).
+
+    Two regimes under one size guard, split at ``local_vocab_max``
+    distinct words (the cluster pays ONE corpus-sized aggregation —
+    ``word_counts`` — either way; the regimes differ only in where the
+    vocabulary-sized rounds run):
+
+    - **local** (vocab fits the driver): collect the distinct-word
+      frequency table and run the merge rounds as plain dict/Counter
+      arithmetic, then parallelize the final segmentation back. This is
+      how production tokenizer training actually splits the work — the
+      corpus-sized count is distributed, the model fit is local — and it
+      removes 2·n_merges driver/cluster round trips. The collected state
+      is the same vocab-sized model state the distributed path already
+      holds per round (each round collects the argmax and folds merges
+      into every cached row); ~60 B/word means the default guard admits
+      ~60 MB, far under driver budgets.
+    - **distributed** (past the guard): the per-round pair-count
+      groupBy + merge fold below, unchanged — the only correct shape
+      once the vocabulary itself outgrows one machine.
+
+    Both regimes implement the identical contract (weighted pair counts,
+    count-desc/lex-asc tie break, greedy leftmost-first apply) and are
+    pinned against each other and a pure-Python reference in
+    tests/test_bpe.py."""
+    wc = word_counts(docs, text_col).persist()
+    n_words = wc.count()
+    if n_words <= local_vocab_max:
+        from collections import Counter
+
+        spark: SparkSession = docs.sparkSession
+        word_n = {r.word: int(r.wcount) for r in wc.collect()}
+        wc.unpersist()
+        local_seg = {w: [c for c in w] for w in word_n}
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(n_merges):
+            pair_counts: Counter = Counter()
+            for w, syms in local_seg.items():
+                wn = word_n[w]
+                for a, b in zip(syms, syms[1:]):
+                    pair_counts[(a, b)] += wn
+            if not pair_counts:
+                break
+            (left, right), cnt = min(
+                pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((left, right, int(cnt)))
+            for w, syms in local_seg.items():
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                local_seg[w] = out
+        segmented = spark.createDataFrame(
+            [(w, word_n[w], local_seg[w]) for w in sorted(word_n)],
+            "word string, wcount bigint, syms array<string>",
+        ).persist()
+        return BpeModel(merges=merges, segmented=segmented)
+
+    seg = wc.select(
         "word",
         "wcount",
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias(
@@ -142,21 +205,26 @@ def bpe_learn(
             # action: materialize it before releasing its parent
             seg.count()
             prev.unpersist()
+        wc.unpersist()
     except Exception:
         if prev is not None:
             prev.unpersist()
         seg.unpersist()
+        wc.unpersist()
         raise
     return BpeModel(merges=merges, segmented=seg)
 
 
 def bpe_merge_table(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    local_vocab_max: int = 1_000_000,
 ) -> DataFrame:
     """(merge_rank, left, right, merged, pair_count) — the learned
     vocabulary as a frame, ordered by learning step."""
     spark: SparkSession = docs.sparkSession
-    model = bpe_learn(docs, n_merges, text_col)
+    model = bpe_learn(docs, n_merges, text_col, local_vocab_max)
     model.segmented.unpersist()
     rows = [
         (i, l, r, l + r, c) for i, (l, r, c) in enumerate(model.merges)
@@ -167,13 +235,16 @@ def bpe_merge_table(
 
 
 def bpe_token_counts(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    local_vocab_max: int = 1_000_000,
 ) -> DataFrame:
     """(token, n_total) — corpus token frequencies AFTER applying the
     learned merges: explode the final distinct-word segmentation weighted
     by word count. One small groupBy over the segmented word table; the
     corpus itself is never re-read."""
-    model = bpe_learn(docs, n_merges, text_col)
+    model = bpe_learn(docs, n_merges, text_col, local_vocab_max)
     out = (
         model.segmented.select("wcount", F.explode("syms").alias("token"))
         .groupBy("token")
@@ -192,6 +263,7 @@ def bpe_encode_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_max_words: int = 10_000_000,
+    local_vocab_max: int = 1_000_000,
 ) -> DataFrame:
     """Apply the learned BPE to every document: (doc_id, n_words,
     n_tokens, n_chars, chars_per_token) — the tokenizer-application pass
@@ -205,7 +277,7 @@ def bpe_encode_docs(
     (a subword vocabulary's distinct-word table is small by
     construction), shuffle equi-join past it — followed by ONE
     partial-aggregated groupBy(doc_id). The corpus text is read once."""
-    model = bpe_learn(docs, n_merges, text_col)
+    model = bpe_learn(docs, n_merges, text_col, local_vocab_max)
     seg_sizes = model.segmented.select(
         "word", F.size("syms").alias("__wtok"), F.length("word").alias("__wchars")
     )

@@ -93,6 +93,23 @@ def test_token_counts_exact(docs, ref):
     assert got == ref_tokens
 
 
+def test_distributed_regime_matches_local(docs, ref):
+    """Past the size guard (forced with local_vocab_max=0) the per-round
+    distributed loop must produce the identical model — merges AND final
+    token counts — as the local fit / pure-Python reference."""
+    _, (ref_merges, ref_tokens) = ref
+    got_merges = [
+        (r.left, r.right, int(r.pair_count))
+        for r in bpe.bpe_merge_table(docs, n_merges=8, local_vocab_max=0).collect()
+    ]
+    assert got_merges == ref_merges
+    got_tokens = {
+        r.token: int(r.n_total)
+        for r in bpe.bpe_token_counts(docs, n_merges=8, local_vocab_max=0).collect()
+    }
+    assert got_tokens == ref_tokens
+
+
 def test_greedy_overlap_apply(spark):
     """'aaa' with merge (a,a) segments to [aa, a] — leftmost-first."""
     df = spark.createDataFrame([("aaa aaa b",)], "text string")

@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 # size, is what each extra round costs
 N_BUCKETS = 4096
 
+# Local-finish stage: once the rows REMAINING IN RANGE for a target drop
+# to this bound, one (value, count) collect over the range resolves the
+# rank exactly — replacing every remaining histogram round with a single
+# job whose result is provably <= FINISH_ROWS rows. After one 4096-ary
+# round the surviving bucket holds ~n/4096 rows, so a 10^11-row walk
+# local-finishes after round 2 and a 10^6-row walk after round 1; the
+# driver-state contract stays O(1) in the data (two integers per target
+# during the walk, plus at most FINISH_ROWS value-counts in the one
+# final stage).
+FINISH_ROWS = 4096
+
 
 _I64_MAX = 2**63 - 1
 
@@ -67,15 +78,41 @@ def _bucket_expr(col: str, lo: int, width: int, hi: int):
 last_n_rounds: int = 0
 
 
-def exact_kth(values: DataFrame, k: int, col: str = "c") -> int:
-    """The k-th smallest (1-based) of an integer column, by histogram
-    narrowing. Caller guarantees 1 <= k <= count."""
+def _exact_kth_full(
+    values: DataFrame,
+    k: int,
+    col: str = "c",
+    lo: int | None = None,
+    hi: int | None = None,
+    n_range: int | None = None,
+) -> tuple[int, list[tuple[int, int]] | None, int]:
+    """exact_kth engine. Returns (kth_value, finish_counts, k_in_range):
+    when the walk ended in the local-finish stage, finish_counts is the
+    sorted (value, count) list for the final range and k_in_range the
+    target rank WITHIN it — callers can then answer adjacent-rank
+    questions (the even-median (k+1)-th value) without another job.
+    finish_counts is None when the walk resolved by width-1 narrowing."""
     global last_n_rounds
     last_n_rounds = 0
-    row = values.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-    lo, hi = int(row["lo"]), int(row["hi"])
+    if lo is None or hi is None:
+        row = values.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo, hi = int(row["lo"]), int(row["hi"])
     while lo < hi:
         last_n_rounds += 1
+        if n_range is not None and n_range <= FINISH_ROWS:
+            cnts = sorted(
+                (int(r[col]), int(r["n"]))
+                for r in values.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+                .groupBy(col)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            cum = 0
+            for v, n in cnts:
+                if cum + n >= k:
+                    return v, cnts, k
+                cum += n
+            raise ValueError("rank exceeds row count in range")
         width = max(1, (hi - lo + N_BUCKETS) // N_BUCKETS)
         hist = (
             values.where(F.col(col).between(F.lit(lo), F.lit(hi)))
@@ -90,13 +127,34 @@ def exact_kth(values: DataFrame, k: int, col: str = "c") -> int:
                 hi2 = min(hi, lo2 + width - 1)
                 k -= cum
                 lo, hi = lo2, hi2
+                n_range = n
                 break
             cum += n
         else:  # pragma: no cover — unreachable when k <= count
             raise ValueError("rank exceeds row count in range")
         if width == 1:
-            return lo
-    return lo
+            return lo, None, k
+    return lo, None, k
+
+
+def exact_kth(
+    values: DataFrame,
+    k: int,
+    col: str = "c",
+    lo: int | None = None,
+    hi: int | None = None,
+    n_range: int | None = None,
+) -> int:
+    """The k-th smallest (1-based) of an integer column, by histogram
+    narrowing with a local-finish stage. Caller guarantees
+    1 <= k <= count. ``lo``/``hi`` optionally pass bounds the caller
+    already knows (saves the min/max job — callers usually computed them
+    fused with their row count); ``n_range`` optionally passes the row
+    count within [lo, hi], enabling the local finish as soon as it drops
+    to FINISH_ROWS (the chosen bucket's count provides it from round 1
+    even when the caller doesn't)."""
+    v, _, _ = _exact_kth_full(values, k, col, lo, hi, n_range)
+    return v
 
 
 def exact_median_report(
@@ -122,23 +180,41 @@ def exact_median_report(
     vals = df.select(
         F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c")
     ).where(F.col("c").isNotNull())
-    n = vals.count()
+    row = vals.agg(
+        F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    n = int(row["n"])
     if n == 0:
         return spark.createDataFrame([], "n_rows bigint, median double")
     k_lo = (n + 1) // 2
-    a = exact_kth(vals, k_lo)
+    a, cnts, k_rem = _exact_kth_full(
+        vals, k_lo, lo=int(row["lo"]), hi=int(row["hi"]), n_range=n
+    )
     if n % 2 == 1:
         med = float(a) / scale
     else:
-        # the (k_lo+1)-th value: a itself if duplicates span the middle,
-        # else the smallest value strictly above a (one extra aggregate)
-        n_le_a = vals.where(F.col("c") <= a).count()
-        if n_le_a >= k_lo + 1:
-            b = a
-        else:
-            b = int(
-                vals.where(F.col("c") > a).agg(F.min("c").alias("m")).collect()[0]["m"]
-            )
+        # the (k_lo+1)-th value: usually free from the local-finish value
+        # counts (rank k_rem+1 within the final range); a probe job only
+        # when rank k+1 fell outside the collected range or the walk
+        # ended by width-1 narrowing
+        b = None
+        if cnts is not None:
+            cum = 0
+            for v, c in cnts:
+                cum += c
+                if cum >= k_rem + 1:
+                    b = v
+                    break
+        if b is None:
+            n_le_a = vals.where(F.col("c") <= a).count()
+            if n_le_a >= k_lo + 1:
+                b = a
+            else:
+                b = int(
+                    vals.where(F.col("c") > a)
+                    .agg(F.min("c").alias("m"))
+                    .collect()[0]["m"]
+                )
         med = (a + b) / (2.0 * scale)
     return spark.createDataFrame(
         [(n, med)], "n_rows bigint, median double"
@@ -146,22 +222,86 @@ def exact_median_report(
 
 
 def grouped_multi_kth(
-    vals: DataFrame, targets: dict[tuple[str, str], tuple[int, int, int]]
+    vals: DataFrame,
+    targets: dict[tuple[str, str], tuple[int, int, int] | tuple[int, int, int, int]],
 ) -> dict[tuple[str, str], int]:
     """The lockstep narrowing loop generalized to MULTIPLE ranks per
     group: ``vals`` is (g string, c bigint); ``targets`` maps each
-    (group, tag) — e.g. ("F", "p25") — to (k, lo, hi). Every active
-    target advances through ONE broadcast bounds-frame join + one
-    (group, tag, bucket) aggregate per round; a row feeds every active
-    tag of its group whose range covers it (the join fans out by at most
-    the number of tags, typically 2-3 quantiles). G groups x T tags cost
-    the same number of JOBS as one target."""
+    (group, tag) — e.g. ("F", "p25") — to (k, lo, hi) or
+    (k, lo, hi, n_range). Every active target advances through ONE
+    broadcast bounds-frame join + one (group, tag, bucket) aggregate per
+    round; a row feeds every active tag of its group whose range covers
+    it (the join fans out by at most the number of tags, typically 2-3
+    quantiles). G groups x T tags cost the same number of JOBS as one
+    target.
+
+    Targets whose in-range row count (passed as n_range, or learned from
+    the chosen bucket after round 1) is <= FINISH_ROWS resolve through
+    the shared LOCAL-FINISH pass: one bounds-frame join + (group, tag,
+    value) count collect for ALL such targets at once — each contributes
+    at most FINISH_ROWS rows, so the collect stays target-bounded, and
+    every remaining histogram round for those targets disappears."""
+    picked, _fin = grouped_multi_kth_full(vals, targets)
+    return picked
+
+
+def grouped_multi_kth_full(
+    vals: DataFrame,
+    targets: dict[tuple[str, str], tuple[int, int, int] | tuple[int, int, int, int]],
+) -> tuple[
+    dict[tuple[str, str], int],
+    dict[tuple[str, str], tuple[list[tuple[int, int]], int]],
+]:
+    """grouped_multi_kth engine; additionally returns, for every target
+    that resolved through the local-finish pass, its sorted
+    (value, count) list and the target rank WITHIN the final range —
+    letting callers answer adjacent-rank questions (the grouped
+    even-median probe) without another job."""
     spark = vals.sparkSession
     state = {
-        gt: {"lo": lo, "hi": hi, "k": k} for gt, (k, lo, hi) in targets.items()
+        gt: {"lo": t[1], "hi": t[2], "k": t[0], "nr": t[3] if len(t) > 3 else None}
+        for gt, t in targets.items()
     }
+    fin: dict[tuple[str, str], tuple[list[tuple[int, int]], int]] = {}
     active = {gt for gt, s in state.items() if s["lo"] < s["hi"]}
     while active:
+        finish = {
+            gt
+            for gt in active
+            if state[gt]["nr"] is not None and state[gt]["nr"] <= FINISH_ROWS
+        }
+        if finish:
+            f_rows = [
+                (g, tag, state[(g, tag)]["lo"], state[(g, tag)]["hi"])
+                for g, tag in finish
+            ]
+            f_bounds = spark.createDataFrame(
+                f_rows, "g string, __tag string, __lo bigint, __hi bigint"
+            )
+            cnts = (
+                vals.join(F.broadcast(f_bounds), "g")
+                .where(F.col("c").between(F.col("__lo"), F.col("__hi")))
+                .groupBy("g", "__tag", "c")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            per_f: dict[tuple[str, str], list[tuple[int, int]]] = {}
+            for r in cnts:
+                per_f.setdefault((r["g"], r["__tag"]), []).append(
+                    (int(r["c"]), int(r["n"]))
+                )
+            for gt in finish:
+                s = state[gt]
+                cnts = sorted(per_f[gt])
+                fin[gt] = (cnts, s["k"])
+                cum = 0
+                for v, n in cnts:
+                    if cum + n >= s["k"]:
+                        s["lo"] = s["hi"] = v
+                        break
+                    cum += n
+                active.discard(gt)
+            continue
         rows = []
         for g, tag in active:
             s = state[(g, tag)]
@@ -201,16 +341,18 @@ def grouped_multi_kth(
                     s["hi"] = min(s["hi"], lo2 + w - 1)
                     s["lo"] = lo2
                     s["k"] -= cum
+                    s["nr"] = n
                     break
                 cum += n
             if w == 1 or s["lo"] >= s["hi"]:
                 s["hi"] = s["lo"]
                 active.discard(gt)
-    return {gt: s["lo"] for gt, s in state.items()}
+    return {gt: s["lo"] for gt, s in state.items()}, fin
 
 
 def grouped_kth(
-    vals: DataFrame, targets: dict[str, tuple[int, int, int]]
+    vals: DataFrame,
+    targets: dict[str, tuple[int, int, int] | tuple[int, int, int, int]],
 ) -> dict[str, int]:
     """The lockstep narrowing loop shared by the grouped median and MAD:
     ``vals`` is (g string, c bigint); ``targets`` maps each group to
@@ -257,11 +399,34 @@ def grouped_exact_median_report(
         .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
         .collect()
     }
-    a = grouped_kth(
-        vals, {g: ((s["n"] + 1) // 2, s["lo"], s["hi"]) for g, s in base.items()}
+    a_full, fin = grouped_multi_kth_full(
+        vals,
+        {
+            (g, ""): ((s["n"] + 1) // 2, s["lo"], s["hi"], s["n"])
+            for g, s in base.items()
+        },
     )
-    evens = [g for g, s in base.items() if s["n"] % 2 == 0]
+    a = {g: v for (g, _), v in a_full.items()}
     b_vals = dict(a)
+    evens = []
+    for g, s in base.items():
+        if s["n"] % 2 != 0:
+            continue
+        # rank k+1 usually falls inside the local-finish range; probe
+        # only the groups where it didn't (or the walk ended width-1)
+        got = None
+        if (g, "") in fin:
+            cnts, k_rem = fin[(g, "")]
+            cum = 0
+            for v, c in cnts:
+                cum += c
+                if cum >= k_rem + 1:
+                    got = v
+                    break
+        if got is not None:
+            b_vals[g] = got
+        else:
+            evens.append(g)
     if evens:
         a_frame = spark.createDataFrame(
             [(g, a[g]) for g in evens], "g string, __a bigint"
@@ -335,21 +500,39 @@ def weighted_exact_median_report(
     total_w, n = int(tot["w"]), int(tot["n"])
     k = (total_w + 1) // 2
     lo, hi = int(tot["lo"]), int(tot["hi"])
+    n_range = n
     while lo < hi:
+        if n_range <= FINISH_ROWS:
+            # local finish: the in-range rows are target-bounded, so one
+            # (value, weight) collect resolves the weight-mass rank
+            cnts = (
+                vals.where(F.col("c").between(F.lit(lo), F.lit(hi)))
+                .groupBy("c")
+                .agg(F.sum("wt").alias("w"))
+                .collect()
+            )
+            cum = 0
+            for v, w in sorted((int(r["c"]), int(r["w"])) for r in cnts):
+                if cum + w >= k:
+                    lo = v
+                    break
+                cum += w
+            break
         width = max(1, (hi - lo + N_BUCKETS) // N_BUCKETS)
         hist = (
             vals.where(F.col("c").between(F.lit(lo), F.lit(hi)))
             .groupBy(_bucket_expr("c", lo, width, hi).alias("b"))
-            .agg(F.sum("wt").alias("w"))
+            .agg(F.sum("wt").alias("w"), F.count("*").alias("nn"))
             .collect()
         )
         cum = 0
-        for b, w in sorted((int(r["b"]), int(r["w"])) for r in hist):
+        for b, w, nn in sorted((int(r["b"]), int(r["w"]), int(r["nn"])) for r in hist):
             if cum + w >= k:
                 lo2 = lo + b * width
                 hi = min(hi, lo2 + width - 1)
                 lo = lo2
                 k -= cum
+                n_range = nn
                 break
             cum += w
         if width == 1:
@@ -390,15 +573,23 @@ def mad_anomaly_report(
         F.col(value_col).alias("__x"),
         F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
     ).where(F.col("c").isNotNull())
-    n = vals.count()
+    row = vals.agg(
+        F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    n = int(row["n"]) if row["n"] is not None else 0
     if n == 0:
         return spark.createDataFrame(
             [], f"{id_col} bigint, value double, robust_z double"
         )
+    lo, hi = int(row["lo"]), int(row["hi"])
     k = (n + 1) // 2
-    med_c = exact_kth(vals, k)
+    med_c = exact_kth(vals, k, lo=lo, hi=hi, n_range=n)
     dev = vals.select(F.abs(F.col("c") - F.lit(med_c)).alias("c"))
-    mad_c = exact_kth(dev, k)
+    # deviation bounds come free from the value bounds: |c - med| lies in
+    # [0, max(med - lo, hi - med)] — no extra min/max job
+    mad_c = exact_kth(
+        dev, k, lo=0, hi=max(med_c - lo, hi - med_c), n_range=n
+    )
     if mad_c == 0:
         return spark.createDataFrame(
             [], f"{id_col} bigint, value double, robust_z double"
@@ -454,7 +645,7 @@ def grouped_mad_anomaly_report(
         )
     med = grouped_kth(
         vals.select("g", "c"),
-        {g: ((n + 1) // 2, lo, hi) for g, (n, lo, hi) in base.items()},
+        {g: ((n + 1) // 2, lo, hi, n) for g, (n, lo, hi) in base.items()},
     )
     med_frame = spark.createDataFrame(
         [(g, m) for g, m in med.items()], "g string, __med bigint"
@@ -473,6 +664,7 @@ def grouped_mad_anomaly_report(
                 (base[g][0] + 1) // 2,
                 0,
                 max(med[g] - base[g][1], base[g][2] - med[g]),
+                base[g][0],
             )
             for g in base
         },
@@ -549,7 +741,7 @@ def grouped_exact_iqr_report(
         )
     qs = (("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4))
     targets = {
-        (g, tag): (-((-num * s["n"]) // den), s["lo"], s["hi"])  # ceil(q*n)
+        (g, tag): (-((-num * s["n"]) // den), s["lo"], s["hi"], s["n"])  # ceil(q*n)
         for g, s in base.items()
         for tag, num, den in qs
     }
@@ -617,14 +809,27 @@ def trimmed_mean_report(
     vals = df.select(
         F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c")
     ).where(F.col("c").isNotNull())
-    n = vals.count()
+    row = vals.agg(
+        F.count("*").alias("n"), F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    n = int(row["n"])
     t = int(trim * n)
     if n == 0 or n - 2 * t <= 0:
         return spark.createDataFrame(
             [], "n_rows bigint, n_trimmed_each bigint, trimmed_mean double"
         )
-    lo_cut = exact_kth(vals, t + 1)  # smallest kept value
-    hi_cut = exact_kth(vals, n - t)  # largest kept value
+    lo_b, hi_b = int(row["lo"]), int(row["hi"])
+    # BOTH cut ranks advance through one lockstep walk (a constant group
+    # with two tags): one histogram + one local-finish job total, instead
+    # of two independent walks
+    picked = grouped_multi_kth(
+        vals.select(F.lit("").alias("g"), "c"),
+        {
+            ("", "lo"): (t + 1, lo_b, hi_b, n),
+            ("", "hi"): (n - t, lo_b, hi_b, n),
+        },
+    )
+    lo_cut, hi_cut = picked[("", "lo")], picked[("", "hi")]
     agg = vals.agg(
         F.sum(
             F.when(F.col("c").between(F.lit(lo_cut), F.lit(hi_cut)), F.col("c"))

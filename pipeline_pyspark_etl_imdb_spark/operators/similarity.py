@@ -237,9 +237,22 @@ def ivf_index(
     scored = base.join(F.broadcast(centroids), how="cross").withColumn(
         "cos", _dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))
     )
+    # argmax as a PARTIAL AGGREGATE, not a rank window: min over an
+    # orderable struct (-cos, centroid_id) map-side-combines each
+    # partition's n*c scored rows down to its distinct ids before the
+    # exchange, where the row_number window shuffles (group-limited but
+    # still sorted) candidate rows. Same total order as
+    # [desc cos, asc centroid_id] rank 1.
     assignments = (
-        top_k_per_group(scored, [id_col], [F.desc("cos"), F.asc("centroid_id")], 1)
-        .select(F.col(id_col), "centroid_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"), F.col("centroid_id").alias("cid")
+                )
+            ).alias("__a")
+        )
+        .select(F.col(id_col), F.col("__a.cid").alias("centroid_id"))
     )
     return centroids.select("centroid_id", "cv", "cn"), assignments
 
@@ -476,9 +489,19 @@ def pq_index(
     scored = corpus_sub.join(F.broadcast(codewords), "s").withColumn(
         "d2", _l2sq_dec(F.col("sv"), F.col("cw"))
     )
-    codes = top_k_per_group(
-        scored, [id_col, "s"], [F.asc("d2"), F.asc("code_id")], 1
-    ).select(F.col(id_col), "s", "code_id")
+    # nearest codeword per (id, s) as a partial-aggregated min over the
+    # orderable (d2, code_id) struct — the n*m*n_codes scored stream
+    # collapses map-side to n*m rows before any exchange (the rank-window
+    # form shuffled the group-limited candidates and sorted them)
+    codes = (
+        scored.groupBy(id_col, "s")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d2"), F.col("code_id").alias("cid"))
+            ).alias("__a")
+        )
+        .select(F.col(id_col), "s", F.col("__a.cid").alias("code_id"))
+    )
     return codewords, codes
 
 

@@ -467,3 +467,178 @@ def contingency_stats(
     return agg.select(
         "n", "n_a", "n_b", "chi2", v.alias("cramers_v"), "mutual_info"
     )
+
+
+def ks_two_sample_report(
+    df,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    cents: bool = True,
+):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    ``group_a`` and ``group_b`` populations of ``value_col`` — the
+    nonparametric companion to the binned PSI drift monitor
+    (quality_psi_drift): PSI needs a bin design; KS is the sup-distance
+    between the two empirical CDFs and needs none.
+
+    Exactness contract: values quantize to integer cents (the median/IQR
+    family's contract), per-value counts are BIGINT, the CDFs are each
+    ONE correctly-rounded division (cum/total), and the sup is a max
+    over exact per-value differences — deterministic cross-engine, so
+    the statistic itself hash-matches the oracle's window-CDF
+    definition. The reported location is the SMALLEST value attaining
+    the sup (deterministic tie-break).
+
+    Scale shape: one distinct-value groupBy (domain-sized, partial-agg),
+    the DISTRIBUTED prefix sum (ranks.total_order_prefix_sums — range
+    shuffle + partition-count-bounded offsets, no single-partition
+    window), and a TakeOrdered(1) argmax. The corpus never sorts
+    globally and nothing data-sized reaches one task.
+
+    Output: one row (n_a, n_b, ks_stat, at_value)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import (
+        total_order_prefix_sums,
+    )
+
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(
+        F.col("c").isNotNull() & F.col("g").isin([group_a, group_b])
+    )
+    per_value = vals.groupBy("c").agg(
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("na"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("nb"),
+    )
+    cum = total_order_prefix_sums(per_value, ["c"], ["na", "nb"])
+    totals = vals.groupBy().agg(
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("ta"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("tb"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "c",
+        "ta",
+        "tb",
+        F.abs(
+            F.col("cum_na").cast("double") / F.col("ta")
+            - F.col("cum_nb").cast("double") / F.col("tb")
+        ).alias("d"),
+    )
+    top = scored.orderBy(F.desc("d"), F.asc("c")).limit(1)
+    return top.select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        F.col("d").alias("ks_stat"),
+        (F.col("c").cast("double") / scale).alias("at_value"),
+    )
+
+
+# Poisson(1) CDF ladder for the deterministic bootstrap: cumulative
+# probabilities as exact double literals SHARED VERBATIM with the oracle
+# SQL (a uniform u maps to the smallest level with u < cdf). Truncated at
+# 6 (P(X > 6) ~ 8e-5; the truncation is part of the operator definition,
+# identical in both engines).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_ci(
+    df,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 128,
+    alpha: float = 0.05,
+    cents: bool = True,
+    salt: str = "boot",
+):
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col`` — fully deterministic (Poisson bootstrap on md5-hex
+    uniforms keyed by (id, replicate, salt); no RNG state), so the CI
+    itself hash-matches the oracle: a statistical-rigor primitive with
+    an exact correctness contract, like the KMV sketch.
+
+    Poisson bootstrap (Chamandy et al. 2012): replicate b resamples each
+    row Poisson(1) times — independent per (row, replicate), which is
+    what makes the bootstrap embarrassingly parallel: no replicate ever
+    needs a global n to draw a multinomial. Each replicate's weighted
+    sum stays DECIMAL-exact in integer cents; the replicate mean is one
+    correctly-rounded division chain; the percentile CI takes type-1
+    order statistics of the B means (a B-row frame, driver-bounded).
+
+    Scale shape: ONE scan fans out to n*B rows inside the stage (the
+    explode fuses into the scan — nothing n*B-sized shuffles) and
+    partially aggregates to B rows. B caps every later frame. Output:
+    (n_rows, n_replicates, mean, ci_lo, ci_hi)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull())
+    base = vals.agg(
+        F.count("*").alias("n"), F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]
+    n = int(base["n"])
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_rows bigint, n_replicates int, mean double, ci_lo double, "
+            "ci_hi double",
+        )
+    mean = (float(str(base["s"])) / n) / scale
+    reps = vals.select(
+        "id", "c", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("rep")
+    ).withColumn(
+        "__h",
+        F.md5(F.concat(F.col("id"), F.lit(":"), F.col("rep").cast("string"),
+                       F.lit(":" + salt))),
+    )
+    u = (hex_uniform("__h", 8).cast("double")) / F.lit(float(16**8))
+    cnt = F.lit(6)
+    for lvl in range(len(POISSON1_CDF) - 1, -1, -1):
+        cnt = F.when(u < F.lit(POISSON1_CDF[lvl]), F.lit(lvl)).otherwise(cnt)
+    means = (
+        reps.withColumn("__cnt", cnt)
+        .groupBy("rep")
+        .agg(
+            F.sum(
+                F.col("__cnt").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+            ).alias("s"),
+            F.sum(F.col("__cnt").cast("bigint")).alias("nb"),
+        )
+        .where(F.col("nb") > 0)
+        .select(
+            (
+                F.col("s").cast("string").cast("double")
+                / F.col("nb")
+                / F.lit(float(scale))
+            ).alias("m")
+        )
+    )
+    # B-row frame: type-1 percentile order statistics via one sorted
+    # collect inside an aggregate (bounded by n_replicates by design)
+    arr = means.agg(F.sort_array(F.collect_list("m")).alias("a"))
+    import math
+
+    k_lo = max(1, math.ceil(alpha / 2 * n_replicates))
+    k_hi = min(n_replicates, math.ceil((1 - alpha / 2) * n_replicates))
+    return arr.select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(n_replicates).alias("n_replicates"),
+        F.lit(mean).alias("mean"),
+        F.element_at("a", k_lo).alias("ci_lo"),
+        F.element_at("a", min(k_hi, n_replicates)).alias("ci_hi"),
+    )

@@ -446,3 +446,45 @@ def span_dedup_trim(
             ).alias("trimmed_text"),
         )
     )
+
+
+def dsir_importance_sample(
+    docs: DataFrame,
+    target: Column,
+    k: int = 200,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """The DSIR selection step: a deterministic importance-weighted draw
+    of ``k`` documents with probability proportional to exp(logweight) —
+    the resampling that actually builds the target-shaped corpus from
+    the weights ``dsir_logweights`` scores (Xie et al. 2023 sample via
+    Gumbel top-k; this is the equivalent Efraimidis-Spirakis order
+    computed wholly in LOG space).
+
+    Key algebra: A-ES ranks by -ln(u)/w ascending. With w =
+    exp(logweight), ln is monotone on the positive keys, so ranking by
+    ln(-ln(u)) - logweight selects the IDENTICAL set and order while
+    never exponentiating — no overflow for extreme weights, and only
+    ln() calls (the established engine-portable double pattern; md5-hex
+    uniforms as in weighted_hash_sample).
+
+    Scale shape: the weight pass is dsir_logweights' two corpus scans;
+    the draw is ORDER BY key LIMIT k = TakeOrderedAndProject (per-
+    partition top-k, no global sort). Output: (doc_id, n_bigrams,
+    dsir_logweight) of the kept docs."""
+    from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
+
+    lw = dsir_logweights(docs, target, n_buckets, text_col, id_col)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u = (hex_uniform("__h", 8) + F.lit(0.5)) / F.lit(float(16**8))
+    key = F.log(-F.log(u)) - F.col("dsir_logweight")
+    return (
+        lw.withColumn("__h", h)
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__h", "__key")
+    )

@@ -87,3 +87,53 @@ def _ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
         .otherwise(r + F.ceil((rn - big_span) / q))
         .cast("int")
     )
+
+
+def total_order_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Append ``cum_<col>`` (inclusive running sum under the total order
+    ``order_cols``) for each of ``sum_cols`` — the distributed prefix
+    sum, same two-phase shape as ``total_order_ranks``: range shuffle +
+    per-partition partitioned window, then one partition-count-bounded
+    offset table broadcast back. Matches
+    ``sum(col) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly
+    when the ordering is tie-free and the summands are integers
+    (BIGINT arithmetic end to end — float prefix sums would be
+    order-sensitive)."""
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    local = part
+    for c in sum_cols:
+        local = local.withColumn(
+            f"__run_{c}",
+            F.sum(F.col(c).cast("bigint")).over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    sizes = local.groupBy("__pid").agg(
+        *[F.sum(F.col(c).cast("bigint")).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"__off_{c}") + F.col(f"__run_{c}")).cast("bigint")
+        )
+    return out.drop(
+        "__pid", *[f"__run_{c}" for c in sum_cols], *[f"__off_{c}" for c in sum_cols]
+    )

@@ -860,3 +860,57 @@ def trimmed_mean_report(
         [(n, t, float(mean))],
         "n_rows bigint, n_trimmed_each bigint, trimmed_mean double",
     )
+
+
+def grouped_quantile_bands(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-group EXACT quantile vector (p10, p25, p50, p75, p90) — the
+    banded spread profile behind SLO dashboards and per-segment price
+    ladders — with every rank of every group advanced through ONE
+    grouped_multi_kth lockstep walk: G groups x 5 ranks cost one
+    histogram round plus one shared local-finish job, however many
+    groups there are.
+
+    Quantile definition: type-1 (lower) order statistic, p_q = the
+    ceil(q*n)-th smallest — an actual data value, integer-deterministic,
+    hash-matching an ORDER BY/row_number oracle with no interpolation
+    ambiguity. Same cents quantization contract as the median/IQR
+    family."""
+    spark = df.sparkSession
+    scale = 100 if cents else 1
+    vals = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("c"),
+    ).where(F.col("c").isNotNull() & F.col("g").isNotNull())
+    base = {
+        r["g"]: {"lo": int(r["lo"]), "hi": int(r["hi"]), "n": int(r["n"])}
+        for r in vals.groupBy("g")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    schema = (
+        f"{group_col} string, n_rows bigint, p10 double, p25 double, "
+        "p50 double, p75 double, p90 double"
+    )
+    if not base:
+        return spark.createDataFrame([], schema)
+    qs = (("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+    targets = {
+        (g, tag): (-((-num * s["n"]) // den), s["lo"], s["hi"], s["n"])  # ceil(q*n)
+        for g, s in base.items()
+        for tag, num, den in qs
+    }
+    picked = grouped_multi_kth(vals, targets)
+    out = [
+        (
+            g,
+            base[g]["n"],
+            *(picked[(g, tag)] / scale for tag, _, _ in qs),
+        )
+        for g in sorted(base)
+    ]
+    return spark.createDataFrame(out, schema)

@@ -862,3 +862,56 @@ def token_pmi_pairs(
             F.log("__ratio").alias("pmi"),
         )
     )
+
+
+def gini_token_concentration(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-row Gini coefficient of the corpus token-frequency
+    distribution: 0 = every type equally frequent, ->1 = a few types
+    dominate. The third corpus-concentration axis next to the Zipf slope
+    (shape of the rank curve) and token entropy (bits per token) — a
+    rising Gini under a fixed tokenizer is the cheap alarm for template
+    floods and boilerplate ingest.
+
+    Exactness: with frequencies sorted ascending and ranked 1..V
+    (ties broken by token — any stable order among equal frequencies
+    yields the same sum), Gini = 2*sum(rank*f) / (V*sum(f)) - (V+1)/V.
+    Both rank-weighted sums stay DECIMAL(38,0)-exact (rank*f exceeds
+    int64 at corpus scale), convert to double via the VARCHAR route the
+    concentration oracles established, and the result is two
+    correctly-rounded divisions and one subtraction — engine-exact.
+
+    Scale shape: one vocabulary groupBy (map-side combine) + the
+    DISTRIBUTED rank (total_order_ranks — no single-partition window)
+    + one constant-size aggregate. Output: (n_types, n_tokens, gini)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = total_order_ranks(vocab, ["cnt", "token"])
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.col("global_rn").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+        ).alias("s_rank_wt"),
+    )
+    v = F.col("n_types")
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("s_rank_wt")).cast(
+        "string"
+    ).cast("double")
+    den = (
+        v.cast("decimal(38,0)") * F.col("n_tokens").cast("decimal(38,0)")
+    ).cast("string").cast("double")
+    correction = (v + 1).cast("double") / v.cast("double")
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        (num / den - correction).alias("gini"),
+    )

@@ -1837,3 +1837,65 @@ QUERIES["lang_source_contingency"] = _lang_source_contingency
 QUERIES["token_pmi_pairs"] = _token_pmi_pairs
 QUERIES["customer_rfm_scores"] = analytics.customer_rfm_scores
 QUERIES["doc_char_concentration"] = _doc_char_concentration
+
+
+def _priority_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_quantile_bands,
+    )
+
+    return grouped_quantile_bands(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_orderpriority",
+        "o_totalprice",
+    ).orderBy("o_orderpriority")
+
+
+def _status_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        ks_two_sample_report,
+    )
+
+    return ks_two_sample_report(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_orderstatus",
+        "o_totalprice",
+        "O",
+        "F",
+    )
+
+
+def _token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.text import (
+        gini_token_concentration,
+    )
+
+    return gini_token_concentration(_docs(spark, sf_dir))
+
+
+QUERIES["priority_price_bands"] = _priority_price_bands
+QUERIES["status_price_ks_test"] = _status_price_ks_test
+QUERIES["token_gini_concentration"] = _token_gini_concentration
+
+
+def _order_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        bootstrap_mean_ci,
+    )
+
+    return bootstrap_mean_ci(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "o_totalprice",
+        "o_orderkey",
+        n_replicates=128,
+    )
+
+
+def _dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance.dsir_importance_sample(
+        _docs(spark, sf_dir), F.col("lang") == "en", k=200
+    ).orderBy("doc_id")
+
+
+QUERIES["order_price_bootstrap_ci"] = _order_price_bootstrap_ci
+QUERIES["dsir_importance_sample"] = _dsir_importance_sample

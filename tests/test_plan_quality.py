@@ -683,6 +683,9 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "lang_source_contingency": "contingency cells frame (RxC category domain)",
     "customer_rfm_scores": "rank partition offsets x3 (~n_partitions rows)",
     "doc_char_concentration": "rank partition offsets (~n_partitions rows)",
+    # total_order_prefix_sums / total_order_ranks offset tables
+    "status_price_ks_test": "prefix-sum partition offsets (~n_partitions rows)",
+    "token_gini_concentration": "rank partition offsets (~n_partitions rows)",
 }
 
 

@@ -1,0 +1,220 @@
+"""The r4 statistics batch pinned against independent references:
+quantile bands and KS vs sorted-Python/NumPy definitions, Gini vs the
+closed form on a known distribution, the bootstrap CI vs a pure-Python
+replay of the identical md5 draw, the DSIR draw vs the A-ES definition
+computed from the operator's own (r3-driver-green) weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+def test_quantile_bands_match_sorted_reference(spark, orders):
+    from pipeline_pyspark_etl_imdb_spark.operators.selection import (
+        grouped_quantile_bands,
+    )
+
+    rows = orders.where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
+    ).select("o_orderpriority", "o_totalprice").collect()
+    by_g: dict[str, list[int]] = {}
+    for r in rows:
+        by_g.setdefault(r.o_orderpriority, []).append(
+            int(round(r.o_totalprice * 100))
+        )
+    got = {
+        r.o_orderpriority: r
+        for r in grouped_quantile_bands(
+            orders, "o_orderpriority", "o_totalprice"
+        ).collect()
+    }
+    assert set(got) == set(by_g)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        assert got[g].n_rows == n
+        for col, num, den in (
+            ("p10", 1, 10),
+            ("p25", 1, 4),
+            ("p50", 1, 2),
+            ("p75", 3, 4),
+            ("p90", 9, 10),
+        ):
+            k = -((-num * n) // den)  # ceil(q*n)
+            assert got[g][col] == vals[k - 1] / 100, (g, col)
+
+
+def test_ks_two_sample_matches_python(spark, orders):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        ks_two_sample_report,
+    )
+
+    rows = orders.where(F.col("o_totalprice").isNotNull()).select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    a = sorted(
+        int(round(r.o_totalprice * 100)) for r in rows if r.o_orderstatus == "O"
+    )
+    b = sorted(
+        int(round(r.o_totalprice * 100)) for r in rows if r.o_orderstatus == "F"
+    )
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    best, best_at = -1.0, None
+    for v in values:
+        d = abs(
+            bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b)
+        )
+        if d > best:
+            best, best_at = d, v
+    got = ks_two_sample_report(
+        orders, "o_orderstatus", "o_totalprice", "O", "F"
+    ).collect()[0]
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert got.ks_stat == pytest.approx(best, abs=0)
+    assert got.at_value == best_at / 100
+
+
+def test_gini_uniform_distribution_is_zero(spark):
+    """Equal frequencies -> Gini exactly (V+1)/V * 0 ... = 0 by the
+    rank formula: 2*sum(i*f)/(V*V*f) - (V+1)/V with f constant."""
+    from pipeline_pyspark_etl_imdb_spark.operators.text import (
+        gini_token_concentration,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)], "doc_id int, text string"
+    )
+    got = gini_token_concentration(docs).collect()[0]
+    assert got.n_types == 4 and got.n_tokens == 40
+    assert got.gini == pytest.approx(0.0, abs=1e-12)
+
+
+def test_gini_matches_closed_form(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.text import (
+        gini_token_concentration,
+    )
+
+    # frequencies: a x1, b x2, c x3, d x4 -> sorted asc [1,2,3,4]
+    text = "a " + "b b " + "c c c " + "d d d d"
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    got = gini_token_concentration(docs).collect()[0]
+    f = [1, 2, 3, 4]
+    v, t = len(f), sum(f)
+    expect = 2 * sum((i + 1) * x for i, x in enumerate(f)) / (v * t) - (v + 1) / v
+    assert got.gini == pytest.approx(expect, rel=1e-12)
+
+
+def _md5_uniform(key: str, n_chars: int = 8, offset: float = 0.0) -> float:
+    h = hashlib.md5(key.encode()).hexdigest()
+    val = 0
+    for ch in h[:n_chars]:
+        val = val * 16 + int(ch, 16)
+    return (val + offset) / float(16**n_chars)
+
+
+def test_bootstrap_ci_matches_python_replay(spark, orders):
+    """Replay the exact md5 Poisson draw in pure Python; the replicate
+    means and the CI must match bit-for-bit (same division order)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        POISSON1_CDF,
+        bootstrap_mean_ci,
+    )
+
+    B = 32
+    rows = orders.where(F.col("o_totalprice").isNotNull()).select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    data = [(str(r.o_orderkey), int(round(r.o_totalprice * 100))) for r in rows]
+    means = []
+    for rep in range(B):
+        s = nb = 0
+        for rid, c in data:
+            u = _md5_uniform(f"{rid}:{rep}:boot")
+            cnt = 6
+            for lvl, cdf in enumerate(POISSON1_CDF):
+                if u < cdf:
+                    cnt = lvl
+                    break
+            s += cnt * c
+            nb += cnt
+        if nb:
+            means.append(float(s) / nb / 100.0)
+    means.sort()
+    k_lo = max(1, math.ceil(0.025 * B))
+    k_hi = min(B, math.ceil(0.975 * B))
+    got = bootstrap_mean_ci(
+        orders, "o_totalprice", "o_orderkey", n_replicates=B
+    ).collect()[0]
+    n = len(data)
+    assert got.n_rows == n and got.n_replicates == B
+    assert got.mean == float(sum(c for _, c in data)) / n / 100.0
+    assert got.ci_lo == means[k_lo - 1]
+    assert got.ci_hi == means[k_hi - 1]
+    assert got.ci_lo < got.mean < got.ci_hi
+
+
+def test_dsir_sample_is_aes_on_own_weights(spark):
+    """The draw must equal the Efraimidis-Spirakis order computed in
+    Python from the operator's own logweights (which carry their own
+    driver-green contract)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.importance import (
+        dsir_importance_sample,
+        dsir_logweights,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    lw = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    keyed = sorted(
+        (
+            math.log(-math.log(_md5_uniform(f"{did}:dsir", offset=0.5))) - w,
+            did,
+        )
+        for did, w in lw.items()
+    )
+    expect = sorted(did for _, did in keyed[:50])
+    got = sorted(
+        r.doc_id
+        for r in dsir_importance_sample(docs, F.col("lang") == "en", k=50).collect()
+    )
+    assert got == expect
+
+
+def test_prefix_sums_match_window(spark, orders):
+    """total_order_prefix_sums == the single-partition window on a frame
+    small enough to check that way."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import (
+        total_order_prefix_sums,
+    )
+
+    per_value = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .select(F.round(F.col("o_totalprice")).cast("bigint").alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {
+        r.c: r.cum_n
+        for r in total_order_prefix_sums(per_value, ["c"], ["n"]).collect()
+    }
+    rows = sorted((r.c, r.n) for r in per_value.collect())
+    cum = 0
+    for c, n in rows:
+        cum += n
+        assert got[c] == cum

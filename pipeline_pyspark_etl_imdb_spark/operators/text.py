@@ -915,3 +915,77 @@ def gini_token_concentration(
         "n_tokens",
         (num / den - correction).alias("gini"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame, value_col: str, k: int = 100
+) -> DataFrame:
+    """One-row Hill estimator of the tail index of ``value_col`` — the
+    standard heavy-tail diagnostic for document-length and popularity
+    distributions (is the megadoc tail power-law, and how fat?):
+    hill = mean over the top-k values of ln(x_i / x_(k+1)), alpha =
+    1/hill. A corpus whose alpha drifts below ~1 is dominated by its
+    largest documents (the whale-curve's parametric cousin).
+
+    Exactness: the top-(k+1) multiset comes from TakeOrderedAndProject
+    (no global sort); the ln-ratio sum is a LEFT-TO-RIGHT fold over the
+    descending-sorted array in both engines (F.aggregate here,
+    list_reduce in the oracle) — float summation order is pinned, so the
+    estimate hash-matches. k adapts to small inputs (k_eff =
+    min(k, n-1)). Output: (k_eff, x_tail, hill, tail_alpha)."""
+    vals = df.select(F.col(value_col).cast("double").alias("x")).where(
+        F.col("x") > 0
+    )
+    top = vals.orderBy(F.desc("x")).limit(k + 1)
+    arr = top.agg(F.sort_array(F.collect_list("x"), asc=False).alias("a"))
+    k_eff = F.least(F.lit(k), F.size("a") - 1)
+    x_tail = F.element_at("a", F.size("a"))
+    hill = F.when(
+        k_eff >= 1,
+        F.aggregate(
+            F.slice("a", F.lit(1), k_eff),
+            F.lit(0.0),
+            lambda acc, x: acc + (F.log(x) - F.log(x_tail)),
+        )
+        / k_eff,
+    )
+    return arr.select(
+        k_eff.cast("int").alias("k_eff"),
+        x_tail.alias("x_tail"),
+        hill.alias("hill"),
+        F.when(hill > 0, F.lit(1.0) / hill).alias("tail_alpha"),
+    )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document readability battery: sentence count ([.!?]+ runs),
+    word count, a syllable proxy (vowel-group runs — the classic
+    dictionary-free approximation), and the two standard composites
+    (Flesch reading ease, Flesch-Kincaid grade). Joins the quality-score
+    battery as a register-level signal: training corpora skewed to
+    extreme grades are boilerplate or OCR garbage.
+
+    Every count is one regexp over the lowered text (identical
+    Java-regex/RE2 semantics for these character-class patterns); the
+    composites are fixed-order literal arithmetic on two correctly-
+    rounded divisions — engine-exact, so the whole frame hash-matches.
+    Map-only, no shuffle. Output: (doc_id, n_words, n_sentences,
+    n_syllables, flesch_ease, fk_grade)."""
+    lt = F.lower(F.col(text_col))
+    n_words = F.size(F.filter(F.split(lt, r"\s+"), lambda w: w != ""))
+    n_sent = F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+    n_syl = F.regexp_count(lt, F.lit(r"[aeiou]+"))
+    wps = n_words.cast("double") / F.greatest(n_sent, F.lit(1)).cast("double")
+    spw = n_syl.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+    )

@@ -1899,3 +1899,19 @@ def _dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["order_price_bootstrap_ci"] = _order_price_bootstrap_ci
 QUERIES["dsir_importance_sample"] = _dsir_importance_sample
+
+
+def _doclen_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.text import hill_tail_index
+
+    return hill_tail_index(_docs(spark, sf_dir), "n_chars", k=100)
+
+
+def _doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.text import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUERIES["doclen_hill_tail"] = _doclen_hill_tail
+QUERIES["doc_readability"] = _doc_readability

@@ -58,6 +58,14 @@ SENSITIVE = [
     "token_pmi_pairs",
     "customer_rfm_scores",
     "doc_char_concentration",
+    # r4 statistics batch (rank walks, CDF sups, float folds, md5 draws)
+    "priority_price_bands",
+    "status_price_ks_test",
+    "token_gini_concentration",
+    "order_price_bootstrap_ci",
+    "dsir_importance_sample",
+    "doclen_hill_tail",
+    "doc_readability",
 ]
 
 

@@ -218,3 +218,44 @@ def test_prefix_sums_match_window(spark, orders):
     for c, n in rows:
         cum += n
         assert got[c] == cum
+
+
+def test_hill_tail_index_matches_numpy(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.text import hill_tail_index
+
+    import numpy as np
+
+    vals = [int(1000 / (i + 1) ** 0.5) for i in range(400)]  # alpha ~ 2
+    df = spark.createDataFrame([(v,) for v in vals], "n int")
+    got = hill_tail_index(df, "n", k=50).collect()[0]
+    xs = np.sort(np.array([float(v) for v in vals]))[::-1]
+    hill = float(np.mean(np.log(xs[:50]) - np.log(xs[50])))
+    assert got.k_eff == 50
+    assert got.x_tail == xs[50]
+    assert got.hill == pytest.approx(hill, rel=1e-12)
+    assert got.tail_alpha == pytest.approx(1.0 / hill, rel=1e-12)
+
+
+def test_hill_small_input_adapts_k(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.text import hill_tail_index
+
+    df = spark.createDataFrame([(10,), (20,), (30,)], "n int")
+    got = hill_tail_index(df, "n", k=100).collect()[0]
+    assert got.k_eff == 2  # n-1
+    assert got.x_tail == 10.0
+
+
+def test_readability_pinned_example(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran! Did it?")], "doc_id int, text string"
+    )
+    got = readability_scores(docs).collect()[0]
+    assert got.n_words == 8
+    assert got.n_sentences == 3
+    # vowel groups: e,a,a,e,o,a,i,i -> 8
+    assert got.n_syllables == 8
+    wps, spw = 8 / 3, 8 / 8
+    assert got.flesch_ease == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw)
+    assert got.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)

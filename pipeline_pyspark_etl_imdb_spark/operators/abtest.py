@@ -142,6 +142,202 @@ def time_to_convert(events: DataFrame) -> DataFrame:
     )
 
 
+def srm_check(events: DataFrame, salt: str = "exp1") -> DataFrame:
+    """Sample-ratio-mismatch gate (the first thing any experiment
+    readout must pass): chi-square of the observed per-variant user
+    counts against the designed 50/50 split, with the Wilson-Hilferty
+    cube-root normal approximation of the chi-square tail so the alarm
+    threshold is a plain z cut — no incomplete-gamma CDF in either
+    engine. Flags at z > 3.0902 (one-sided p < 0.001, the industry SRM
+    convention: an imbalanced denominator invalidates the experiment
+    before any metric is read).
+
+    One row: n_a, n_b, chisq (df=1), wh_z, srm_flag. Exactness: counts
+    are integers off one distinct-user aggregate; chisq and wh_z are
+    fixed-order double arithmetic on the 2 counts. Shape: one
+    partial-agg distinct + a 1-row fold — nothing data-sized moves."""
+    counts = ab_assignment(events, salt).agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    exp = n / F.lit(2.0)
+    chisq = (
+        (F.col("n_a").cast("double") - exp) * (F.col("n_a").cast("double") - exp)
+        / exp
+        + (F.col("n_b").cast("double") - exp) * (F.col("n_b").cast("double") - exp)
+        / exp
+    )
+    # Wilson-Hilferty: (chi2/df)^(1/3) ~ N(1 - 2/(9 df), 2/(9 df)), df=1
+    wh_z = (
+        F.pow(chisq, F.lit(1.0 / 3.0)) - (F.lit(1.0) - F.lit(2.0 / 9.0))
+    ) / F.sqrt(F.lit(2.0 / 9.0))
+    return counts.select(
+        "n_a",
+        "n_b",
+        chisq.alias("chisq"),
+        wh_z.alias("wh_z"),
+        (wh_z > F.lit(3.0902)).alias("srm_flag"),
+    )
+
+
+def power_mde_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
+    """Post-hoc sensitivity of the experiment: the minimum detectable
+    effect on the per-user value-sum metric at alpha=0.05 two-sided and
+    80% power — MDE = (1.96 + 0.8416) * sqrt(var_a/n_a + var_b/n_b) —
+    the closed-form answer to "could this experiment even have seen the
+    lift we care about?".
+
+    One row: per-variant n / mean / variance (population form, matching
+    the pooled-moment convention of cuped_report), mde_abs, mde_rel
+    (vs the A mean). Exactness: per-user sums are DECIMAL; the moment
+    sums aggregate the population-sized per-user frame in fixed order.
+    Shape: one partial-agg groupBy(user) + a 1-row variant fold."""
+    events = events.where(F.col("user_id").isNotNull())
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("m")
+        )
+        .join(F.broadcast(ab_assignment(events, salt=salt)), "user_id")
+    )
+    v = per_user.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("m"))).alias("s_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("m"))).alias("s_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("m") * F.col("m"))).alias(
+            "ss_a"
+        ),
+        F.sum(F.when(F.col("variant") == "B", F.col("m") * F.col("m"))).alias(
+            "ss_b"
+        ),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("s_a") / na
+    mean_b = F.col("s_b") / nb
+    var_a = F.col("ss_a") / na - mean_a * mean_a
+    var_b = F.col("ss_b") / nb - mean_b * mean_b
+    mde = F.lit(1.96 + 0.8416) * F.sqrt(var_a / na + var_b / nb)
+    return v.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        mde.alias("mde_abs"),
+        (mde / mean_a).alias("mde_rel"),
+    )
+
+
+def did_report(orders: DataFrame, salt: str = "did1") -> DataFrame:
+    """Difference-in-differences over the order history: units are
+    customers (md5-parity treatment assignment, same growth-stable
+    device as ab_assignment), periods split at the midpoint of the
+    observed o_orderdate range (deterministic from the data), metric is
+    the per-customer revenue sum in each period (customers with no
+    orders in a period contribute 0, not NULL — the panel is balanced
+    by construction). The estimator is the mean of per-customer
+    (post - pre) deltas, treatment minus control, with the two-sample
+    SE from the per-customer delta variances — the standard parallel-
+    trends readout.
+
+    One row: n per group, the four cell means, did estimate, se_did,
+    t_stat. Exactness: per-customer per-period sums are DECIMAL over
+    integer cents; moments fold the customer-sized frame in fixed
+    order. Shape: one range aggregate (1 row, broadcast) + one
+    partial-agg groupBy(custkey) + a 1-row fold."""
+    # o_orderdate arrives as a timestamp in the fixtures; the period cut
+    # is a DATE so both engines compare whole days, not microseconds
+    orders = orders.withColumn("__d", F.to_date("o_orderdate"))
+    rng = orders.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    mid = F.date_add(
+        F.col("__lo"), (F.datediff(F.col("__hi"), F.col("__lo")) / 2).cast("int")
+    )
+    per_cust = (
+        orders.crossJoin(F.broadcast(rng))
+        .withColumn("__mid", mid)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__d") < F.col("__mid"),
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("pre"),
+            F.sum(
+                F.when(
+                    F.col("__d") >= F.col("__mid"),
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("post"),
+        )
+        .withColumn(
+            "treated",
+            _hex_int(
+                F.concat(F.col("o_custkey").cast("string"), F.lit(":" + salt))
+            )
+            % 2
+            == 0,
+        )
+        .withColumn("d", F.col("post") - F.col("pre"))
+    )
+    v = per_cust.agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("pre"))).alias("sp_t"),
+        F.sum(F.when(F.col("treated"), F.col("post"))).alias("so_t"),
+        F.sum(F.when(~F.col("treated"), F.col("pre"))).alias("sp_c"),
+        F.sum(F.when(~F.col("treated"), F.col("post"))).alias("so_c"),
+        F.sum(F.when(F.col("treated"), F.col("d"))).alias("sd_t"),
+        F.sum(F.when(~F.col("treated"), F.col("d"))).alias("sd_c"),
+        F.sum(F.when(F.col("treated"), F.col("d") * F.col("d"))).alias("sdd_t"),
+        F.sum(F.when(~F.col("treated"), F.col("d") * F.col("d"))).alias("sdd_c"),
+    )
+    nt = F.col("n_t").cast("double")
+    nc = F.col("n_c").cast("double")
+    mean_d_t = F.col("sd_t") / nt
+    mean_d_c = F.col("sd_c") / nc
+    # sample (n-1) variance of the per-customer deltas
+    var_d_t = (F.col("sdd_t") - F.col("sd_t") * F.col("sd_t") / nt) / (
+        nt - F.lit(1.0)
+    )
+    var_d_c = (F.col("sdd_c") - F.col("sd_c") * F.col("sd_c") / nc) / (
+        nc - F.lit(1.0)
+    )
+    did = mean_d_t - mean_d_c
+    se = F.sqrt(var_d_t / nt + var_d_c / nc)
+    return v.select(
+        "n_t",
+        "n_c",
+        (F.col("sp_t") / nt).alias("pre_mean_t"),
+        (F.col("so_t") / nt).alias("post_mean_t"),
+        (F.col("sp_c") / nc).alias("pre_mean_c"),
+        (F.col("so_c") / nc).alias("post_mean_c"),
+        did.alias("did_estimate"),
+        se.alias("se_did"),
+        (did / se).alias("t_stat"),
+    )
+
+
 def cuped_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
     """CUPED variance reduction (Deng et al. 2013, the industry-standard
     experiment-sensitivity technique): adjust each user's post-period

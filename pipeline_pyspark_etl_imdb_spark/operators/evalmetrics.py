@@ -131,6 +131,79 @@ def calibration_bins(
     )
 
 
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row Murphy decomposition of the Brier score of a [0,1]
+    forecast against a 0/1 label, over the same equal-width bins as
+    calibration_bins (top-edge fold into the last bin):
+
+        reliability = (1/N) sum_k n_k (fbar_k - obar_k)^2   (miscalibration)
+        resolution  = (1/N) sum_k n_k (obar_k - obar)^2     (discrimination)
+        uncertainty = obar (1 - obar)
+
+    plus the EXACT Brier score (1/N) sum_i (f_i - o_i)^2 and the
+    within-bin residual brier - (rel - res + unc), which is zero only
+    when forecasts are constant within bins — reporting it keeps the
+    identity honest instead of silently assuming binned forecasts.
+
+    Shape: ONE partial-aggregated groupBy(bin) carrying (n, sum f,
+    sum f^2, sum o, sum f*o), then a constant-size fold over <= n_bins
+    rows (the psi_drift pattern) — the data is read once."""
+    f = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int").cast("double")
+    b = F.least(F.floor(f * n_bins).cast("int"), F.lit(n_bins - 1))
+    bins = df.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("double").alias("nk"),
+        F.sum(f).alias("sf"),
+        F.sum(f * f).alias("sff"),
+        F.sum(y).alias("so"),
+        F.sum(f * y).alias("sfo"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = (
+        bins.withColumn("n", F.sum("nk").over(w))
+        .withColumn("o_all", F.sum("so").over(w) / F.col("n"))
+    )
+    fbar = F.col("sf") / F.col("nk")
+    obar = F.col("so") / F.col("nk")
+    rel_k = F.col("nk") * (fbar - obar) * (fbar - obar)
+    res_k = F.col("nk") * (obar - F.col("o_all")) * (obar - F.col("o_all"))
+    # per-bin exact Brier mass: sum (f - o)^2 = sff - 2 sfo + so  (o^2 = o)
+    brier_k = F.col("sff") - F.lit(2.0) * F.col("sfo") + F.col("so")
+    out = tot.agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.first("o_all").alias("base_rate"),
+        (F.sum(brier_k) / F.first("n")).alias("brier"),
+        (F.sum(rel_k) / F.first("n")).alias("reliability"),
+        (F.sum(res_k) / F.first("n")).alias("resolution"),
+        (F.first("o_all") * (F.lit(1.0) - F.first("o_all"))).alias(
+            "uncertainty"
+        ),
+    )
+    return out.select(
+        "n",
+        "base_rate",
+        "brier",
+        "reliability",
+        "resolution",
+        "uncertainty",
+        (
+            F.col("brier")
+            - (
+                F.col("reliability")
+                - F.col("resolution")
+                + F.col("uncertainty")
+            )
+        ).alias("within_bin_residual"),
+    )
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,

@@ -1915,3 +1915,49 @@ def _doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doclen_hill_tail"] = _doclen_hill_tail
 QUERIES["doc_readability"] = _doc_readability
+
+
+# --- experiment-health battery (r4, behind the window) ------------------
+# SRM gate, post-hoc power/MDE, difference-in-differences, and the Murphy
+# Brier decomposition — the readout-validity half of the experimentation
+# family (extends abtest/evalmetrics; reference aggregate parity
+# src/etl_imdb.py:214-260).
+def _experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import abtest
+
+    return abtest.srm_check(_events(spark, sf_dir))
+
+
+def _experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import abtest
+
+    return abtest.power_mde_report(_events(spark, sf_dir))
+
+
+def _did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import abtest
+
+    return abtest.did_report(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def _quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import evalmetrics
+    from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
+
+    return evalmetrics.brier_decomposition(
+        _docs(spark, sf_dir).select(
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("lang") == "en").alias("is_en"),
+        ),
+        "quality",
+        "is_en",
+        n_bins=10,
+    )
+
+
+QUERIES["experiment_srm_check"] = _experiment_srm_check
+QUERIES["experiment_power_mde"] = _experiment_power_mde
+QUERIES["did_revenue_estimate"] = _did_revenue_estimate
+QUERIES["quality_brier_decomposition"] = _quality_brier_decomposition

@@ -225,3 +225,51 @@ def test_ranking_eval_perfect_and_degenerate(spark):
     assert q0.mrr == 1.0
     q99 = out[99]
     assert q99.n_rel_corpus == 0 and q99.ndcg is None and q99.mrr == 0.0
+
+
+def test_brier_decomposition_matches_python(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        brier_decomposition,
+    )
+
+    # deterministic scores spanning all bins, mixed labels
+    rows = [((i * 37 % 100) / 100.0, 1 if (i * 53) % 7 < 3 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = brier_decomposition(df, "score", "y", n_bins=10).collect()[0]
+
+    n = len(rows)
+    obar = sum(y for _, y in rows) / n
+    brier = sum((f - y) ** 2 for f, y in rows) / n
+    bins: dict = {}
+    for f, y in rows:
+        b = min(int(f * 10), 9)
+        nk, sf, so = bins.get(b, (0, 0.0, 0.0))
+        bins[b] = (nk + 1, sf + f, so + y)
+    rel = sum(nk * (sf / nk - so / nk) ** 2 for nk, sf, so in bins.values()) / n
+    res = sum(nk * (so / nk - obar) ** 2 for nk, sf, so in bins.values()) / n
+    unc = obar * (1 - obar)
+    assert got.n == n
+    assert got.base_rate == pytest.approx(obar, rel=1e-12)
+    assert got.brier == pytest.approx(brier, rel=1e-12)
+    assert got.reliability == pytest.approx(rel, rel=1e-9)
+    assert got.resolution == pytest.approx(res, rel=1e-9)
+    assert got.uncertainty == pytest.approx(unc, rel=1e-12)
+    assert got.within_bin_residual == pytest.approx(
+        brier - (rel - res + unc), abs=1e-9
+    )
+
+
+def test_brier_constant_within_bin_identity_is_exact(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        brier_decomposition,
+    )
+
+    # forecasts at bin centers only -> residual must vanish
+    rows = []
+    for b in range(10):
+        f = b / 10.0 + 0.05
+        for i in range(20):
+            rows.append((f, 1 if i < b * 2 else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = brier_decomposition(df, "score", "y", n_bins=10).collect()[0]
+    assert abs(got.within_bin_residual) < 1e-12

@@ -686,6 +686,8 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     # total_order_prefix_sums / total_order_ranks offset tables
     "status_price_ks_test": "prefix-sum partition offsets (~n_partitions rows)",
     "token_gini_concentration": "rank partition offsets (~n_partitions rows)",
+    # experiment-health battery
+    "quality_brier_decomposition": "n_bins-row decomposition frame",
 }
 
 

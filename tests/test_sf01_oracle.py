@@ -66,6 +66,11 @@ SENSITIVE = [
     "dsir_importance_sample",
     "doclen_hill_tail",
     "doc_readability",
+    # experiment-health battery (pooled moments, WH cube root, date cut)
+    "experiment_srm_check",
+    "experiment_power_mde",
+    "did_revenue_estimate",
+    "quality_brier_decomposition",
 ]
 
 

@@ -995,3 +995,103 @@ def pit_dimension_join(
         tie_col="__vto",
         right_on_alias="version_from",
     )
+
+
+def reconciliation_audit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tolerance_cents: int = 1,
+) -> DataFrame:
+    """Header-vs-detail reconciliation — the warehouse-QA gate that the
+    order header total equals the recomputed lineitem charge
+    sum(extendedprice * (1 - discount) * (1 + tax)), the TPC-H invariant
+    and the canonical "does the mart foot to the ledger?" audit.
+
+    All money arithmetic is DECIMAL end-to-end (per-line charge at scale
+    6, exact for 2-decimal inputs; order-independent sums), so the diff
+    is exact — the only doubles in the output are the reported stats.
+
+    One row: n_orders, n_with_lines (headers having details), n_exact
+    (diff == 0), n_within_tol (|diff| <= tolerance_cents/100), n_beyond,
+    max_abs_diff, total_abs_diff. Shape: ONE partial-agg groupBy on the
+    detail + a broadcast-free sort-free left join on the header key +
+    one constant-size fold — each table is read once."""
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        * (F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    detail = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(charge).alias("__charge")
+    )
+    tol = F.lit(tolerance_cents).cast("decimal(12,2)") / F.lit(100).cast(
+        "decimal(12,2)"
+    )
+    joined = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("__hdr")
+    ).join(detail, "o_orderkey", "left")
+    diff = F.col("__hdr") - F.col("__charge")
+    adiff = F.abs(diff)
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("__charge").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_lines"),
+        F.sum(F.when(diff == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when((adiff > 0) & (adiff <= tol), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_tol"),
+        F.sum(F.when(adiff > tol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_beyond_tol"),
+        F.max(adiff).cast("double").alias("max_abs_diff"),
+        F.sum(adiff).cast("double").alias("total_abs_diff"),
+    )
+
+
+def benford_digit_audit(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a money column against
+    Benford's law — the classic fabricated-data / ETL-corruption screen
+    (a currency conversion applied twice, a truncated export, or
+    synthetic padding all bend the leading-digit curve).
+
+    The digit is extracted INTEGER-side: cents = round(amount * 100) as
+    a bigint, first character of its decimal string — no log10 of a
+    double near a power-of-ten boundary, where engines could round
+    floor(log10(x)) apart. Rows with amount <= 0 are excluded (Benford
+    is defined on positive magnitudes).
+
+    Output: 9 rows (digit, n, obs_share, exp_share, chisq_term) joined
+    against a constant 1..9 spine so absent digits report 0 — the
+    Pearson term (O - n e)^2 / (n e) sums to the audit chi-square.
+    Shape: one map-side digit projection + a 9-group partial agg."""
+    spark = df.sparkSession
+    cents = F.round(F.col(amount_col) * 100).cast("bigint")
+    digits = (
+        df.where(F.col(amount_col) > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    full = (
+        spine.join(digits, "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"))
+        .withColumn("total", F.sum("n").over(wall).cast("double"))
+    )
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    obs = F.col("n").cast("double")
+    return full.select(
+        "digit",
+        "n",
+        (obs / F.col("total")).alias("obs_share"),
+        exp_share.alias("exp_share"),
+        (
+            (obs - F.col("total") * exp_share)
+            * (obs - F.col("total") * exp_share)
+            / (F.col("total") * exp_share)
+        ).alias("chisq_term"),
+    ).orderBy("digit")

@@ -735,3 +735,114 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     ).orderBy("o_custkey")
+
+
+def daily_revenue_acf(
+    spark: SparkSession, sf_dir: str, max_lag: int = 14
+) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1..max_lag — the
+    standard diagnostic behind seasonality detection (a spike at lag 7
+    confirms the weekly cycle `revenue_seasonal_decomposition` removes)
+    and residual whiteness checks:
+
+        r_k = sum_{t>k} (y_t - ybar)(y_{t-k} - ybar) / sum_t (y_t - ybar)^2
+
+    with the GLOBAL mean in both numerator and denominator (the
+    textbook biased estimator — deterministic, no per-lag re-centering).
+
+    Shape: one day-granular DECIMAL aggregate (calendar-sized), one
+    ordered window producing all max_lag lag columns in a single pass,
+    then ONE constant-size fold emitting (lag, n_pairs, acf) rows via
+    explode — the partition-less window sees days, not orders."""
+    orders = _table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("__t"))
+        .select("day", F.col("__t").cast("double").alias("y"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = Window.orderBy("day")
+    d = daily.withColumn("ybar", F.avg("y").over(wall))
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"__l{k}", F.lag("y", k).over(w))
+    dev = F.col("y") - F.col("ybar")
+    aggs = [
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(dev * dev).alias("ss"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs.append(
+            F.sum(F.when(lk.isNotNull(), dev * (lk - F.col("ybar")))).alias(
+                f"__num{k}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(lk.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n{k}")
+        )
+    one = d.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.col(f"__n{k}").alias("n_pairs"),
+            (F.col(f"__num{k}") / F.col("ss")).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return (
+        one.select("n_days", F.explode(F.array(*rows)).alias("m"))
+        .select("n_days", "m.*")
+        .orderBy("lag")
+    )
+
+
+def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes (y_j - y_i) / (x_j - x_i) over day pairs i < j, with
+    the intercept as the median of y_i - slope * x_i — the
+    breakdown-resistant alternative to the OLS `segment_price_trend`
+    (one outlier day cannot move it). x is the integer day offset from
+    the first observed day; medians use continuous interpolation (the
+    percentile == quantile_cont parity contract of time_to_convert).
+
+    Shape: the day frame is CALENDAR-sized, so the pair frame is
+    calendar² — bounded by observation span, independent of row count
+    (2400 days -> ~2.9M pairs); the join broadcasts the day frame. At
+    100 TB the daily aggregate is the only data-sized pass."""
+    orders = _table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("__t"))
+        .select("day", F.col("__t").cast("double").alias("y"))
+    )
+    lo = daily.agg(F.min("day").alias("__lo"))
+    d = daily.crossJoin(F.broadcast(lo)).select(
+        F.datediff(F.col("day"), F.col("__lo")).cast("long").alias("x"), "y"
+    )
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        (
+            (F.col("yb") - F.col("ya"))
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope")
+    )
+    med = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope_per_day"),
+    )
+    resid = d.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "slope_per_day",
+        (F.col("y") - F.col("slope_per_day") * F.col("x").cast("double")).alias(
+            "__r"
+        ),
+    )
+    return resid.groupBy("n_pairs", "slope_per_day").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr("percentile(__r, 0.5)").alias("intercept"),
+    ).select("n_days", "n_pairs", "slope_per_day", "intercept")

@@ -1961,3 +1961,35 @@ QUERIES["experiment_srm_check"] = _experiment_srm_check
 QUERIES["experiment_power_mde"] = _experiment_power_mde
 QUERIES["did_revenue_estimate"] = _did_revenue_estimate
 QUERIES["quality_brier_decomposition"] = _quality_brier_decomposition
+
+
+# --- time-series diagnostics + warehouse reconciliation (r4) -------------
+def _daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.daily_revenue_acf(spark, sf_dir, max_lag=14)
+
+
+def _theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.theilsen_revenue_trend(spark, sf_dir)
+
+
+def _order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import warehouse
+
+    return warehouse.reconciliation_audit(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def _benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import warehouse
+
+    return warehouse.benford_digit_audit(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_totalprice"
+    )
+
+
+QUERIES["daily_revenue_acf"] = _daily_revenue_acf
+QUERIES["theilsen_revenue_trend"] = _theilsen_revenue_trend
+QUERIES["order_total_reconciliation"] = _order_total_reconciliation
+QUERIES["benford_price_digits"] = _benford_price_digits

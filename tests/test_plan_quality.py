@@ -688,6 +688,9 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "token_gini_concentration": "rank partition offsets (~n_partitions rows)",
     # experiment-health battery
     "quality_brier_decomposition": "n_bins-row decomposition frame",
+    # time-series diagnostics
+    "daily_revenue_acf": "calendar-day frame (mean + lag windows see days)",
+    "benford_price_digits": "9-row digit spine total",
 }
 
 

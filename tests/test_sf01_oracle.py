@@ -71,6 +71,11 @@ SENSITIVE = [
     "experiment_power_mde",
     "did_revenue_estimate",
     "quality_brier_decomposition",
+    # time-series & QA batch (float folds over day frames, exact decimals)
+    "daily_revenue_acf",
+    "theilsen_revenue_trend",
+    "order_total_reconciliation",
+    "benford_price_digits",
 ]
 
 

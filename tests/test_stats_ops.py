@@ -259,3 +259,116 @@ def test_readability_pinned_example(spark):
     wps, spw = 8 / 3, 8 / 8
     assert got.flesch_ease == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw)
     assert got.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)
+
+
+def test_daily_acf_matches_numpy(spark, tmp_path):
+    import numpy as np
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import daily_revenue_acf
+
+    # deterministic series with a strong period-7 cycle
+    days = 60
+    rows = []
+    for i in range(days):
+        total = 1000.0 + 200.0 * (i % 7) + 3.0 * i
+        rows.append((f"2020-01-{1:02d}", i, total))
+    import datetime as dt
+
+    base = dt.date(2020, 1, 1)
+    data = [
+        (dt.datetime.combine(base + dt.timedelta(days=i), dt.time()), t)
+        for _, i, t in rows
+    ]
+    df = spark.createDataFrame(data, "o_orderdate timestamp, o_totalprice double")
+    p = str(tmp_path / "orders.parquet")
+    df.write.parquet(p)
+    got = {r.lag: r for r in daily_revenue_acf(spark, str(tmp_path), 14).collect()}
+
+    y = np.array([t for _, t in data])
+    ybar = y.mean()
+    ss = ((y - ybar) ** 2).sum()
+    for k in (1, 7, 14):
+        num = ((y[k:] - ybar) * (y[:-k] - ybar)).sum()
+        assert got[k].acf == pytest.approx(num / ss, rel=1e-9)
+        assert got[k].n_pairs == days - k
+        assert got[k].n_days == days
+    assert got[7].acf > got[1].acf  # the cycle dominates
+
+
+def test_theilsen_resists_outlier(spark, tmp_path):
+    import datetime as dt
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import (
+        theilsen_revenue_trend,
+    )
+
+    base = dt.date(2021, 1, 1)
+    data = []
+    for i in range(30):
+        total = 100.0 + 5.0 * i
+        if i == 17:
+            total = 100000.0  # one corrupt day
+        data.append(
+            (dt.datetime.combine(base + dt.timedelta(days=i), dt.time()), total)
+        )
+    df = spark.createDataFrame(data, "o_orderdate timestamp, o_totalprice double")
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    got = theilsen_revenue_trend(spark, str(tmp_path)).collect()[0]
+    assert got.n_days == 30
+    assert got.n_pairs == 30 * 29 // 2
+    # OLS slope would be blown far from 5 by the outlier; Theil-Sen holds
+    assert got.slope_per_day == pytest.approx(5.0, abs=0.2)
+    assert got.intercept == pytest.approx(100.0, abs=5.0)
+
+
+def test_reconciliation_audit_hand_built(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        reconciliation_audit,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 110.0),   # exact: 100 * (1-0) * (1+0.10) = 110.00
+            (2, 50.01),   # off by one cent: charge 50.00
+            (3, 75.00),   # off by 25.00: charge 50.00
+            (4, 10.00),   # no lineitems
+        ],
+        "o_orderkey long, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.10),
+            (2, 50.0, 0.0, 0.0),
+            (3, 100.0, 0.5, 0.0),
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    got = reconciliation_audit(orders, lineitem).collect()[0]
+    assert got.n_orders == 4
+    assert got.n_with_lines == 3
+    assert got.n_exact == 1
+    assert got.n_within_tol == 1
+    assert got.n_beyond_tol == 1
+    assert got.max_abs_diff == pytest.approx(25.0)
+    assert got.total_abs_diff == pytest.approx(25.01)
+
+
+def test_benford_digit_audit_hand_built(spark):
+    import math
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        benford_digit_audit,
+    )
+
+    # 10 ones, 5 twos, 1 nine; zero/negative excluded; digit 3..8 absent
+    amounts = [1.23] * 10 + [25.0] * 5 + [900.5] + [0.0, -4.0]
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    rows = {r.digit: r for r in benford_digit_audit(df, "amt").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1].n == 10 and rows[2].n == 5 and rows[9].n == 1
+    assert rows[3].n == 0
+    total = 16.0
+    for d in range(1, 10):
+        e = math.log10(1 + 1 / d)
+        assert rows[d].exp_share == pytest.approx(e, rel=1e-12)
+        assert rows[d].obs_share == pytest.approx(rows[d].n / total, rel=1e-12)
+        assert rows[d].chisq_term == pytest.approx(
+            (rows[d].n - total * e) ** 2 / (total * e), rel=1e-9
+        )

@@ -989,3 +989,126 @@ def readability_scores(
         ),
         (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    sizes: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-mass coverage of the top-V vocabulary for each candidate V
+    — the tokenizer-sizing curve ("how much of the corpus does a 4k
+    vocab already cover?") that decides the BPE budget before training
+    (`bpe.py`) starts. One row per V: (vocab_size, n_types, n_tokens,
+    covered_types, covered_tokens, coverage).
+
+    Shape: one vocabulary groupBy (map-side combine), the DISTRIBUTED
+    total-order rank (ranks.total_order_ranks — no single-partition
+    window over the vocabulary), then ONE constant-size conditional-sum
+    fold emitting all |sizes| rows via explode. Counts stay integers;
+    only the coverage share divides as double."""
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = total_order_ranks(
+        vocab.withColumn("__neg", -F.col("cnt")), ["__neg", "token"]
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+    ]
+    for v in sizes:
+        aggs.append(
+            F.sum(F.when(F.col("global_rn") <= v, F.col("cnt")))
+            .cast("bigint")
+            .alias(f"__c{v}")
+        )
+    one = ranked.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(v).alias("vocab_size"),
+            F.least(F.lit(v).cast("bigint"), F.col("n_types")).alias(
+                "covered_types"
+            ),
+            F.coalesce(F.col(f"__c{v}"), F.lit(0)).alias("covered_tokens"),
+            (
+                F.coalesce(F.col(f"__c{v}"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        for v in sizes
+    ]
+    return (
+        one.select("n_types", "n_tokens", F.explode(F.array(*rows)).alias("m"))
+        .select("m.vocab_size", "n_types", "n_tokens", "m.covered_types",
+                "m.covered_tokens", "m.coverage")
+        .orderBy("vocab_size")
+    )
+
+
+def distinctive_tokens_logodds(
+    docs: DataFrame,
+    in_group: Column,
+    top_k: int = 20,
+    min_count: int = 5,
+    alpha0: float = 1000.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Monroe-Colaresi-Quinn (2008) log-odds with an informative
+    Dirichlet prior: which tokens are DISTINCTIVE of the ``in_group``
+    half of the corpus, with the background token distribution as the
+    prior so rare-word noise is shrunk instead of dominating (the
+    fightin'-words fix to naive log-ratio term lists — the standard
+    corpus-comparison readout for "what is different about this slice").
+
+        delta_w = ln[(y_w^A + a_w) / (n^A + a0 - y_w^A - a_w)]
+                - ln[(y_w^B + a_w) / (n^B + a0 - y_w^B - a_w)]
+        var_w   = 1/(y_w^A + a_w) + 1/(y_w^B + a_w)
+        z_w     = delta_w / sqrt(var_w)
+
+    with a_w = alpha0 * total_w / total. Top-k by z desc (ties by
+    token) — the in-group's signature terms.
+
+    Shape: ONE token groupBy carrying both conditional counts
+    (map-side combine, vocabulary-sized result), a broadcast 1-row
+    totals fold, map-side z arithmetic, TakeOrderedAndProject cut —
+    no windows, nothing data-sized after the explode."""
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        in_group.cast("int").alias("__g"),
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.sum("__g").cast("bigint").alias("y_a"),
+        F.sum(1 - F.col("__g")).cast("bigint").alias("y_b"),
+    )
+    counts = counts.where((F.col("y_a") + F.col("y_b")) >= min_count)
+    wall = counts.agg(
+        F.sum(F.col("y_a") + F.col("y_b")).cast("bigint").alias("total"),
+        F.sum("y_a").cast("bigint").alias("n_a"),
+        F.sum("y_b").cast("bigint").alias("n_b"),
+    )
+    j = counts.crossJoin(F.broadcast(wall))
+    aw = (
+        F.lit(alpha0)
+        * (F.col("y_a") + F.col("y_b")).cast("double")
+        / F.col("total").cast("double")
+    )
+    ya = F.col("y_a").cast("double")
+    yb = F.col("y_b").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    delta = F.log(
+        (ya + aw) / (na + F.lit(alpha0) - ya - aw)
+    ) - F.log((yb + aw) / (nb + F.lit(alpha0) - yb - aw))
+    var = F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw)
+    z = delta / F.sqrt(var)
+    return (
+        j.select("token", "y_a", "y_b", z.alias("z_logodds"))
+        .orderBy(F.desc("z_logodds"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -186,3 +186,110 @@ def common_neighbor_links(
         .orderBy(F.desc("common"), F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(top_n)
     )
+
+
+def local_clustering_coefficients(
+    edges: DataFrame, top_n: int = 100, broadcast_max_edges: int = 5_000_000
+) -> DataFrame:
+    """Per-node local clustering coefficient — triangles(v) divided by
+    the wedge capacity C(deg(v), 2) — the Watts-Strogatz "how clique-like
+    is this node's neighborhood" measure that separates genuine product
+    bundles (closed neighborhoods) from hub pages (open stars).
+
+    Reuses the exact wedge-closure stream of triangle_participation and
+    adds one degree frame: cc = 2*t / (deg*(deg-1)) for deg >= 2, with
+    zero-triangle nodes reported as 0.0 (a left join against the
+    triangle counts, NOT an inner join — the open stars are the
+    interesting negative finding). Integer inputs, one double division:
+    bit-identical cross-engine. Top-n by (cc desc, deg desc, node asc) —
+    compiles to TakeOrderedAndProject, no global sort.
+
+    Scale: same sum-deg^2 wedge bound and degree-cap lever as the
+    triangle pass; the degree frame is node-domain-sized."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
+    edges = tracked_persist(edges)
+    small = edges.count() <= broadcast_max_edges
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).repartition(
+        shuffle_n
+    )
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    if small:
+        e2, e3 = F.broadcast(e2), F.broadcast(e3)
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    adj = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    return (
+        deg.join(tri, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            t.alias("n_triangles"),
+            (
+                F.lit(2.0)
+                * t.cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(
+            F.desc("clustering_coeff"), F.desc("deg"), F.asc("node")
+        )
+        .limit(top_n)
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row degree assortativity of an undirected graph — the Pearson
+    correlation of endpoint degrees over the DIRECTED edge multiset
+    (each undirected edge contributes both orientations, the Newman 2002
+    convention) — positive for hub-to-hub wiring (social nets), negative
+    for hub-to-leaf (dependency / co-purchase graphs).
+
+    Shape: one node-domain degree aggregate, two broadcast-able degree
+    joins onto the edge list, one constant-size moment fold. The moment
+    sums are over INTEGER degree products (exact in BIGINT up to 2^63);
+    only the final correlation divides as double."""
+    adj = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("dj"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dk"))
+    j = both.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst")
+    m = j.agg(
+        F.count("*").cast("bigint").alias("n_dir_edges"),
+        F.sum("dj").alias("sj"),
+        F.sum("dk").alias("sk"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+        F.sum(F.col("dk") * F.col("dk")).alias("skk"),
+    )
+    n = F.col("n_dir_edges").cast("double")
+    cov = F.col("sjk").cast("double") - F.col("sj").cast("double") * F.col(
+        "sk"
+    ).cast("double") / n
+    vj = F.col("sjj").cast("double") - F.col("sj").cast("double") * F.col(
+        "sj"
+    ).cast("double") / n
+    vk = F.col("skk").cast("double") - F.col("sk").cast("double") * F.col(
+        "sk"
+    ).cast("double") / n
+    return m.select(
+        "n_dir_edges",
+        (cov / F.sqrt(vj * vk)).alias("assortativity"),
+    )

@@ -1993,3 +1993,48 @@ QUERIES["daily_revenue_acf"] = _daily_revenue_acf
 QUERIES["theilsen_revenue_trend"] = _theilsen_revenue_trend
 QUERIES["order_total_reconciliation"] = _order_total_reconciliation
 QUERIES["benford_price_digits"] = _benford_price_digits
+
+
+# --- graph-structure diagnostics (r4, behind the window) -----------------
+# Both run on the deterministic 1/4-node co-purchase subgraph (the
+# copurchase_link_prediction convention) so the wedge-stream cost stays
+# additive next to copurchase_triangles, which measures the full graph.
+def _copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles.local_clustering_coefficients(
+        triangles.cooccurrence_edges(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+                F.col("l_partkey") % 4 == 0
+            )
+        ),
+        top_n=100,
+    )
+
+
+def _copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles.degree_assortativity(
+        triangles.cooccurrence_edges(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+                F.col("l_partkey") % 4 == 0
+            )
+        )
+    )
+
+
+QUERIES["copurchase_clustering"] = _copurchase_clustering
+QUERIES["copurchase_assortativity"] = _copurchase_assortativity
+
+
+# --- corpus-analysis additions (r4, behind the window) -------------------
+def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.vocab_coverage_curve(_docs(spark, sf_dir))
+
+
+def _en_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return text_ops.distinctive_tokens_logodds(
+        d, in_group=(F.col("lang") == "en"), top_k=20
+    )
+
+
+QUERIES["vocab_coverage_curve"] = _vocab_coverage_curve
+QUERIES["en_distinctive_tokens"] = _en_distinctive_tokens

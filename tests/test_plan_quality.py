@@ -691,6 +691,8 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     # time-series diagnostics
     "daily_revenue_acf": "calendar-day frame (mean + lag windows see days)",
     "benford_price_digits": "9-row digit spine total",
+    # corpus analysis
+    "vocab_coverage_curve": "rank partition offsets (~n_partitions rows)",
 }
 
 

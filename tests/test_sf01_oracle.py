@@ -76,6 +76,9 @@ SENSITIVE = [
     "theilsen_revenue_trend",
     "order_total_reconciliation",
     "benford_price_digits",
+    # corpus-analysis batch (ln folds, rank cuts)
+    "vocab_coverage_curve",
+    "en_distinctive_tokens",
 ]
 
 

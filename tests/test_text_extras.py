@@ -102,3 +102,74 @@ def test_lang_token_entropy_uniform_and_skewed(spark):
     assert out["skew"].entropy_efficiency < 1.0
     assert out["mono"].entropy_nats == 0.0
     assert out["mono"].entropy_efficiency is None
+
+
+def test_vocab_coverage_curve_hand_built(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.text import vocab_coverage_curve
+
+    # counts: the 4, quick 2, fox 1, brown 1  (8 tokens, 4 types)
+    docs = spark.createDataFrame(
+        [(1, "the the quick fox"), (2, "the quick brown"), (3, "the")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.vocab_size: r
+        for r in vocab_coverage_curve(docs, sizes=(1, 2, 3, 8)).collect()
+    }
+    assert rows[1].n_types == 4 and rows[1].n_tokens == 8
+    assert rows[1].covered_tokens == 4  # "the"
+    assert rows[1].coverage == pytest.approx(0.5)
+    assert rows[2].covered_tokens == 6  # + "quick"
+    assert rows[3].covered_tokens == 7  # + "brown" (tie with fox, token asc)
+    assert rows[8].covered_tokens == 8
+    assert rows[8].covered_types == 4  # capped at n_types
+    assert rows[8].coverage == pytest.approx(1.0)
+
+
+def test_distinctive_logodds_matches_python(spark):
+    import math
+
+    from pipeline_pyspark_etl_imdb_spark.operators.text import (
+        distinctive_tokens_logodds,
+    )
+    from pyspark.sql import functions as F
+
+    # group A over-uses "alpha", B over-uses "beta"; "common" is shared
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha common word" if i % 3 else "alpha alpha common", "en"))
+    for i in range(30, 60):
+        rows.append((i, "beta common word" if i % 3 else "beta beta common", "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.token: r
+        for r in distinctive_tokens_logodds(
+            docs, in_group=(F.col("lang") == "en"), top_k=10, min_count=1
+        ).collect()
+    }
+    # recompute in python
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for _, text, lang in rows:
+        (ca if lang == "en" else cb).update(text.split())
+    vocab = set(ca) | set(cb)
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    total = n_a + n_b
+    a0 = 1000.0
+    z = {}
+    for w in vocab:
+        ya, yb = ca[w], cb[w]
+        aw = a0 * (ya + yb) / total
+        delta = math.log((ya + aw) / (n_a + a0 - ya - aw)) - math.log(
+            (yb + aw) / (n_b + a0 - yb - aw)
+        )
+        var = 1 / (ya + aw) + 1 / (yb + aw)
+        z[w] = delta / math.sqrt(var)
+    assert got["alpha"].z_logodds == pytest.approx(z["alpha"], rel=1e-12)
+    assert got["beta"].z_logodds == pytest.approx(z["beta"], rel=1e-12)
+    # alpha is the most en-distinctive, beta the least
+    ordered = sorted(got.values(), key=lambda r: -r.z_logodds)
+    assert ordered[0].token == "alpha"
+    assert z["alpha"] > 0 > z["beta"]

@@ -113,3 +113,62 @@ def test_link_prediction_wedge_stream_is_parallel_and_broadcast(spark):
     from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
 
     release_tracked()
+
+
+def test_local_clustering_hand_built(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        local_clustering_coefficients,
+    )
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    # triangle 1-2-3 plus a pendant 4 attached to 3 and a star center 5
+    # linked to 1 and 4 (no closure)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (1, 5), (4, 5)],
+        "src long, dst long",
+    )
+    try:
+        rows = {r.node: r for r in local_clustering_coefficients(edges).collect()}
+    finally:
+        release_tracked()
+    # node 1: deg 3 (2,3,5), one triangle -> 2*1/(3*2) = 1/3
+    assert rows[1].deg == 3 and rows[1].n_triangles == 1
+    assert rows[1].clustering_coeff == pytest.approx(1 / 3)
+    # node 2: deg 2, in the triangle -> cc 1.0
+    assert rows[2].clustering_coeff == pytest.approx(1.0)
+    # node 5: deg 2 (1,4), 1-4 not an edge -> cc 0.0, still reported
+    assert rows[5].n_triangles == 0 and rows[5].clustering_coeff == 0.0
+    # ordering: cc desc then deg desc then node
+    ordered = local_clustering_coefficients(edges).collect()
+    release_tracked()
+    assert [r.node for r in ordered][0] == 2  # cc=1.0 first
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        degree_assortativity,
+    )
+
+    # star K1,4: hub degree 4, leaves degree 1 -> perfectly disassortative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = degree_assortativity(star).collect()[0]
+    assert got.n_dir_edges == 8
+    assert got.assortativity == pytest.approx(-1.0)
+
+
+def test_degree_assortativity_regular_graph_moments(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        degree_assortativity,
+    )
+
+    # 4-cycle: all degrees 2 -> zero variance, correlation undefined (NaN)
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = degree_assortativity(cyc).collect()[0]
+    import math
+
+    assert got.n_dir_edges == 8
+    assert got.assortativity is None or math.isnan(got.assortativity)

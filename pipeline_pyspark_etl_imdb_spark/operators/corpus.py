@@ -29,15 +29,17 @@ _HEX = "0123456789abcdef"
 HEX_LEVELS = 16**4  # resolution of the md5-derived uniform variate
 
 
-def hex_uniform(hash_col: str, n_chars: int = 4) -> Column:
-    """Integer in [0, 16^n_chars) from the first hex chars of an md5
-    column — the engine-portable uniform variate (instr + integer
-    arithmetic only; identical in Spark SQL and ANSI oracles)."""
+def hex_uniform(hash_col: str, n_chars: int = 4, start: int = 0) -> Column:
+    """Integer in [0, 16^n_chars) from hex chars [start, start+n_chars)
+    of an md5 column — the engine-portable uniform variate (instr +
+    integer arithmetic only; identical in Spark SQL and ANSI oracles).
+    ``start`` lets one 32-hex md5 yield several independent uniforms
+    (e.g. four 8-char variates), amortizing the hash over consumers."""
     # BIGINT arithmetic: with n_chars >= 8 the sum exceeds int32 and
     # Spark's plain INT literals would wrap silently (ANSI off)
     return F.expr(
         " + ".join(
-            f"(CAST(instr('{_HEX}', substring({hash_col}, {i + 1}, 1)) AS BIGINT) - 1)"
+            f"(CAST(instr('{_HEX}', substring({hash_col}, {start + i + 1}, 1)) AS BIGINT) - 1)"
             f" * CAST({16 ** (n_chars - 1 - i)} AS BIGINT)"
             for i in range(n_chars)
         )

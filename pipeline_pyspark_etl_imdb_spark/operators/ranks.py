@@ -39,7 +39,19 @@ def total_order_ranks(
 
     Matches SQL ``row_number() / percent_rank() / cume_dist() / ntile(k)
     OVER (ORDER BY ...)`` exactly when the ordering is tie-free.
+
+    CORRECTNESS PRECONDITION (exchange reuse): the local-rank and
+    offset-table subtrees both consume the range shuffle of ``df``; they
+    agree only because AQE reuses ONE exchange at runtime (range
+    boundaries are re-SAMPLED per execution, so two independent shuffles
+    would disagree and global_rn would come back with gaps and
+    duplicates). A PERSISTED input (InMemoryRelation) blocks that
+    runtime stage reuse — observed corrupting ranks at sf0.1 — so a
+    cached ``df`` is eagerly localCheckpoint'ed here to pin one
+    materialization; uncached inputs pay nothing.
     """
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        df = df.localCheckpoint(eager=True)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -102,7 +114,13 @@ def total_order_prefix_sums(
     ``sum(col) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly
     when the ordering is tie-free and the summands are integers
     (BIGINT arithmetic end to end — float prefix sums would be
-    order-sensitive)."""
+    order-sensitive).
+
+    Same exchange-reuse precondition as total_order_ranks: a persisted
+    input blocks AQE stage reuse and desynchronizes the two shuffles, so
+    cached frames are pinned via localCheckpoint first."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        df = df.localCheckpoint(eager=True)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
         "__pid", F.spark_partition_id()

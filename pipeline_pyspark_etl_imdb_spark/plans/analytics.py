@@ -823,7 +823,16 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = daily.crossJoin(F.broadcast(lo)).select(
         F.datediff(F.col("day"), F.col("__lo")).cast("long").alias("x"), "y"
     )
-    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    # the day frame is an agg output (AQE-coalesced to ~1 partition); the
+    # pair join multiplies its work by n_days, so spread the STREAM side
+    # across cores first — the shuffle moves only the calendar-sized
+    # frame. Keyed (hash) repartition, NOT round-robin: every evaluation
+    # of this subtree must produce identical partition contents, because
+    # the rank selection below re-evaluates it (see the reuse note there).
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya")).repartition(
+        shuffle_n, "xa"
+    )
     b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
         (
@@ -831,9 +840,32 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("xb") - F.col("xa")).cast("double")
         ).alias("slope")
     )
-    med = pairs.agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.expr("percentile(slope, 0.5)").alias("slope_per_day"),
+    # slope median via the DISTRIBUTED total-order rank, not the exact
+    # `percentile` aggregate: percentile buffers a value->count hash map
+    # of the whole pair multiset on the final reducer (measured 22 s on
+    # 2.9M slopes at sf0.1); rank selection range-shuffles once and the
+    # driver holds one integer (the pair count — the narrowing-contract
+    # state shape). Median = mean of the two middle order statistics
+    # ((m+1)//2 and m//2+1 coincide for odd m), identical to
+    # quantile_cont at 0.5.
+    #
+    # DETERMINISM, not cache: total_order_ranks' offsets join depends on
+    # AQE reusing one range exchange across its two subtrees; feeding it
+    # an InMemoryRelation (persist) BLOCKS that runtime stage reuse, the
+    # two shuffles sample different boundaries, and global_rn comes back
+    # with gaps and duplicates (observed at sf0.1). So the pair subtree
+    # stays an uncached deterministic plan (keyed repartition above) and
+    # the count is one cheap extra evaluation of the calendar²-bounded
+    # generator.
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    m = pairs.count()
+    r1, r2 = (m + 1) // 2, m // 2 + 1
+    med = (
+        total_order_ranks(pairs, ["slope"])
+        .where(F.col("global_rn").isin(r1, r2))
+        .agg(F.avg("slope").alias("slope_per_day"))
+        .select(F.lit(m).cast("bigint").alias("n_pairs"), "slope_per_day")
     )
     resid = d.crossJoin(F.broadcast(med)).select(
         "n_pairs",

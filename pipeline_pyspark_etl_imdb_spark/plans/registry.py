@@ -1775,9 +1775,11 @@ QUERIES = {name: QUERIES[name] for name in _head} | {
 
 
 # --- r4 additions (behind the window; rotate into the r5 window) --------
-# Growth deliberately capped well below the 50-slot verification rate
-# (VERDICT r3 item #2): 6 new oracle-backed queries, so the r5 window can
-# clear the full never-checked backlog (10 deferred + these 6 + re-checks).
+# Growth deliberately capped below the 50-slot verification rate (VERDICT
+# r3 item #2). Total never-driver-checked oracle-backed backlog after the
+# r4 window runs: 35 (the 10 _R5_BACKLOG deferrals + 25 r4 additions) —
+# all fit the r5 window with slots left for re-checks of refactor-touched
+# queries (ann_ivf / ann_pq after the struct-min argmin encoding change).
 def _status_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_pyspark_etl_imdb_spark.operators.selection import (
         grouped_exact_iqr_report,

@@ -693,6 +693,7 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "benford_price_digits": "9-row digit spine total",
     # corpus analysis
     "vocab_coverage_curve": "rank partition offsets (~n_partitions rows)",
+    "theilsen_revenue_trend": "rank partition offsets (~n_partitions rows)",
 }
 
 

@@ -77,3 +77,31 @@ def test_large_input_stays_distributed_and_exact(spark):
     assert rows[n - 1].global_rn == n and rows[n - 1].cume == 1.0
     assert rows[n - 1].bucket == 7
     assert rows[n // 2].global_rn == n // 2 + 1
+
+
+def test_total_order_ranks_survives_persisted_input(spark):
+    """Regression: a cached (InMemoryRelation) input used to block AQE's
+    runtime exchange reuse, so the local-rank and offset subtrees saw
+    DIFFERENT range boundaries and global_rn came back with gaps and
+    duplicates. The operator now pins one materialization for cached
+    inputs; ranks must be a gap-free permutation of 1..n."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    base = spark.range(0, 200_000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("v"), F.col("id")
+    )
+    cached = base.persist()
+    try:
+        cached.count()
+        r = total_order_ranks(cached, ["v", "id"])
+        agg = r.agg(
+            F.count("*").alias("n"),
+            F.min("global_rn").alias("mn"),
+            F.max("global_rn").alias("mx"),
+            F.countDistinct("global_rn").alias("nd"),
+        ).collect()[0]
+        assert (agg.n, agg.mn, agg.mx, agg.nd) == (200_000, 1, 200_000, 200_000)
+    finally:
+        cached.unpersist()

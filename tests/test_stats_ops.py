@@ -118,10 +118,12 @@ def test_gini_matches_closed_form(spark):
     assert got.gini == pytest.approx(expect, rel=1e-12)
 
 
-def _md5_uniform(key: str, n_chars: int = 8, offset: float = 0.0) -> float:
+def _md5_uniform(
+    key: str, n_chars: int = 8, offset: float = 0.0, start: int = 0
+) -> float:
     h = hashlib.md5(key.encode()).hexdigest()
     val = 0
-    for ch in h[:n_chars]:
+    for ch in h[start : start + n_chars]:
         val = val * 16 + int(ch, 16)
     return (val + offset) / float(16**n_chars)
 
@@ -143,7 +145,9 @@ def test_bootstrap_ci_matches_python_replay(spark, orders):
     for rep in range(B):
         s = nb = 0
         for rid, c in data:
-            u = _md5_uniform(f"{rid}:{rep}:boot")
+            # block-hash scheme: replicate 4*blk + j reads digest chars
+            # [8j, 8j+8) of md5(id:blk:salt)
+            u = _md5_uniform(f"{rid}:{rep // 4}:boot", start=8 * (rep % 4))
             cnt = 6
             for lvl, cdf in enumerate(POISSON1_CDF):
                 if u < cdf:

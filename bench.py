@@ -26,20 +26,31 @@ from pipeline_pyspark_etl_imdb_spark import get_spark
 from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
 
 
-def _prior_medians() -> dict[str, float]:
+def _prior_medians(known_queries: set[str] | None = None) -> dict[str, float]:
     """Per-query median of prior rounds' recorded timings (BENCH_r*.json
     beside this script) — the anomaly yardstick: a run >2x this median is
-    re-measured in isolation rather than trusted."""
+    re-measured in isolation rather than trusted.
+
+    The driver's record files don't carry a structured ``queries`` map —
+    they embed the bench's one-line JSON (often truncated) in a ``tail``
+    string — so this also regex-scans the raw text for "name": seconds
+    pairs, filtered to the current registry's query names."""
     by_query: dict[str, list[float]] = {}
     for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))):
         try:
             with open(path) as fh:
-                data = json.load(fh)
+                raw = fh.read()
+            data = json.loads(raw)
         except (OSError, json.JSONDecodeError):
             continue
-        for name, sec in (data.get("queries") or {}).items():
+        structured = data.get("queries") or {}
+        for name, sec in structured.items():
             if isinstance(sec, (int, float)) and sec == sec:
                 by_query.setdefault(name, []).append(float(sec))
+        if not structured and known_queries:
+            for name, sec in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', raw):
+                if name in known_queries:
+                    by_query.setdefault(name, []).append(float(sec))
     meds = {}
     for name, vals in by_query.items():
         vals.sort()
@@ -110,7 +121,7 @@ def main() -> None:
     # the minimum is kept. This is the reproducibility guard for session
     # effects (GC/cache pressure from 120 queries sharing one JVM) — the
     # signal of record should reflect the engine, not the neighborhood.
-    meds = _prior_medians()
+    meds = _prior_medians(set(queries))
     for name, fn in sorted(queries.items()):
         best, med = timings.get(name), meds.get(name)
         if best is None or best != best or not med or best <= 2 * med:

@@ -19,11 +19,18 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def release_tracked() -> None:
-    """Unpersist every tracked frame (idempotent, exception-safe)."""
+    """Unpersist every tracked frame (idempotent, exception-safe).
+
+    BLOCKING unpersist, deliberately: the default async release lets
+    block removal land in the MIDDLE of the next query, which showed up
+    as alternating 4 s / 17 s runs of ann_pq in bench.py (the released
+    index cache was being reclaimed while the re-run rebuilt it). Paying
+    the removal synchronously keeps cleanup out of every timed or
+    user-facing region that follows."""
     while _TRACKED:
         df = _TRACKED.pop()
         try:
-            df.unpersist()
+            df.unpersist(True)
         except Exception:
             pass
 

@@ -156,3 +156,163 @@ def test_weighted_median_matches_bruteforce_property(spark, rows):
     got = out[0]
     assert got.weighted_median == want
     assert got.total_weight == W and got.n_rows == len(kept)
+
+
+# --- round-4 session additions: invariant properties ---------------------
+
+
+def test_acf_bounded_and_lag0_identity(spark, tmp_path):
+    """|r_k| <= 1 for all lags on an arbitrary deterministic series (by
+    Cauchy-Schwarz on the global-mean-centered products)."""
+    import datetime as dt
+
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import daily_revenue_acf
+
+    base = dt.date(2022, 3, 1)
+    data = [
+        (
+            dt.datetime.combine(base + dt.timedelta(days=i), dt.time()),
+            float((i * 7919) % 1000) + 0.25 * i,
+        )
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(data, "o_orderdate timestamp, o_totalprice double")
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = daily_revenue_acf(spark, str(tmp_path), max_lag=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r.acf) <= 1.0 + 1e-12
+        assert r.n_pairs == 90 - r.lag
+
+
+def test_theilsen_shift_and_scale_equivariance(spark, tmp_path):
+    """slope(a*y + b) == a*slope(y); intercept follows affinely — the
+    defining equivariance of a median-of-slopes estimator."""
+    import datetime as dt
+
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import (
+        theilsen_revenue_trend,
+    )
+
+    base = dt.date(2022, 1, 1)
+    raw = [float((i * 31) % 17) + 2.0 * i for i in range(40)]
+
+    def write(vals, path):
+        data = [
+            (dt.datetime.combine(base + dt.timedelta(days=i), dt.time()), v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            data, "o_orderdate timestamp, o_totalprice double"
+        )
+        df.write.parquet(str(path / "orders.parquet"))
+
+    p1 = tmp_path / "a"
+    p2 = tmp_path / "b"
+    p1.mkdir()
+    p2.mkdir()
+    write(raw, p1)
+    write([3.0 * v + 100.0 for v in raw], p2)
+    r1 = theilsen_revenue_trend(spark, str(p1)).collect()[0]
+    r2 = theilsen_revenue_trend(spark, str(p2)).collect()[0]
+    assert r2.slope_per_day == pytest.approx(3.0 * r1.slope_per_day, rel=1e-9)
+    assert r2.intercept == pytest.approx(
+        3.0 * r1.intercept + 100.0, rel=1e-9
+    )
+
+
+def test_brier_decomposition_identity_and_bounds(spark):
+    """brier == rel - res + unc + residual EXACTLY (the operator reports
+    the residual rather than assuming it away), and every component is
+    within its theoretical range."""
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        brier_decomposition,
+    )
+
+    rows = [
+        (((i * 131) % 997) / 997.0, 1 if (i * 17) % 5 < 2 else 0)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    g = brier_decomposition(df, "score", "y", n_bins=10).collect()[0]
+    assert 0.0 <= g.brier <= 1.0
+    assert g.reliability >= -1e-12
+    assert g.resolution >= -1e-12
+    assert 0.0 <= g.uncertainty <= 0.25 + 1e-12
+    assert g.brier == pytest.approx(
+        g.reliability - g.resolution + g.uncertainty + g.within_bin_residual,
+        abs=1e-12,
+    )
+
+
+def test_benford_chisq_zero_on_exact_benford_counts(spark):
+    """Feeding counts proportional to log10(1+1/d) drives every chisq
+    term to ~0 — the audit's null case."""
+    import math
+
+    from pipeline_pyspark_etl_imdb_spark.operators.warehouse import (
+        benford_digit_audit,
+    )
+
+    rows = []
+    scale = 100000
+    for d in range(1, 10):
+        n_d = round(scale * math.log10(1 + 1 / d))
+        rows.extend([(float(f"{d}23.45"),)] * n_d)
+    df = spark.createDataFrame(rows, "amt double")
+    out = benford_digit_audit(df, "amt").collect()
+    for r in out:
+        # counts are rounded to integers, so terms are near but not at 0
+        assert r.chisq_term < 0.05
+
+
+def test_assortativity_complete_graph_undefined_star_negative(spark):
+    """K4 is degree-regular (zero variance -> NaN/NULL); a double star
+    (two hubs joined) is assortative between hubs but dominated by
+    hub-leaf edges -> negative."""
+    import math
+
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        degree_assortativity,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    g1 = degree_assortativity(k4).collect()[0]
+    assert g1.assortativity is None or math.isnan(g1.assortativity)
+
+    dstar = [(0, i) for i in range(2, 6)] + [(1, i) for i in range(6, 10)] + [(0, 1)]
+    g2 = degree_assortativity(
+        spark.createDataFrame(dstar, "src long, dst long")
+    ).collect()[0]
+    assert g2.assortativity < 0
+
+
+def test_logodds_symmetry(spark):
+    """Swapping the group indicator negates every z score."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.text import (
+        distinctive_tokens_logodds,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "red apple pie" if i % 2 else "blue sky walk", i % 2))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, g int")
+    a = {
+        r.token: r.z_logodds
+        for r in distinctive_tokens_logodds(
+            docs, in_group=(F.col("g") == 1), top_k=50, min_count=1
+        ).collect()
+    }
+    b = {
+        r.token: r.z_logodds
+        for r in distinctive_tokens_logodds(
+            docs, in_group=(F.col("g") == 0), top_k=50, min_count=1
+        ).collect()
+    }
+    for tok in a:
+        assert a[tok] == pytest.approx(-b[tok], rel=1e-9)

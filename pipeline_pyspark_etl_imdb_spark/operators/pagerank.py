@@ -119,19 +119,28 @@ def pagerank(
     edges_deg.count()  # materialize once, outside the loop
     e_deg0.unpersist()
 
-    def _dangling_mass(r: DataFrame) -> float:
-        # ONE scalar off a checkpointed node frame (np_nodes tasks);
-        # holding it as a driver float removes the per-round in-plan
-        # dangling subtree (a whole stage) from the checkpoint job
-        m = r.where("dang").agg(F.sum("rank").alias("m")).collect()[0]["m"]
-        return (m or 0.0) / n
-
     global last_n_rounds
     last_n_rounds = 0
     ranks = nodes.select("node", "dang", F.lit(1.0 / n).alias("rank"))
-    dm = _dangling_mass(ranks)
-    for _ in range(n_iter):
-        r_src = ranks.select(F.col("node").alias("src"), "rank")
+
+    def _step(r: DataFrame) -> DataFrame:
+        # dangling mass IN-PLAN: `r` is (at round 2+) a checkpointed
+        # LogicalRDD, so referencing it twice — contributions AND the
+        # 1-row dangling aggregate — costs two scans of the NODE-sized
+        # frame, not a recompute; carrying dm as a broadcast scalar frame
+        # removes the per-round driver collect() that used to force one
+        # Spark JOB per iteration (job launch overhead was ~0.5 s/round
+        # of the 10-round fixture's wall time; the whole fixed-count loop
+        # now materializes as ONE lazy checkpoint chain in the final
+        # action).
+        # coalesce: a graph with NO dangling nodes sums over an empty
+        # frame -> NULL, which would NULL-poison every rank downstream
+        dmf = r.where("dang").agg(
+            (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias(
+                "__dm"
+            )
+        )
+        r_src = r.select(F.col("node").alias("src"), "rank")
         if bcast:
             r_src = F.broadcast(r_src)
         contribs = (
@@ -143,29 +152,33 @@ def pagerank(
         c_side = contribs.select(F.col("dst").alias("node"), "contrib")
         if bcast:
             c_side = F.broadcast(c_side)
-        new_ranks = (
+        return (
             nodes.join(c_side, "node", "left")
+            .crossJoin(F.broadcast(dmf))
             .select(
                 "node",
                 "dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("__dm"))
                 ).alias("rank"),
             )
         )
+
+    for _ in range(n_iter):
         old = ranks
-        # LAZY checkpoint: the dangling-mass aggregate right below is the
-        # first action, so materialization and the dm scalar share ONE
-        # job instead of paying separate eager-checkpoint + agg barriers
-        ranks = new_ranks.localCheckpoint(eager=False)
-        dm = _dangling_mass(ranks)
+        # LAZY checkpoint: no per-round action in the fixed-count regime —
+        # the chain materializes when the caller's action (or the tol
+        # delta below) runs; each checkpoint truncates lineage so round
+        # N's Catalyst plan stays O(1)
+        ranks = _step(ranks).localCheckpoint(eager=False)
         last_n_rounds += 1
         converged = False
         if tol is not None:
             # both frames are checkpointed node-keyed rows (n small vs
-            # edges); one broadcast-able join + scalar max per round
+            # edges); one broadcast-able join + scalar max per round —
+            # the tol regime keeps the per-round action by necessity
             o_side = old.select("node", F.col("rank").alias("__old"))
             if bcast:
                 o_side = F.broadcast(o_side)
@@ -176,13 +189,18 @@ def pagerank(
                 .d
             )
             converged = delta is not None and delta < tol
-        if old is not nodes:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+            if old is not nodes:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
         if converged:
             break
+    # ONE action materializes the whole lazy checkpoint chain (every
+    # round's stages inside one job) — and it must run BEFORE the edge
+    # and node caches are released, or the chain would rebuild the edge
+    # subtree from the caller's plan once per round
+    ranks.count()
     edges_deg.unpersist()
     nodes0.unpersist()
     return ranks.select("node", "rank")

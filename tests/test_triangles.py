@@ -172,3 +172,38 @@ def test_degree_assortativity_regular_graph_moments(spark):
 
     assert got.n_dir_edges == 8
     assert got.assortativity is None or math.isnan(got.assortativity)
+
+
+def test_degree_ordered_orientation_matches_id_order(spark):
+    """Both orientations must produce the identical per-node triangle
+    counts — orientation changes which join row surfaces a triangle,
+    never the triangle set. Star-of-cliques graph exercises real skew."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        _closed_triangles,
+    )
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    # hub 0 linked to every node of two disjoint triangles + a pendant
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]
+    edges += [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+
+    def counts(degree_ordered):
+        tri, _d, _s = _closed_triangles(df, 5_000_000, degree_ordered)
+        out = (
+            tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        release_tracked()
+        return {r.node: r.n for r in out}
+
+    a, b = counts(False), counts(True)
+    assert a == b
+    # hub 0 forms one triangle per edge among its neighbors: 6 edges
+    assert a[0] == 6
+    # clique corners: 1 clique triangle + 2 hub triangles each
+    assert a[1] == a[4] == 3

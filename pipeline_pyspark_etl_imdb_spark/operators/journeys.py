@@ -305,3 +305,114 @@ def type_kgrams(
         .orderBy(F.desc("n_occurrences"), F.asc("kgram"))
         .limit(top)
     )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-row empirical entropy rate of the first-order event-type
+    Markov chain — H = -sum_ij (n_ij / N) ln(n_ij / n_i.) — the
+    predictability ceiling of user behavior (ln|types| = uniform noise,
+    0 = deterministic loops; the number a sequence model's loss is
+    bounded by). Reported with the normalized ratio against ln(n_states).
+
+    Shape: the same ONE user-keyed lag window as type_transitions, a
+    |types|^2-bounded transition groupBy, a PARTITIONED from-type
+    marginal window, and a constant-size fold — no partition-less window
+    anywhere (the total arrives by broadcast cross join)."""
+    w = Window.partitionBy("user_id").orderBy("us", id_col)
+    pairs = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(id_col),
+            F.col(type_col).alias("to_type"),
+            ts_micros(events).alias("us"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    with_marg = counts.withColumn("n_from", F.sum("n").over(wt))
+    # "__total", not "N": Spark resolves case-insensitively by default,
+    # so an "N" column would collide with the per-transition "n"
+    tot = with_marg.agg(
+        F.sum("n").cast("bigint").alias("__total"),
+        F.countDistinct("from_type").cast("bigint").alias("n_states"),
+    )
+    j = with_marg.crossJoin(F.broadcast(tot))
+    term = (
+        F.col("n").cast("double") / F.col("__total").cast("double")
+    ) * F.log(F.col("n").cast("double") / F.col("n_from").cast("double"))
+    return j.agg(
+        F.first("__total").alias("n_transitions"),
+        F.first("n_states").alias("n_states"),
+        (-F.sum(term)).alias("entropy_rate_nats"),
+        (
+            -F.sum(term)
+            / F.log(F.first("n_states").cast("double"))
+        ).alias("normalized_entropy"),
+    )
+
+
+def user_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-row Goh-Barabasi burstiness summary of per-user inter-arrival
+    times: B = (sigma - mu) / (sigma + mu) per user (population sigma
+    over the user's gaps), -1 = clockwork, 0 = Poisson, ->1 = bursty.
+    The activity-pattern diagnostic that decides whether rate limits and
+    session windows are sized for humans or for schedulers.
+
+    Only users with >= 2 gaps contribute (a single gap has sigma 0 and
+    would pin B to -1 by construction, not by behavior). Exactness:
+    per-user gap sums in integer microseconds, squared sums in
+    DECIMAL(38,0) (a month-long gap squared overflows int64); the
+    user-level fold is population-sized doubles, cuped_report's
+    convention. Shape: one user-keyed lag window + two partial-agg
+    group-bys."""
+    w = Window.partitionBy("user_id").orderBy("us", id_col)
+    gaps = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(id_col),
+            ts_micros(events).alias("us"),
+        )
+        .withColumn("gap", (F.col("us") - F.lag("us").over(w)).cast("bigint"))
+        .where(F.col("gap").isNotNull())
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("s"),
+            F.sum(
+                F.col("gap").cast("decimal(38,0)")
+                * F.col("gap").cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    ng = F.col("n_gaps").cast("double")
+    mu = F.col("s").cast("double") / ng
+    var = F.col("ss").cast("double") / ng - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = (sigma - mu) / (sigma + mu)
+    scored = per_user.select(b.alias("b"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.avg("b").alias("mean_burstiness"),
+        F.min("b").alias("min_burstiness"),
+        F.max("b").alias("max_burstiness"),
+        (
+            F.sum(F.when(F.col("b") > 0, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("share_bursty"),
+    )

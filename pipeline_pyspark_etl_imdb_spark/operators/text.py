@@ -1112,3 +1112,49 @@ def distinctive_tokens_logodds(
         .orderBy(F.desc("z_logodds"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low: float = 0.30,
+    high: float = 1.05,
+) -> DataFrame:
+    """Per-doc zlib compression ratio — the Gopher/RefinedWeb-family
+    repetition filter the regex batteries can't replace: templated or
+    looping text compresses far below natural language (ratio < ~0.3),
+    while already-compressed or binary-ish payloads refuse to shrink
+    (> ~1.0). Output: (doc_id, raw_bytes, compressed_bytes, ratio,
+    keep_flag) with keep = low <= ratio <= high.
+
+    zlib level 6 over UTF-8 bytes is deterministic for a given zlib, but
+    NOT SQL-expressible — rows-only exposure, pinned against direct
+    zlib.compress in tests. Arrow-batched mapInPandas (never per-row
+    Python); map-only, fuses into the scan at any scale."""
+
+    def _sizes(batches):
+        import zlib
+
+        for pdf in batches:
+            enc = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            pdf = pdf[[id_col]].copy()
+            pdf["raw_bytes"] = [len(b) for b in enc]
+            pdf["compressed_bytes"] = [len(zlib.compress(b, 6)) for b in enc]
+            yield pdf
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        _sizes,
+        schema=f"{id_col} long, raw_bytes bigint, compressed_bytes bigint",
+    )
+    ratio = F.when(
+        F.col("raw_bytes") > 0,
+        F.col("compressed_bytes").cast("double") / F.col("raw_bytes").cast("double"),
+    )
+    return out.select(
+        id_col,
+        "raw_bytes",
+        "compressed_bytes",
+        ratio.alias("ratio"),
+        ((ratio >= low) & (ratio <= high)).alias("keep_flag"),
+    ).orderBy(id_col)

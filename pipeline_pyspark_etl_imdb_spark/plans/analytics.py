@@ -878,3 +878,46 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_days"),
         F.expr("percentile(__r, 0.5)").alias("intercept"),
     ).select("n_days", "n_pairs", "slope_per_day", "intercept")
+
+
+def parttype_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each part type — HHI = sum_s share_s^2 (1/n = perfectly split, 1.0 =
+    single-supplier) — the supply-risk screen: a type whose revenue
+    concentrates in one supplier is a procurement single point of
+    failure. Since HHI = sum(rev^2) / (sum rev)^2, one partial-agg
+    groupBy per level suffices; revenue stays DECIMAL through both
+    aggregations (order-independent), and only the final ratio divides
+    as double. Output per type: n_suppliers, total revenue, hhi,
+    effective_suppliers (1/hhi), ordered by hhi desc."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    rev = (
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(4,2)")
+                        - F.col("l_discount").cast("decimal(4,2)")
+                    )
+                )
+            ).alias("rev")
+        )
+    )
+    out = rev.groupBy("p_type").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev").alias("__tot"),
+        F.sum(F.col("rev") * F.col("rev")).alias("__ssq"),
+    )
+    tot = F.col("__tot").cast("double")
+    hhi = F.col("__ssq").cast("double") / (tot * tot)
+    return out.select(
+        "p_type",
+        "n_suppliers",
+        tot.alias("total_revenue"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_suppliers"),
+    ).orderBy(F.desc("hhi"), F.asc("p_type"))

@@ -1677,6 +1677,8 @@ ROWS_ONLY: tuple[str, ...] = (
     "unigram_lm_vocab",
     "quality_isotonic_calibration",
     "kcenter_diversity_picks",
+    # zlib is not SQL-expressible; pinned against direct zlib.compress
+    "doc_compression_ratio",
 )
 
 
@@ -2040,3 +2042,47 @@ def _en_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["vocab_coverage_curve"] = _vocab_coverage_curve
 QUERIES["en_distinctive_tokens"] = _en_distinctive_tokens
+
+
+# --- behavior-dynamics + concentration + gains batch (r4, final) ---------
+def _event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import journeys
+
+    return journeys.markov_entropy_rate(_events(spark, sf_dir))
+
+
+def _user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import journeys
+
+    return journeys.user_burstiness(_events(spark, sf_dir))
+
+
+def _parttype_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.parttype_supplier_hhi(spark, sf_dir)
+
+
+def _quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators import evalmetrics
+
+    return evalmetrics.decile_lift_table(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            text_ops.quality_expr(F.col("text")).alias("quality"),
+            (F.col("lang") == "en").alias("is_en"),
+        ),
+        "quality",
+        "is_en",
+        "doc_id",
+        n_tiles=10,
+    )
+
+
+def _doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.compression_ratio(_docs(spark, sf_dir))
+
+
+QUERIES["event_entropy_rate"] = _event_entropy_rate
+QUERIES["user_burstiness"] = _user_burstiness
+QUERIES["parttype_supplier_hhi"] = _parttype_supplier_hhi
+QUERIES["quality_decile_lift"] = _quality_decile_lift
+QUERIES["doc_compression_ratio"] = _doc_compression_ratio

@@ -694,6 +694,7 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     # corpus analysis
     "vocab_coverage_curve": "rank partition offsets (~n_partitions rows)",
     "theilsen_revenue_trend": "rank partition offsets (~n_partitions rows)",
+    "quality_decile_lift": "rank offsets + n_tiles-row gains cumsum",
 }
 
 

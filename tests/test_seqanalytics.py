@@ -234,3 +234,126 @@ def test_seasonal_decomposition_catches_spike_not_weekday_dip(spark, tmp_path):
     # the spike day carries a large positive residual
     spike = (base + datetime.timedelta(days=30)).isoformat()
     assert out[spike].residual > 300.0
+
+
+def test_markov_entropy_rate_hand_built(spark):
+    import math
+
+    from pipeline_pyspark_etl_imdb_spark.operators.journeys import (
+        markov_entropy_rate,
+    )
+
+    # user 1: deterministic a->b->a->b (entropy 0); user 2: a->a->b from a
+    rows = []
+    for i, t in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append((1, i, t))
+    for i, t in enumerate(["a", "a", "b", "a", "a", "b"]):
+        rows.append((2, 100 + i, t))
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [(u, e, t, base + dt.timedelta(seconds=e)) for u, e, t in rows],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    got = markov_entropy_rate(df).collect()[0]
+    # transitions: u1: ab,ba,ab,ba ; u2: aa,ab,ba,aa,ab
+    # counts: a->b:4, b->a:3, a->a:2 ; from a:6, from b:3 ; N=9
+    n = {("a", "b"): 4, ("b", "a"): 3, ("a", "a"): 2}
+    n_from = {"a": 6, "b": 3}
+    N = 9
+    h = -sum((c / N) * math.log(c / n_from[f]) for (f, _t), c in n.items())
+    assert got.n_transitions == N and got.n_states == 2
+    assert got.entropy_rate_nats == pytest.approx(h, rel=1e-12)
+    assert got.normalized_entropy == pytest.approx(h / math.log(2), rel=1e-12)
+
+
+def test_burstiness_clockwork_and_bursty(spark):
+    import datetime as dt
+
+    from pipeline_pyspark_etl_imdb_spark.operators.journeys import user_burstiness
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    # user 1: perfectly periodic (sigma=0 -> B=-1)
+    for i in range(5):
+        rows.append((1, i, base + dt.timedelta(seconds=10 * i)))
+    # user 2: gaps 1s,1s,1000s -> bursty (B>0? mu=334, sigma~471 -> B>0)
+    for i, s in enumerate([0, 1, 2, 1002]):
+        rows.append((2, 100 + i, base + dt.timedelta(seconds=s)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = user_burstiness(df).collect()[0]
+    assert got.n_users == 2
+    assert got.min_burstiness == pytest.approx(-1.0)
+    assert got.max_burstiness > 0
+    assert got.share_bursty == pytest.approx(0.5)
+
+
+def test_hhi_extremes(spark, tmp_path):
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import (
+        parttype_supplier_hhi,
+    )
+
+    li = spark.createDataFrame(
+        # type via part join below; monopoly part 1, even-split part 2
+        [
+            (1, 1, 10, 100.0, 0.0),
+            (2, 1, 10, 50.0, 0.0),
+            (3, 2, 20, 30.0, 0.0),
+            (4, 2, 21, 30.0, 0.0),
+            (5, 2, 22, 30.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "MONO TYPE"), (2, "SPLIT TYPE")], "p_partkey long, p_type string"
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    rows = {r.p_type: r for r in parttype_supplier_hhi(spark.sparkContext and spark, str(tmp_path)).collect()}
+    assert rows["MONO TYPE"].hhi == pytest.approx(1.0)
+    assert rows["MONO TYPE"].n_suppliers == 1
+    assert rows["SPLIT TYPE"].hhi == pytest.approx(1 / 3)
+    assert rows["SPLIT TYPE"].effective_suppliers == pytest.approx(3.0)
+
+
+def test_decile_lift_perfect_separation(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        decile_lift_table,
+    )
+
+    # 100 rows, top-20 scores are the only positives -> tiles 1-2 capture all
+    rows = [(i, 100.0 - i, 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    t = {r.tile: r for r in decile_lift_table(df, "score", "y", "id").collect()}
+    assert t[1].n == 10 and t[1].n_pos == 10
+    assert t[1].lift == pytest.approx(5.0)  # 1.0 / 0.2 base
+    assert t[2].cum_capture == pytest.approx(1.0)
+    assert t[3].n_pos == 0 and t[10].cum_capture == pytest.approx(1.0)
+
+
+def test_compression_ratio_pinned_against_zlib(spark):
+    import zlib
+
+    from pipeline_pyspark_etl_imdb_spark.operators.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 500),          # highly repetitive -> tiny ratio
+            (2, "Analytics engines trade memory for parallelism whenever shuffles dominate the plan, because every exchange writes sorted runs to disk before reducers fetch them; careful partitioning, broadcast dimensions, and salted keys keep those transfers bounded while adaptive execution repairs skew at runtime."),
+            (3, ""),                      # empty -> NULL ratio, no div0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for did, text in [(1, "spam " * 500), (2, "Analytics engines trade memory for parallelism whenever shuffles dominate the plan, because every exchange writes sorted runs to disk before reducers fetch them; careful partitioning, broadcast dimensions, and salted keys keep those transfers bounded while adaptive execution repairs skew at runtime.")]:
+        b = text.encode("utf-8")
+        assert rows[did].raw_bytes == len(b)
+        assert rows[did].compressed_bytes == len(zlib.compress(b, 6))
+        assert rows[did].ratio == pytest.approx(
+            len(zlib.compress(b, 6)) / len(b), rel=1e-12
+        )
+    assert rows[1].ratio < 0.05 and rows[1].keep_flag is False
+    assert rows[2].keep_flag is True
+    assert rows[3].ratio is None and rows[3].keep_flag is None

@@ -79,6 +79,11 @@ SENSITIVE = [
     # corpus-analysis batch (ln folds, rank cuts)
     "vocab_coverage_curve",
     "en_distinctive_tokens",
+    # behavior-dynamics + concentration + gains batch
+    "event_entropy_rate",
+    "user_burstiness",
+    "parttype_supplier_hhi",
+    "quality_decile_lift",
 ]
 
 

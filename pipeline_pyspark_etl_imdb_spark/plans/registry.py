@@ -1779,9 +1779,11 @@ QUERIES = {name: QUERIES[name] for name in _head} | {
 # --- r4 additions (behind the window; rotate into the r5 window) --------
 # Growth deliberately capped below the 50-slot verification rate (VERDICT
 # r3 item #2). Total never-driver-checked oracle-backed backlog after the
-# r4 window runs: 35 (the 10 _R5_BACKLOG deferrals + 25 r4 additions) —
-# all fit the r5 window with slots left for re-checks of refactor-touched
-# queries (ann_ivf / ann_pq after the struct-min argmin encoding change).
+# r4 window runs: 39 (the 10 _R5_BACKLOG deferrals + 29 r4 additions) —
+# all fit the r5 window with ~10 slots left for re-checks of
+# refactor-touched queries (ann_ivf / ann_pq after the struct-min argmin
+# encoding change; order_price_bootstrap_ci after the block-hash change).
+# This is the round's HARD CAP on oracle-backed additions.
 def _status_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_pyspark_etl_imdb_spark.operators.selection import (
         grouped_exact_iqr_report,

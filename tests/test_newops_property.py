@@ -316,3 +316,98 @@ def test_logodds_symmetry(spark):
     }
     for tok in a:
         assert a[tok] == pytest.approx(-b[tok], rel=1e-9)
+
+
+def test_entropy_rate_bounds_on_arbitrary_stream(spark):
+    """0 <= H <= ln(n_states) for any event stream (normalized in [0,1])."""
+    import datetime as dt
+
+    from pipeline_pyspark_etl_imdb_spark.operators.journeys import (
+        markov_entropy_rate,
+    )
+
+    base = dt.datetime(2021, 6, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i % 7, i, types[(i * i + 3 * i) % 4], base + dt.timedelta(seconds=i))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    g = markov_entropy_rate(df).collect()[0]
+    assert 0.0 <= g.entropy_rate_nats
+    assert 0.0 <= g.normalized_entropy <= 1.0 + 1e-12
+
+
+def test_burstiness_always_in_unit_interval(spark):
+    """B in [-1, 1] by construction for every user mix."""
+    import datetime as dt
+
+    from pipeline_pyspark_etl_imdb_spark.operators.journeys import user_burstiness
+
+    base = dt.datetime(2021, 6, 1)
+    rows = []
+    eid = 0
+    for u in range(20):
+        t = 0
+        for i in range(3 + u % 5):
+            t += 1 + ((u * 37 + i * i * 13) % 1000)
+            rows.append((u, eid, base + dt.timedelta(seconds=t)))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    g = user_burstiness(df).collect()[0]
+    assert -1.0 - 1e-12 <= g.min_burstiness
+    assert g.max_burstiness <= 1.0 + 1e-12
+    assert 0.0 <= g.share_bursty <= 1.0
+
+
+def test_hhi_bounds_and_effective_suppliers(spark, tmp_path):
+    """1/n <= HHI <= 1 and 1 <= effective_suppliers <= n for every type."""
+    from pipeline_pyspark_etl_imdb_spark.plans.analytics import (
+        parttype_supplier_hhi,
+    )
+
+    li_rows = []
+    for k in range(60):
+        li_rows.append(
+            (k, 1 + k % 4, 10 + (k * k) % 7, 10.0 + (k * 31) % 500, 0.05)
+        )
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "A T"), (2, "B T"), (3, "C T"), (4, "D T")],
+        "p_partkey long, p_type string",
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    for r in parttype_supplier_hhi(spark, str(tmp_path)).collect():
+        assert 1.0 / r.n_suppliers - 1e-12 <= r.hhi <= 1.0 + 1e-12
+        assert 1.0 - 1e-9 <= r.effective_suppliers <= r.n_suppliers + 1e-9
+
+
+def test_decile_lift_conservation_and_monotone_capture(spark):
+    """Tiles partition the population; cum_capture is monotone to 1.0;
+    population-weighted lift averages to 1."""
+    from pipeline_pyspark_etl_imdb_spark.operators.evalmetrics import (
+        decile_lift_table,
+    )
+
+    rows = [
+        (i, ((i * 131) % 997) / 997.0, 1 if (i * 7) % 3 == 0 else 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, y int")
+    t = sorted(
+        decile_lift_table(df, "score", "y", "id").collect(), key=lambda r: r.tile
+    )
+    assert sum(r.n for r in t) == 500
+    assert sum(r.n_pos for r in t) == sum(y for _, _, y in rows)
+    caps = [r.cum_capture for r in t]
+    assert all(a <= b + 1e-12 for a, b in zip(caps, caps[1:]))
+    assert caps[-1] == pytest.approx(1.0)
+    wavg_lift = sum(r.lift * r.n for r in t) / 500
+    assert wavg_lift == pytest.approx(1.0, rel=1e-9)

@@ -125,3 +125,74 @@ def dedup_canonical(
     return clustered.where(F.col(id_col) == F.col("component")).select(
         id_col, "component"
     )
+
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    broadcast_max_nodes: int = 2_000_000,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    with a DETERMINISTIC update rule: each round every node adopts the
+    neighbor label with the highest count, ties broken by the SMALLEST
+    label — integer-only arithmetic, so the fixed-round result is
+    engine-exact and Python-replayable (tests pin it). Labels start as
+    node ids; after ``n_iter`` rounds (node, community) is returned.
+    Complements connected components (structure only) and k-core
+    (density only): LPA finds dense sub-regions inside one component.
+
+    Physical shape per round (the pagerank loop discipline):
+    - the (node, label) frame joins the STATIC symmetrized adjacency —
+      broadcast while the node frame fits the budget, so the edge
+      partitions never move;
+    - one partial-aggregated groupBy (node, neighbor_label) then the
+      per-node argmax as a max over the orderable (count, -label)
+      struct — map-side combine on both, bytes per (node, label) pair;
+    - localCheckpoint truncates lineage each round; the loop builds the
+      same lazy chain as pagerank and ONE action materializes it before
+      the adjacency cache releases.
+
+    The adjacency is symmetrized from a canonical (src < dst) edge list
+    (both directions) so propagation is undirected."""
+    spark = edges.sparkSession
+    adj = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .persist()
+    )
+    n = adj.select("node").distinct().count()
+    bcast = n <= broadcast_max_nodes
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    np_edges = max(4, min(shuffle_n, adj.count() // 200_000 + 1))
+    adj_p = adj.repartition(np_edges, "nbr").persist()
+    adj_p.count()
+    adj.unpersist()
+
+    labels = adj_p.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        l_side = labels.select(F.col("node").alias("nbr"), "label")
+        if bcast:
+            l_side = F.broadcast(l_side)
+        votes = (
+            adj_p.join(l_side, "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        new_labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c").alias("c"), (-F.col("label")).alias("neg"))
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.neg")).alias("label"))
+        )
+        labels = new_labels.localCheckpoint(eager=False)
+    labels.count()
+    adj_p.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

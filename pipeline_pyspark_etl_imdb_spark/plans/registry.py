@@ -1679,6 +1679,8 @@ ROWS_ONLY: tuple[str, ...] = (
     "kcenter_diversity_picks",
     # zlib is not SQL-expressible; pinned against direct zlib.compress
     "doc_compression_ratio",
+    # fixed-round synchronous LPA; Python replay pinned in tests
+    "copurchase_communities",
 )
 
 
@@ -2088,3 +2090,22 @@ QUERIES["user_burstiness"] = _user_burstiness
 QUERIES["parttype_supplier_hhi"] = _parttype_supplier_hhi
 QUERIES["quality_decile_lift"] = _quality_decile_lift
 QUERIES["doc_compression_ratio"] = _doc_compression_ratio
+
+
+# --- LPA communities (rows-only: fixed-round iterative; Python-pinned) ---
+def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        label_propagation,
+    )
+
+    return label_propagation(
+        triangles.cooccurrence_edges(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+                F.col("l_partkey") % 4 == 0
+            )
+        ),
+        n_iter=5,
+    ).orderBy("node")
+
+
+QUERIES["copurchase_communities"] = _copurchase_communities

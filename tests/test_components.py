@@ -49,3 +49,55 @@ def test_deep_graph_raises_instead_of_wrong_answer(spark):
     )
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(edges, max_iter=5)
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Fixed-round synchronous LPA with (count desc, label asc) ties must
+    equal the identical pure-Python replay — two cliques joined by one
+    bridge edge resolve to two communities."""
+    from collections import Counter
+
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        label_propagation,
+    )
+
+    # cliques {0,1,2,3} and {10,11,12,13}, bridge 3-10
+    edges = []
+    for grp in ([0, 1, 2, 3], [10, 11, 12, 13]):
+        for i, a in enumerate(grp):
+            for b in grp[i + 1:]:
+                edges.append((a, b))
+    edges.append((3, 10))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    n_iter = 5
+    got = {r.node: r.community for r in label_propagation(df, n_iter).collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    assert got == labels
+    # the two cliques end in different communities
+    assert len({got[v] for v in (0, 1, 2)}) == 1
+    assert len({got[v] for v in (11, 12, 13)}) == 1
+    assert got[0] != got[11]
+
+
+def test_label_propagation_rows_cover_all_nodes(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        label_propagation,
+    )
+
+    path = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    out = label_propagation(df, n_iter=3).collect()
+    assert len(out) == 31
+    assert {r.node for r in out} == set(range(31))

@@ -1257,8 +1257,16 @@ QUERIES: dict[str, QueryFn] = {
         _docs(s, d), ["vector", "hash", "merge"], k=20
     ),
     # embedding compression battery — oracle-backed: symmetric int8 codes
-    # + reconstruction MSE, and Matryoshka dim-truncation retrieval recall
-    "embedding_int8_quantize": lambda s, d: quantize.int8_quantize(_emb(s, d)),
+    # + reconstruction MSE, and Matryoshka dim-truncation retrieval recall.
+    # Driver-facing shape is EXPLODED to scalar rows (vec_id, dim_idx,
+    # code, mse) — the driver's canonicalizer cannot sort array cells
+    # (media_features precedent, ROUND2_NOTES.md); the array-form
+    # operator API is unchanged for library callers.
+    "embedding_int8_quantize": lambda s, d: quantize.int8_quantize(_emb(s, d))
+    .select(
+        "vec_id", F.posexplode("qvec").alias("dim_idx", "code"), "mse"
+    )
+    .withColumn("dim_idx", F.col("dim_idx").cast("int")),
     "matryoshka_recall16": lambda s, d: quantize.matryoshka_recall(
         _emb(s, d), trunc_dim=16, k=5, query_ids=KNN_QUERY_IDS
     ),
@@ -1592,9 +1600,13 @@ QUERIES: dict[str, QueryFn] = {
     "quality_token_budget": lambda s, d: corpus.select_to_token_budget(
         _docs(s, d), token_budget=20_000
     ),
+    # driver-facing shape exploded to scalar (vec_id, dim_idx, value)
+    # rows — same media_features precedent as embedding_int8_quantize
     "embedding_jl_projection": lambda s, d: quantize.jl_project(
         _emb(s, d), in_dim=64, out_dim=16
-    ),
+    )
+    .select("vec_id", F.posexplode("projection").alias("dim_idx", "value"))
+    .withColumn("dim_idx", F.col("dim_idx").cast("int")),
     "kcenter_diversity_picks": lambda s, d: diversity.kcenter_select(
         _emb(s, d), k=8
     ),

@@ -757,3 +757,43 @@ def test_no_unbounded_partitionless_windows_anywhere(spark):
     # a whitelist entry whose window disappeared is stale — prune it so
     # the audit stays truthful
     assert not stale_whitelist, f"stale whitelist entries: {sorted(stale_whitelist)}"
+
+
+def test_all_driver_facing_output_schemas_atomic(spark):
+    """Every registry query must emit only atomic driver-facing columns.
+
+    The driver's pandas canonicalizer sorts the result frame before
+    hashing and cannot factorize list/dict cells — an ArrayType (or Map/
+    Struct/Binary) output column is guaranteed to go red at the signal
+    of record even when every value is correct (r1 media_features, r4
+    embedding_int8_quantize / embedding_jl_projection all failed this
+    exact way). Schema construction needs no data, so this walks all
+    registry plans at sf0.001 and asserts every output field is atomic.
+    Array-form operator APIs stay available to library callers; only the
+    registered driver-facing shape must be exploded/encoded to scalars.
+    """
+    from pyspark.sql import types as T
+
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    non_atomic = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        try:
+            schema = fn(spark, sf).schema
+        finally:
+            release_tracked()
+            spark.catalog.clearCache()
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, non_atomic)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "queries shipping non-atomic columns to the driver (explode to "
+        f"scalar rows — media_features precedent): {offenders}"
+    )

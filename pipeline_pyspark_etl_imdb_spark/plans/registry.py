@@ -1343,9 +1343,10 @@ QUERIES: dict[str, QueryFn] = {
         "is_en",
         [0.4, 0.5, 0.6, 0.7],
     ),
-    # k-core of the part co-purchase graph — iterative peel, not
-    # SQL-expressible (rows-only); Python-reference-pinned in
-    # tests/test_kcore.py
+    # k-core of the part co-purchase graph — integer-only synchronous
+    # peel, oracle-backed via 50 unrolled live-set refinement rounds
+    # (the Spark operator's max_iter contract); also Python-reference-
+    # pinned in tests/test_kcore.py
     "copurchase_k_core": lambda s, d: kcore.k_core(
         triangles.cooccurrence_edges(s.read.parquet(f"{d}/lineitem.parquet")),
         k=80,
@@ -1473,7 +1474,7 @@ QUERIES: dict[str, QueryFn] = {
         _events(s, d), censor_window_s=6 * 3600
     ),
     # PAV isotonic calibration of the quality score against is-English
-    # (rows-only: the pooling loop is not one SQL query; Python-pinned)
+    # (oracle-backed via the PAV = minimax identity; Python-pinned too)
     "quality_isotonic_calibration": lambda s, d: evalmetrics.isotonic_calibration(
         _docs(s, d).select(
             text_ops.quality_expr(F.col("text")).alias("quality"),
@@ -1681,18 +1682,14 @@ ROWS_ONLY: tuple[str, ...] = (
     "semdedup_kmeans",
     "bpe_merge_table",
     "bpe_token_counts",
-    "copurchase_k_core",
     "pack_best_fit_assignment",
     "media_ahash_values",
     "media_audio_fingerprints",
     "bpe_doc_token_budget",
     "unigram_lm_vocab",
-    "quality_isotonic_calibration",
     "kcenter_diversity_picks",
     # zlib is not SQL-expressible; pinned against direct zlib.compress
     "doc_compression_ratio",
-    # fixed-round synchronous LPA; Python replay pinned in tests
-    "copurchase_communities",
 )
 
 
@@ -2104,7 +2101,9 @@ QUERIES["quality_decile_lift"] = _quality_decile_lift
 QUERIES["doc_compression_ratio"] = _doc_compression_ratio
 
 
-# --- LPA communities (rows-only: fixed-round iterative; Python-pinned) ---
+# --- LPA communities (oracle-backed: the integer-only update rule makes
+# the fixed-round result engine-exact — 5 unrolled rounds in SQL; also
+# Python-replay pinned) ---
 def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_pyspark_etl_imdb_spark.operators.components import (
         label_propagation,

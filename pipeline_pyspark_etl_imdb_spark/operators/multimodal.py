@@ -488,6 +488,15 @@ def media_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     undecodable payloads drop out (the dead-letter contract the fake
     decoder established). Output: (media_id, ahash).
 
+    INTEGER-EXACT threshold rule: the bit comparison
+    ``block_mean >= mean(block_means)`` is evaluated in scaled integer
+    arithmetic — v_b = sum3_b * (D / cnt_b) with sum3 the per-block sum
+    of (b+g+r) and D any common multiple of the block pixel counts, so
+    bit_b = (n_bits * v_b >= sum(v)). Mathematically identical to the
+    float rule (the inequality is scale-invariant), but with NO float
+    rounding anywhere, so the hash is engine-exact and the DuckDB
+    oracle can reproduce it bit-for-bit from the raw payload bytes.
+
     Arrow-batched mapInPandas, map-only — the payload column never
     shuffles; only (id, 8-byte hash) rows leave the scan stage. Grouping
     on the hash afterwards is a uniform-key groupBy (the same shape as
@@ -505,17 +514,23 @@ def media_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
                     continue
                 w, h, pix = decoded
                 a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
-                gray = a.astype(np.float64).mean(axis=2)
-                # block-mean pooling to hash_size x hash_size: bin index
+                gray3 = a.astype(np.int64).sum(axis=2)  # b+g+r, exact
+                # block pooling to hash_size x hash_size: bin index
                 # floor(coord * hash_size / dim) — exact for any w, h
                 ys = (np.arange(h) * hash_size) // h
                 xs = (np.arange(w) * hash_size) // w
-                sums = np.zeros((hash_size, hash_size))
-                cnts = np.zeros((hash_size, hash_size))
-                np.add.at(sums, (ys[:, None], xs[None, :]), gray)
-                np.add.at(cnts, (ys[:, None], xs[None, :]), 1.0)
-                blocks = sums / np.maximum(cnts, 1.0)
-                bits = (blocks >= blocks.mean()).flatten()
+                sums3 = np.zeros((hash_size, hash_size), dtype=np.int64)
+                cnts = np.zeros((hash_size, hash_size), dtype=np.int64)
+                np.add.at(sums3, (ys[:, None], xs[None, :]), gray3)
+                np.add.at(cnts, (ys[:, None], xs[None, :]), 1)
+                # common multiple of the (<= 4 distinct, each <= 32)
+                # nonzero counts; empty blocks stay exactly 0, matching
+                # the float rule's sums/max(cnt,1) = 0
+                D = 1
+                for c in np.unique(cnts[cnts > 0]):
+                    D *= int(c)
+                v = sums3 * (D // np.maximum(cnts, 1)) * (cnts > 0)
+                bits = (n_bits * v >= v.sum()).flatten()
                 val = 0
                 for bit in bits:
                     val = (val << 1) | int(bit)

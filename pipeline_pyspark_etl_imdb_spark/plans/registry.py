@@ -1293,9 +1293,12 @@ QUERIES: dict[str, QueryFn] = {
     "prefix_filter_pairs": lambda s, d: neardup.prefix_filter_pairs(
         _docs(s, d), k=3, threshold=0.8
     ),
-    # perceptual image fingerprints over REAL BMP payloads (stdlib codec;
-    # rows-only — pixel decode is not SQL-expressible; NumPy-reference +
-    # invariance pinned in tests/test_ahash.py)
+    # perceptual image/audio fingerprints over REAL BMP/WAV payloads
+    # (stdlib codecs) — oracle-backed: the payload bytes derive
+    # deterministically from documents.text, so the SQL oracle replays
+    # pixel/sample extraction from hex(encode(text)) and the kernels'
+    # integer-exact threshold rules (see plans/oracles.py); NumPy
+    # reference + invariance also pinned in tests/test_ahash.py
     "media_ahash_values": lambda s, d: multimodal.media_ahash(
         multimodal.media_real_containers(_docs(s, d))
     ).orderBy("media_id"),
@@ -1683,8 +1686,6 @@ ROWS_ONLY: tuple[str, ...] = (
     "bpe_merge_table",
     "bpe_token_counts",
     "pack_best_fit_assignment",
-    "media_ahash_values",
-    "media_audio_fingerprints",
     "bpe_doc_token_budget",
     "unigram_lm_vocab",
     "kcenter_diversity_picks",

@@ -1101,8 +1101,8 @@ def _kmv_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # NOTE: the dict literal below is in historical (r3) order; the
     # DRIVER WINDOW (first 50 names the driver actually checks) is
-    # imposed by the _R4_WINDOW reorder after the literal — see the
-    # bottom of this file for the r4 rotation rationale.
+    # imposed by the _R5_WINDOW reorder at the END of this module —
+    # see that block for the r5 rotation rationale.
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1694,78 +1694,26 @@ ROWS_ONLY: tuple[str, ...] = (
 )
 
 
-# --- R4 DRIVER WINDOW ---------------------------------------------------
+# --- R5 DRIVER WINDOW ---------------------------------------------------
 # The driver hash-checks the FIRST 50 entries of QUERIES at sf0.01 each
-# round. r3 grew the registry 120 -> 208 and left 59 oracle-backed
-# queries with no driver CORRECTNESS row ever (all green under the
-# identical local protocol in tests/test_entry_oracle.py, but the driver
-# is the signal of record — VERDICT r3 item #1). The r4 window is
-# therefore: slot 1 the round's only red row (k_anonymity_customers —
-# the HUGEINT-vs-BIGINT oracle cast is fixed in plans/oracles.py, values
-# were verified identical by the judge) and its latent twin
-# l_diversity_customers, then the 48 highest-risk never-checked queries,
-# numerically subtle first (exact medians / MAD narrowing, CUPED theta,
-# AUC rank-sums, PSI, calibration, seasonal decomposition, Zipf fit,
-# BM25/RRF, view maintenance, quantization).
-_R4_WINDOW: tuple[str, ...] = (
-    "k_anonymity_customers",
-    "l_diversity_customers",
-    "lineitem_exact_median",
-    "status_exact_median",
-    "lineitem_weighted_median",
-    "event_value_mad_anomalies",
-    "status_price_mad_anomalies",
-    "cuped_experiment_report",
-    "quality_auc",
-    "quality_psi_drift",
-    "quality_threshold_metrics",
-    "quality_calibration",
-    "quality_conformal_gate",
-    "segment_price_trend",
-    "vocab_zipf_fit",
-    "bm25_docs",
-    "rag_chunk_bm25",
-    "hybrid_rrf_retrieval",
-    "revenue_attribution_ushape",
-    "part_association_rules",
-    "incremental_join_delta",
-    "signed_join_refresh",
-    "signed_daily_kpi_refresh",
-    "orders_pit_priority",
-    "prefix_filter_pairs",
-    "tfidf_cosine_pairs",
+# round. The r5 window clears the never-driver-green backlog to ZERO:
+# slots 1-46 are every oracle-backed query without a green CORRECTNESS
+# row across r1-r4 — the 10 r4-deferred structurally simple queries, the
+# 29 late-r4 additions, the two quantization queries re-registered with
+# exploded scalar shapes (r4's only reds — driver canonicalizer vs
+# ArrayType columns, values were verified locally), and the 5 queries
+# converted from rows-only to exact oracles this round (LPA communities,
+# k-core, PAV isotonic, BMP aHash, WAV fingerprint). Slots 47-50 are
+# re-checks of refactor-touched green rows: ann_ivf / ann_pq (struct-min
+# argmin encoding), prefix_filter_pairs (candidate-join rework), and
+# customer_spend_deciles (ranks.py cached-input guard). After this
+# window runs, every oracle-backed query in the registry has met the
+# driver's signal of record at least once.
+_R5_WINDOW: tuple[str, ...] = (
+    # fixed-shape quantization re-registrations (r4 reds)
     "embedding_int8_quantize",
-    "matryoshka_recall16",
     "embedding_jl_projection",
-    "retrieval_ndcg_report",
-    "orders_contract_report",
-    "status_price_quantile_sketch",
-    "neyman_order_sample",
-    "revenue_seasonal_decomposition",
-    "lang_token_entropy",
-    "span_dedup_trim",
-    "temperature_mixing_plan",
-    "quality_token_budget",
-    "event_key_skew_profile",
-    "user_km_retention",
-    "lang_id_kappa",
-    "lang_id_confusion",
-    "ab_experiment_report",
-    "funnel_time_to_convert",
-    "event_cusum_changepoints",
-    "dedup_signal_consensus",
-    "minhash_jaccard_estimates",
-    "label_confusion_report",
-    "embedding_prototype_scores",
-    "copurchase_link_prediction",
-)
-
-# Never-checked oracle-backed queries deliberately DEFERRED to the r5
-# window (the 10 structurally simplest of the 60 candidates — plain
-# group-bys, banding, lag windows, md5-rank draws — least likely to hide
-# an engine-vs-oracle disagreement). Slots 51-60 so the r5 reorder is a
-# straight promotion.
-_R5_BACKLOG: tuple[str, ...] = (
+    # r4-deferred simple backlog (_R5_BACKLOG promotion)
     "event_audience_overlap",
     "event_type_trigrams",
     "event_value_bands",
@@ -1776,26 +1724,58 @@ _R5_BACKLOG: tuple[str, ...] = (
     "contrastive_doc_negatives",
     "revenue_concentration",
     "join_size_estimate_ol",
+    # rows-only -> exact-oracle conversions (this round)
+    "media_ahash_values",
+    "media_audio_fingerprints",
+    "copurchase_k_core",
+    "copurchase_communities",
+    "quality_isotonic_calibration",
+    # late-r4 additions, numerically subtle first
+    "status_price_iqr",
+    "lineitem_trimmed_mean",
+    "order_price_bootstrap_ci",
+    "theilsen_revenue_trend",
+    "quality_brier_decomposition",
+    "daily_revenue_acf",
+    "experiment_srm_check",
+    "experiment_power_mde",
+    "did_revenue_estimate",
+    "status_price_ks_test",
+    "doclen_hill_tail",
+    "dsir_importance_sample",
+    "lang_source_contingency",
+    "token_pmi_pairs",
+    "customer_rfm_scores",
+    "doc_char_concentration",
+    "priority_price_bands",
+    "token_gini_concentration",
+    "doc_readability",
+    "order_total_reconciliation",
+    "benford_price_digits",
+    "copurchase_clustering",
+    "copurchase_assortativity",
+    "vocab_coverage_curve",
+    "en_distinctive_tokens",
+    "event_entropy_rate",
+    "user_burstiness",
+    "parttype_supplier_hhi",
+    "quality_decile_lift",
+    # re-checks of refactor-touched green rows
+    "ann_ivf",
+    "ann_pq",
+    "prefix_filter_pairs",
+    "customer_spend_deciles",
 )
 
-_head = _R4_WINDOW + _R5_BACKLOG
-assert len(set(_head)) == len(_head)
-assert all(name in QUERIES for name in _head), sorted(
-    set(_head) - set(QUERIES)
-)
-QUERIES = {name: QUERIES[name] for name in _head} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_head)
-}
+# (window reorder applied at module end, after the late-r4/r5
+#  registrations below exist in QUERIES)
 
 
-# --- r4 additions (behind the window; rotate into the r5 window) --------
-# Growth deliberately capped below the 50-slot verification rate (VERDICT
-# r3 item #2). Total never-driver-checked oracle-backed backlog after the
-# r4 window runs: 39 (the 10 _R5_BACKLOG deferrals + 29 r4 additions) —
-# all fit the r5 window with ~10 slots left for re-checks of
-# refactor-touched queries (ann_ivf / ann_pq after the struct-min argmin
-# encoding change; order_price_bootstrap_ci after the block-hash change).
-# This is the round's HARD CAP on oracle-backed additions.
+# --- late-r4 additions (all inside the r5 window above) ------------------
+# Growth stays capped below the 50-slot verification rate (VERDICT r3
+# item #2, re-affirmed r4 item #4): every oracle-backed query below is
+# slotted in _R5_WINDOW, so the never-driver-checked backlog is ZERO
+# once the r5 window runs.
 def _status_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_pyspark_etl_imdb_spark.operators.selection import (
         grouped_exact_iqr_report,
@@ -2121,3 +2101,14 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["copurchase_communities"] = _copurchase_communities
+
+
+# --- apply the R5 driver-window reorder (see _R5_WINDOW above) -----------
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+assert len(set(_R5_WINDOW)) == len(_R5_WINDOW)
+assert all(name in QUERIES for name in _R5_WINDOW), sorted(
+    set(_R5_WINDOW) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _R5_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R5_WINDOW)
+}

@@ -48,7 +48,15 @@ def _prior_medians(known_queries: set[str] | None = None) -> dict[str, float]:
             if isinstance(sec, (int, float)) and sec == sec:
                 by_query.setdefault(name, []).append(float(sec))
         if not structured and known_queries:
-            for name, sec in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', raw):
+            # anchor the name to a preceding delimiter so a TRUNCATED
+            # tail can't mis-attribute a timing: an unanchored match on a
+            # cut-off name like ...rder_price_histogram would credit the
+            # suffix-named query (ADVICE r4); requiring {, or , (or
+            # line start) before the opening quote drops the first
+            # partial pair after the truncation point instead
+            for name, sec in re.findall(
+                r'(?:^|[{,])\s*"([a-z0-9_]+)":\s*([0-9.]+)', raw
+            ):
                 if name in known_queries:
                     by_query.setdefault(name, []).append(float(sec))
     meds = {}

@@ -174,6 +174,7 @@ def label_propagation(
     labels = adj_p.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
+    intermediates = []
     for _ in range(n_iter):
         l_side = labels.select(F.col("node").alias("nbr"), "label")
         if bcast:
@@ -193,6 +194,16 @@ def label_propagation(
             .select("node", (-F.col("__m.neg")).alias("label"))
         )
         labels = new_labels.localCheckpoint(eager=False)
+        intermediates.append(labels)
     labels.count()
     adj_p.unpersist()
+    # checkpoint blocks are RDD-level (DataFrame.unpersist is a no-op on
+    # them); free every round's blocks except the returned frame's
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        release_local_checkpoint,
+    )
+
+    for inter in intermediates:
+        if inter is not labels:
+            release_local_checkpoint(inter)
     return labels.select("node", F.col("label").alias("community"))

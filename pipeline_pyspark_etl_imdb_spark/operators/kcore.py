@@ -95,6 +95,10 @@ def k_core(
     n_nodes = deg.count()
     np_deg = max(1, min(shuffle_n, n_nodes // 100_000 + 1))
     deg = deg.coalesce(np_deg)
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        release_local_checkpoint,
+    )
+
     try:
         for _ in range(max_iter):
             keep = deg.where(F.col("degree") >= k)
@@ -102,6 +106,7 @@ def k_core(
             n_peeled = peeled.count()
             if n_peeled == 0:
                 return keep.orderBy(F.desc("degree"), F.asc("node"))
+            prev_deg = deg
             peeled_b = (
                 F.broadcast(peeled)
                 if n_peeled <= broadcast_max_nodes
@@ -123,6 +128,11 @@ def k_core(
                 .coalesce(np_deg)
                 .localCheckpoint(eager=True)
             )
+            # the new eager checkpoint no longer depends on the previous
+            # round's blocks (RDD-level — DataFrame.unpersist can't free
+            # them); release so the peel holds ONE degree frame, not one
+            # per round
+            release_local_checkpoint(prev_deg)
         raise RuntimeError(f"k_core: no fixpoint in {max_iter} iterations")
     finally:
         sym.unpersist()

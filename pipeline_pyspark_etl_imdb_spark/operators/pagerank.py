@@ -166,6 +166,7 @@ def pagerank(
             )
         )
 
+    intermediates: list[DataFrame] = []
     for _ in range(n_iter):
         old = ranks
         # LAZY checkpoint: no per-round action in the fixed-count regime —
@@ -173,6 +174,7 @@ def pagerank(
         # delta below) runs; each checkpoint truncates lineage so round
         # N's Catalyst plan stays O(1)
         ranks = _step(ranks).localCheckpoint(eager=False)
+        intermediates.append(ranks)
         last_n_rounds += 1
         converged = False
         if tol is not None:
@@ -189,11 +191,6 @@ def pagerank(
                 .d
             )
             converged = delta is not None and delta < tol
-            if old is not nodes:
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
         if converged:
             break
     # ONE action materializes the whole lazy checkpoint chain (every
@@ -203,6 +200,18 @@ def pagerank(
     ranks.count()
     edges_deg.unpersist()
     nodes0.unpersist()
+    # every intermediate round's checkpoint blocks are still cached
+    # (DataFrame.unpersist is a no-op for local checkpoints — the blocks
+    # are RDD-level); release all but the returned frame so a long
+    # shared-JVM session (239-query bench) doesn't accumulate n_iter
+    # node-sized block sets per call
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        release_local_checkpoint,
+    )
+
+    for inter in intermediates:
+        if inter is not ranks:
+            release_local_checkpoint(inter)
     return ranks.select("node", "rank")
 
 

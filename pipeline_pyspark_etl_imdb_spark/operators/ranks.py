@@ -27,6 +27,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _reads_cached_data(df: DataFrame) -> bool:
+    """True when the frame's plan scans ANY persisted data — either the
+    frame itself is marked for caching (storageLevel) or an
+    InMemoryRelation appears anywhere in the optimized plan (a
+    projection/filter over a persisted frame reports StorageLevel.NONE
+    at the top level but still reads the cached scan underneath, which
+    re-exposes the AQE exchange-reuse rank-corruption hazard)."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return True
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - defensive: assume the worst
+        return True
+    return "InMemoryRelation" in plan
+
+
 def total_order_ranks(
     df: DataFrame,
     order_cols: list[str],
@@ -48,9 +64,12 @@ def total_order_ranks(
     duplicates). A PERSISTED input (InMemoryRelation) blocks that
     runtime stage reuse — observed corrupting ranks at sf0.1 — so a
     cached ``df`` is eagerly localCheckpoint'ed here to pin one
-    materialization; uncached inputs pay nothing.
+    materialization; uncached inputs pay nothing. The guard inspects
+    the OPTIMIZED PLAN for InMemoryRelation, not just the top-level
+    storageLevel: a projection/filter OVER a persisted frame reports
+    StorageLevel.NONE but still plans the cached scan underneath.
     """
-    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+    if _reads_cached_data(df):
         df = df.localCheckpoint(eager=True)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
@@ -118,8 +137,9 @@ def total_order_prefix_sums(
 
     Same exchange-reuse precondition as total_order_ranks: a persisted
     input blocks AQE stage reuse and desynchronizes the two shuffles, so
-    cached frames are pinned via localCheckpoint first."""
-    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+    frames whose plans read any cached data are pinned via
+    localCheckpoint first (same derived-frame-aware guard)."""
+    if _reads_cached_data(df):
         df = df.localCheckpoint(eager=True)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(

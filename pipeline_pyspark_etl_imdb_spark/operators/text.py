@@ -1126,7 +1126,11 @@ def compression_ratio(
     looping text compresses far below natural language (ratio < ~0.3),
     while already-compressed or binary-ish payloads refuse to shrink
     (> ~1.0). Output: (doc_id, raw_bytes, compressed_bytes, ratio,
-    keep_flag) with keep = low <= ratio <= high.
+    keep_flag) with keep = low <= ratio <= high. Empty documents
+    (raw_bytes = 0) have no defined ratio: ratio stays NULL but
+    keep_flag is explicitly False — the repetition filter REJECTS empty
+    docs rather than letting a NULL flag silently drop them from both
+    keep- and reject-side filters downstream.
 
     zlib level 6 over UTF-8 bytes is deterministic for a given zlib, but
     NOT SQL-expressible — rows-only exposure, pinned against direct
@@ -1156,5 +1160,7 @@ def compression_ratio(
         "raw_bytes",
         "compressed_bytes",
         ratio.alias("ratio"),
-        ((ratio >= low) & (ratio <= high)).alias("keep_flag"),
+        F.coalesce((ratio >= low) & (ratio <= high), F.lit(False)).alias(
+            "keep_flag"
+        ),
     ).orderBy(id_col)

@@ -296,27 +296,35 @@ def local_clustering_coefficients(
     )
 
 
-def degree_assortativity(edges: DataFrame) -> DataFrame:
+def degree_assortativity(
+    edges: DataFrame, broadcast_max_nodes: int = 10_000_000
+) -> DataFrame:
     """One-row degree assortativity of an undirected graph — the Pearson
     correlation of endpoint degrees over the DIRECTED edge multiset
     (each undirected edge contributes both orientations, the Newman 2002
     convention) — positive for hub-to-hub wiring (social nets), negative
     for hub-to-leaf (dependency / co-purchase graphs).
 
-    Shape: one node-domain degree aggregate, two broadcast-able degree
-    joins onto the edge list, one constant-size moment fold. The moment
-    sums are over INTEGER degree products (exact in BIGINT up to 2^63);
-    only the final correlation divides as double."""
+    Shape: one node-domain degree aggregate, two degree joins onto the
+    edge list — broadcast while the node domain fits the
+    ``broadcast_max_nodes`` budget (the same size-guarded contract as
+    _closed_triangles / label_propagation), shuffle hash joins beyond it
+    so a web-scale node domain can't OOM the driver. The moment sums are
+    over INTEGER degree products (exact in BIGINT up to 2^63); only the
+    final correlation divides as double."""
     adj = edges.select(F.col("src").alias("node")).unionAll(
         edges.select(F.col("dst").alias("node"))
     )
     deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    small = deg.count() <= broadcast_max_nodes
     both = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("dj"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dk"))
-    j = both.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst")
+    if small:
+        ds, dd = F.broadcast(ds), F.broadcast(dd)
+    j = both.join(ds, "src").join(dd, "dst")
     m = j.agg(
         F.count("*").cast("bigint").alias("n_dir_edges"),
         F.sum("dj").alias("sj"),

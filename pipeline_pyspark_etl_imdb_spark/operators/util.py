@@ -49,3 +49,25 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind a localCheckpoint'ed frame.
+
+    ``DataFrame.unpersist()`` is a NO-OP for local checkpoints: it talks
+    to the SQL CacheManager, while localCheckpoint pins its blocks at
+    the RDD level (verified: getRDDStorageInfo still lists the blocks
+    after df.unpersist()). Iterative operators (pagerank, k-core, LPA)
+    chain one checkpoint per round, so without RDD-level release a long
+    shared-JVM session accumulates n_rounds node-sized block sets per
+    call. This walks to the LogicalRDD under the analyzed plan and
+    unpersists the actual RDD — the frame is UNUSABLE afterwards (its
+    lineage was truncated), so only call it on intermediates that are
+    provably no longer referenced.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - best-effort cleanup
+        pass

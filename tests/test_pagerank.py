@@ -90,3 +90,29 @@ def test_pagerank_mass_conserved(ranks):
 def test_pagerank_orders_hub_first(ranks):
     # node 2 receives from 0,1,3,4 — must outrank every other node
     assert ranks[2] == max(ranks.values())
+
+
+def test_iterative_loops_release_checkpoint_blocks(spark):
+    """Regression (ADVICE r4): DataFrame.unpersist is a no-op on
+    localCheckpoint blocks (they are RDD-level), so the fixed-count
+    pagerank/LPA loops used to leave every round's node-sized block set
+    cached for the life of the JVM. After a run, at most ONE checkpoint
+    frame per loop (the returned one, plus k-core's initial degree
+    frame) may remain in storage."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.pagerank import pagerank
+
+    sc = spark.sparkContext
+    def n_blocks():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = n_blocks()
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    ranks = pagerank(edges, n_iter=8)
+    ranks.count()
+    leaked = n_blocks() - base
+    assert leaked <= 1, f"pagerank leaked {leaked} checkpoint block sets"

@@ -105,3 +105,39 @@ def test_total_order_ranks_survives_persisted_input(spark):
         assert (agg.n, agg.mn, agg.mx, agg.nd) == (200_000, 1, 200_000, 200_000)
     finally:
         cached.unpersist()
+
+
+def test_total_order_ranks_survives_projection_of_persisted_input(spark):
+    """Regression (ADVICE r4): a PROJECTION over a persisted frame
+    reports StorageLevel.NONE at the top level, so the old guard missed
+    it while the plan still scanned the InMemoryRelation — the same AQE
+    exchange-reuse corruption, one derivation away. The guard now walks
+    the optimized plan; ranks must stay a gap-free permutation."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import (
+        _reads_cached_data,
+        total_order_ranks,
+    )
+
+    base = spark.range(0, 200_000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("v"), F.col("id")
+    )
+    cached = base.persist()
+    try:
+        cached.count()
+        derived = cached.where(F.col("v") % 2 == 0).select(
+            (F.col("v") + 1).alias("v"), "id"
+        )
+        assert derived.storageLevel.useMemory is False  # the old blind spot
+        assert _reads_cached_data(derived)
+        r = total_order_ranks(derived, ["v", "id"])
+        agg = r.agg(
+            F.count("*").alias("n"),
+            F.min("global_rn").alias("mn"),
+            F.max("global_rn").alias("mx"),
+            F.countDistinct("global_rn").alias("nd"),
+        ).collect()[0]
+        assert agg.mn == 1 and agg.mx == agg.n == agg.nd
+    finally:
+        cached.unpersist()

@@ -356,4 +356,7 @@ def test_compression_ratio_pinned_against_zlib(spark):
         )
     assert rows[1].ratio < 0.05 and rows[1].keep_flag is False
     assert rows[2].keep_flag is True
-    assert rows[3].ratio is None and rows[3].keep_flag is None
+    # empty doc: ratio undefined (NULL) but the flag is an explicit
+    # False — a NULL flag would silently vanish from BOTH keep_flag and
+    # NOT keep_flag filters downstream (ADVICE r4)
+    assert rows[3].ratio is None and rows[3].keep_flag is False

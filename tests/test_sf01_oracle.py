@@ -84,6 +84,13 @@ SENSITIVE = [
     "user_burstiness",
     "parttype_supplier_hhi",
     "quality_decile_lift",
+    # r5 rows-only -> exact-oracle conversions (integer-exact kernels,
+    # byte-level payload replay, PAV minimax, unrolled iterations)
+    "copurchase_communities",
+    "copurchase_k_core",
+    "quality_isotonic_calibration",
+    "media_ahash_values",
+    "media_audio_fingerprints",
 ]
 
 

@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_pyspark_etl_imdb_spark.operators.util import (
+    release_local_checkpoint,
+)
+
 
 def connected_components(
     edges: DataFrame,
@@ -68,6 +72,7 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("__nbr")).alias("label"))
         .persist()
     )
+    prev_stepped = None
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -96,10 +101,17 @@ def connected_components(
             )
             new_labels = stepped.select("node", F.col("new_label").alias("label"))
             changed = stepped.where("changed").count()
-            # the previous round's blocks: the initial frame is persisted
-            # (freed here); checkpointed rounds are freed asynchronously by
-            # the ContextCleaner once this reference drops
+            # release the previous round's blocks DETERMINISTICALLY: the
+            # initial frame is persisted (unpersist works); later rounds
+            # are local checkpoints, whose RDD-level blocks
+            # DataFrame.unpersist cannot free — release_local_checkpoint
+            # walks to the LogicalRDD (found r5; relying on the
+            # ContextCleaner left every round's node-sized block set
+            # cached until some future GC)
             labels.unpersist()
+            if prev_stepped is not None:
+                release_local_checkpoint(prev_stepped)
+            prev_stepped = stepped
             labels = new_labels
             if changed == 0:
                 return labels.select("node", F.col("label").alias("component"))
@@ -199,10 +211,6 @@ def label_propagation(
     adj_p.unpersist()
     # checkpoint blocks are RDD-level (DataFrame.unpersist is a no-op on
     # them); free every round's blocks except the returned frame's
-    from pipeline_pyspark_etl_imdb_spark.operators.util import (
-        release_local_checkpoint,
-    )
-
     for inter in intermediates:
         if inter is not labels:
             release_local_checkpoint(inter)

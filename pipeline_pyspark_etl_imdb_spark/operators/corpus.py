@@ -811,3 +811,53 @@ def neyman_stratified_sample(
         .select("stratum", "sample_id", "alloc_n", F.col("n_h").alias("stratum_n"))
         .orderBy("stratum", "sample_id")
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance pass
+    that decides which files to rewrite together so a table converges on
+    ~``target_bytes`` objects (the OPTIMIZE/compact primitive; at 100 TB
+    the file listing is itself a DataFrame, so the planner must be a
+    query, not a driver loop).
+
+    Deterministic greedy sequential packing per partition: files in
+    (``file_col``) order are assigned merge_group =
+    cumulative_bytes_before_this_file div target_bytes — integer-exact,
+    order-stable, and groups are contiguous in file order (preserving
+    any clustering/Z-order the writer established; a bin-packing
+    assignment would destroy it). A file can straddle a boundary; the
+    guarantee is every group except a partition's last holds >=
+    target_bytes, so the file count shrinks by ~total/target.
+
+    One window (cumulative sum per partition) + one groupBy — both on
+    the FILE-LISTING frame, which is ~rows/10^6 the data size. Output:
+    one row per planned merge group with its file span and byte total.
+    """
+    assigned = files.select(
+        F.col(partition_col),
+        F.col(file_col),
+        F.col(size_col).cast("bigint").alias("__bytes"),
+    ).withColumn(
+        "merge_group",
+        F.expr(
+            f"coalesce(sum(__bytes) over (partition by {partition_col} "
+            f"order by {file_col} rows between unbounded preceding and "
+            f"1 preceding), 0) div {int(target_bytes)}"
+        ),
+    )
+    return (
+        assigned.groupBy(partition_col, "merge_group")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("__bytes").cast("bigint").alias("group_bytes"),
+            F.min(file_col).alias("first_file"),
+            F.max(file_col).alias("last_file"),
+        )
+        .orderBy(partition_col, "merge_group")
+    )

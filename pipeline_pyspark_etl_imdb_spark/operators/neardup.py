@@ -787,3 +787,93 @@ def dedup_signal_consensus(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT substring-containment dedup (the RefinedWeb/CCNet "document
+    swallowed by another document" case exact-match dedup misses and
+    Jaccard under-scores: a short doc fully inside a long one has tiny
+    Jaccard but is 100% redundant).
+
+    Semantics: every ordered pair (inner, outer) where inner's text with
+    >= 5 whitespace tokens occurs verbatim (character-level) inside a
+    DIFFERENT doc's text.
+
+    The naive form is an all-pairs instr() join — never acceptable. The
+    scale path rests on a token-alignment lemma: if inner.text occurs at
+    char level inside outer.text, the spaces inside the match are spaces
+    of outer, so every inner token EXCEPT possibly the first and last
+    (which can fuse with adjacent non-space chars of outer) appears as a
+    whole token of outer, in order. Hence every 3-shingle drawn from
+    inner's INTERIOR tokens (positions 1..n-2) is guaranteed present in
+    outer's full 3-shingle set — which is why inner docs need >= 5
+    tokens (n-4 >= 1 interior shingles) and why the candidate join on
+    ONE interior shingle per inner doc is complete, not heuristic.
+
+    Picking the globally RAREST interior shingle (min document frequency,
+    shingle tie-break — a partial-aggregated struct-min, the PPJoin
+    rarest-first discipline above) keeps that equi-join skew-free: the
+    boilerplate shingle every doc shares is by definition never anyone's
+    rarest. Shuffles: shingle df groupBy, df join-back, per-doc struct-
+    min, the candidate equi-join, two id-joins to fetch texts for the
+    instr() verify — every stage moves doc-count- or candidate-sized
+    rows, never an all-pairs product."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = base.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    postings = toks.select(
+        "doc_id", F.explode(word_shingles("toks", 3)).alias("shingle")
+    )
+    df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
+    interior = (
+        toks.where(F.col("n_toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, n_toks - 4), "
+                    "s -> concat_ws(' ', slice(toks, s + 1, 3))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    rarest = (
+        interior.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "shingle")).alias("m"))
+        .select("doc_id", F.col("m.shingle").alias("shingle"))
+    )
+    candidates = (
+        rarest.withColumnRenamed("doc_id", "inner_doc")
+        .join(
+            postings.withColumnRenamed("doc_id", "outer_doc"), "shingle"
+        )
+        .where(F.col("inner_doc") != F.col("outer_doc"))
+        .select("inner_doc", "outer_doc")
+    )
+    verified = (
+        candidates.join(
+            base.select(
+                F.col("doc_id").alias("inner_doc"), F.col("text").alias("__in_t")
+            ),
+            "inner_doc",
+        )
+        .join(
+            base.select(
+                F.col("doc_id").alias("outer_doc"), F.col("text").alias("__out_t")
+            ),
+            "outer_doc",
+        )
+        .where(F.instr(F.col("__out_t"), F.col("__in_t")) > 0)
+    )
+    return verified.select(
+        "inner_doc",
+        "outer_doc",
+        F.length("__in_t").cast("bigint").alias("inner_chars"),
+        F.length("__out_t").cast("bigint").alias("outer_chars"),
+    ).orderBy("inner_doc", "outer_doc")

@@ -21,6 +21,8 @@ they pipeline into the parquet scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1164,3 +1166,90 @@ def compression_ratio(
             "keep_flag"
         ),
     ).orderBy(id_col)
+
+
+def source_token_jsd(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every pair of ``group_col`` values — the symmetric,
+    bounded ([0, ln 2] nats) corpus-drift measure used to compare crawl
+    snapshots / sources before mixing them into a training run.
+
+    Computed via the entropy identity JSD(P,Q) = H((P+Q)/2) -
+    (H(P)+H(Q))/2 so absent tokens need no epsilon handling: per pair,
+    the union-token frame carries m = (p+q)/2 with missing side
+    coalesced to 0, and H(M) = -sum m ln m (m > 0 for every union
+    token by construction).
+
+    Token counts are exact integers; probabilities are one correctly-
+    rounded division each; the entropy sums are vocabulary-sized float
+    folds (association-order differences vs the oracle sit well inside
+    the 6-decimal protocol rounding — the lang_token_entropy precedent).
+
+    Scale: counts are one partial-aggregated shuffle on (group, token);
+    everything after runs on vocabulary x pair-count rows, with the
+    pair frame (G^2 rows) broadcast. G is assumed small (sources,
+    snapshots); the op is quadratic in G, never in rows or vocabulary.
+    """
+    counts = (
+        docs.select(F.col(group_col).alias("g"), tokens(F.col(text_col)).alias("toks"))
+        .select("g", F.explode("toks").alias("token"))
+        .groupBy("g", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("n").alias("total"))
+    probs = counts.join(F.broadcast(totals), "g").select(
+        "g", "token", (F.col("n").cast("double") / F.col("total").cast("double")).alias("p")
+    )
+    h = probs.groupBy("g").agg((-F.sum(F.col("p") * F.log("p"))).alias("h"))
+    groups = probs.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(groups.select(F.col("g").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    tok_union = (
+        F.broadcast(pairs)
+        .join(probs, (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")))
+        .select("ga", "gb", "token")
+        .distinct()
+    )
+    joined = (
+        tok_union.join(
+            probs.select(F.col("g").alias("ga"), "token", F.col("p").alias("pa")),
+            ["ga", "token"],
+            "left",
+        )
+        .join(
+            probs.select(F.col("g").alias("gb"), "token", F.col("p").alias("pb")),
+            ["gb", "token"],
+            "left",
+        )
+        .withColumn(
+            "m",
+            (F.coalesce(F.col("pa"), F.lit(0.0)) + F.coalesce(F.col("pb"), F.lit(0.0)))
+            / F.lit(2.0),
+        )
+    )
+    per_pair = joined.groupBy("ga", "gb").agg(
+        F.count("*").cast("bigint").alias("n_union_tokens"),
+        (-F.sum(F.col("m") * F.log("m"))).alias("hm"),
+    )
+    return (
+        per_pair.join(F.broadcast(h.select(F.col("g").alias("ga"), F.col("h").alias("ha"))), "ga")
+        .join(F.broadcast(h.select(F.col("g").alias("gb"), F.col("h").alias("hb"))), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "n_union_tokens",
+            (F.col("hm") - (F.col("ha") + F.col("hb")) / F.lit(2.0)).alias("jsd_nats"),
+            (
+                (F.col("hm") - (F.col("ha") + F.col("hb")) / F.lit(2.0))
+                / F.lit(math.log(2.0))
+            ).alias("jsd_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -24,6 +24,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     evalmetrics,
     eventtime,
     importance,
+    inference,
     journeys,
     kcore,
     multimodal,
@@ -2101,6 +2102,158 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["copurchase_communities"] = _copurchase_communities
+
+
+# --- r5 additions: nonparametric/multiple-testing inference, containment
+# dedup, corpus-drift JSD, compaction planning (all oracle-backed; queue
+# for the r6 driver window — they are NOT in _R5_WINDOW, so the r5 slots
+# still clear the pre-existing backlog) -----------------------------------
+
+def _price_dec() -> F.Column:
+    # column construction is deferred: F.col needs an active SparkContext
+    return F.col("o_totalprice").cast("decimal(18,2)")
+
+
+def _orders_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _price_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test: do open ('O') and fulfilled ('F') orders draw
+    totals from the same distribution? Tie-corrected normal z over
+    exact cent-priced midranks."""
+    return inference.mannwhitney_u_report(
+        _orders_frame(spark, sf_dir), _price_dec(), F.col("o_orderstatus"), "O", "F"
+    )
+
+
+def _event_value_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz randomness check of each event type's value
+    sequence around its mean (exact decimal above/below split)."""
+    events = _events(spark, sf_dir)
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v_dec"),
+        eventtime.ts_micros(events).alias("us"),
+    )
+    return inference.runs_test_report(
+        base, "event_type", F.col("v_dec"), ["us", "event_id"]
+    )
+
+
+def _priority_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order totals across the five priorities."""
+    return inference.anova_report(
+        _orders_frame(spark, sf_dir), "o_orderpriority", _price_dec()
+    )
+
+
+def _price_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic randomization test: urgent vs non-urgent mean
+    order total, 200 md5-seeded reassignment replicates."""
+    return inference.permutation_mean_test(
+        _orders_frame(spark, sf_dir),
+        F.col("o_orderkey"),
+        _price_dec(),
+        F.col("o_orderpriority") == "1-URGENT",
+        n_replicates=200,
+        salt="perm1",
+    )
+
+
+def _event_value_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch z battery vs the complement with
+    Benjamini-Hochberg FDR control at alpha=0.05."""
+    events = _events(spark, sf_dir)
+    return inference.bh_fdr_report(
+        events, "event_type", F.col("value").cast("decimal(18,4)"), alpha=0.05
+    )
+
+
+def _segment_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of account balance vs total spend per
+    market segment (midranks, Pearson over ranks)."""
+    orders = _orders_frame(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_price_dec()).cast("decimal(18,2)").alias("spend")
+    )
+    joined = customer.join(
+        spend, customer["c_custkey"] == spend["o_custkey"]
+    ).select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "spend",
+    )
+    return inference.grouped_spearman(
+        joined, "c_mktsegment", F.col("bal"), F.col("spend")
+    )
+
+
+def _customer_bivariate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis outliers in the (account balance, total spend) plane —
+    chi^2_2 0.999 cut, closed-form 2x2 inverse, bit-deterministic from
+    exact decimal moments."""
+    orders = _orders_frame(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_price_dec()).cast("decimal(18,2)").alias("spend")
+    )
+    joined = customer.join(
+        spend, customer["c_custkey"] == spend["o_custkey"]
+    ).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "spend",
+    )
+    return inference.bivariate_outlier_report(
+        joined, "c_custkey", F.col("bal"), F.col("spend")
+    )
+
+
+def _doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup: docs fully swallowed by another doc
+    (rarest-interior-shingle candidates, exact instr verify)."""
+    return neardup.containment_pairs(_docs(spark, sf_dir))
+
+
+def _source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the corpus-drift distance before mixing."""
+    return text_ops.source_token_jsd(_docs(spark, sf_dir))
+
+
+# deterministic synthetic file listing for the compaction planner: group
+# every 20 consecutive doc_ids per source into one "file" whose size is
+# the exact byte total of its docs
+_COMPACTION_TARGET_BYTES = 16384
+
+
+def _doc_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.col("source"),
+            F.expr("doc_id div 20").cast("bigint").alias("file_id"),
+        )
+        .agg(F.sum(F.octet_length("text")).cast("bigint").alias("size_bytes"))
+    )
+    return corpus.compaction_plan(
+        files, "source", "file_id", "size_bytes", _COMPACTION_TARGET_BYTES
+    )
+
+
+QUERIES["price_mannwhitney_u"] = _price_mannwhitney_u
+QUERIES["event_value_runs_test"] = _event_value_runs_test
+QUERIES["priority_price_anova"] = _priority_price_anova
+QUERIES["price_permutation_test"] = _price_permutation_test
+QUERIES["event_value_bh_fdr"] = _event_value_bh_fdr
+QUERIES["segment_spearman"] = _segment_spearman
+QUERIES["customer_bivariate_outliers"] = _customer_bivariate_outliers
+QUERIES["doc_containment_pairs"] = _doc_containment_pairs
+QUERIES["source_token_jsd"] = _source_token_jsd
+QUERIES["doc_compaction_plan"] = _doc_compaction_plan
 
 
 # --- apply the R5 driver-window reorder (see _R5_WINDOW above) -----------

@@ -695,6 +695,9 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     "vocab_coverage_curve": "rank partition offsets (~n_partitions rows)",
     "theilsen_revenue_trend": "rank partition offsets (~n_partitions rows)",
     "quality_decile_lift": "rank offsets + n_tiles-row gains cumsum",
+    # r5 inference battery
+    "price_mannwhitney_u": "midrank cumsum over DISTINCT cent prices (value-domain-bounded)",
+    "event_value_bh_fdr": "BH rank + suffix-max over the m-row battery frame (m = #groups)",
 }
 
 

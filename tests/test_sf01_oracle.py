@@ -91,6 +91,19 @@ SENSITIVE = [
     "quality_isotonic_calibration",
     "media_ahash_values",
     "media_audio_fingerprints",
+    # r5 additions (inference battery, containment dedup, corpus JSD,
+    # compaction planning) — rank walks, md5 coin draws, A&S polynomial
+    # p-values, entropy folds, exact byte cumsums
+    "price_mannwhitney_u",
+    "event_value_runs_test",
+    "priority_price_anova",
+    "price_permutation_test",
+    "event_value_bh_fdr",
+    "segment_spearman",
+    "customer_bivariate_outliers",
+    "doc_containment_pairs",
+    "source_token_jsd",
+    "doc_compaction_plan",
 ]
 
 

@@ -19,8 +19,12 @@ Physical shape per iteration (the only one that survives 100 TB):
 O(1) (the CC loop established the pattern). By default the iteration
 count is fixed (no float convergence test), which keeps the result
 deterministic per engine; float summation order still varies across
-engines, so registry exposure is rows-only — tests/test_pagerank.py
-bounds the values against an independent NumPy power iteration instead.
+engines, but the update rule contains no comparisons, so the ~1e-15
+relative spread is invisible at the oracle protocol's 6-decimal rounding
+— the registry query is fully oracle-backed (plans/oracles.py
+``_pagerank_sql`` unrolls the rounds as MATERIALIZED CTEs) and
+tests/test_pagerank.py additionally bounds the values against an
+independent NumPy power iteration.
 
 ``tol`` adds an early exit: stop once max |Δrank| < tol (one extra
 small-frame join + scalar agg per round). The exit is deterministic for

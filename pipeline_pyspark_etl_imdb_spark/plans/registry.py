@@ -1681,7 +1681,10 @@ ROWS_ONLY: tuple[str, ...] = (
     "stratified_doc_sample",
     "distinct_users_sketch",
     "doc_classifier_scores",
-    "supplier_pagerank",
+    # supplier_pagerank converted to oracle-backed in r5: the fixed-count
+    # float iteration has no comparisons, so cross-engine sum-order spread
+    # (~1e-15) is invisible at the protocol's 6-decimal rounding and the
+    # measured top-100 cut margin (4.6e-9 at sf0.1) is engine-stable
     "embedding_kmeans",
     "semdedup_kmeans",
     "bpe_merge_table",

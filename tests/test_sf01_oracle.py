@@ -104,6 +104,9 @@ SENSITIVE = [
     "doc_containment_pairs",
     "source_token_jsd",
     "doc_compaction_plan",
+    # r5 rows-only -> oracle conversion #6: unrolled float power iteration
+    # (no comparisons in the update rule; cut margin measured 4.6e-9)
+    "supplier_pagerank",
 ]
 
 

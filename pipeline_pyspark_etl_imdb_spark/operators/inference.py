@@ -139,6 +139,7 @@ def runs_test_report(
     key: str,
     value_dec: Column,
     order_cols: list[str],
+    broadcast_totals: bool = True,
 ) -> DataFrame:
     """Wald-Wolfowitz runs test per ``key``: is the above/below-mean
     sequence (in ``order_cols`` order) random?
@@ -153,6 +154,14 @@ def runs_test_report(
 
     Two shuffles on ``key`` (totals agg + the ordered lag window), both
     partial-aggregated / per-key linear state.
+
+    ``broadcast_totals`` (default True) forces the per-key (S, N) frame
+    to broadcast — correct for the intended bounded key domains (event
+    types, segments). For a HIGH-CARDINALITY key (user ids) the totals
+    frame is key-domain-sized and a forced broadcast risks driver/
+    executor OOM (the degree_assortativity lesson): pass False to fall
+    back to a shuffle join, which then shares the window's hash
+    partitioning on ``key``.
     """
     base = df.select(
         F.col(key), value_dec.alias("v"), *[F.col(c) for c in order_cols]
@@ -161,7 +170,7 @@ def runs_test_report(
         F.sum("v").alias("s"), F.count("*").cast("bigint").alias("n_rows")
     )
     tagged = (
-        base.join(F.broadcast(totals), key)
+        base.join(F.broadcast(totals) if broadcast_totals else totals, key)
         .withColumn("side", F.col("v") * F.col("n_rows") - F.col("s"))
         .where(F.col("side") != 0)
         .withColumn("above", (F.col("side") > 0).cast("int"))

@@ -793,6 +793,7 @@ def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_frac_cap: float | None = None,
 ) -> DataFrame:
     """EXACT substring-containment dedup (the RefinedWeb/CCNet "document
     swallowed by another document" case exact-match dedup misses and
@@ -821,7 +822,19 @@ def containment_pairs(
     rarest. Shuffles: shingle df groupBy, df join-back, per-doc struct-
     min, the candidate equi-join, two id-joins to fetch texts for the
     instr() verify — every stage moves doc-count- or candidate-sized
-    rows, never an all-pairs product."""
+    rows, never an all-pairs product.
+
+    Candidate budget: the fan-out is EXACTLY sum over inner docs of
+    df(their rarest interior shingle). On natural corpora that is near-
+    linear; the degenerate case is a boilerplate-heavy corpus where some
+    docs' ENTIRE interior is ubiquitous shingles — their rarest shingle
+    is still hot, and candidates go quadratic while the true output
+    stays small. ``df_frac_cap`` is the honest escape hatch: when set,
+    inner docs whose rarest interior shingle appears in more than
+    ``df_frac_cap`` of all docs are EXCLUDED from the inner side (they
+    are exactly the docs this algorithm cannot bound; route them to the
+    LSH/Jaccard path instead). Default None keeps the result complete —
+    the registry query and oracle use the complete form."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = base.select(
         "doc_id", tokens(F.col("text")).alias("toks")
@@ -846,8 +859,17 @@ def containment_pairs(
         interior.join(df_counts, "shingle")
         .groupBy("doc_id")
         .agg(F.min(F.struct("df", "shingle")).alias("m"))
-        .select("doc_id", F.col("m.shingle").alias("shingle"))
+        .select("doc_id", F.col("m.shingle").alias("shingle"), F.col("m.df").alias("df"))
     )
+    if df_frac_cap is not None:
+        # in-plan corpus count (1-row broadcast) — no driver action
+        n_docs = base.agg(F.count("*").cast("double").alias("__n"))
+        rarest = (
+            rarest.crossJoin(F.broadcast(n_docs))
+            .where(F.col("df").cast("double") <= F.lit(float(df_frac_cap)) * F.col("__n"))
+            .select("doc_id", "shingle", "df")
+        )
+    rarest = rarest.drop("df")
     candidates = (
         rarest.withColumnRenamed("doc_id", "inner_doc")
         .join(

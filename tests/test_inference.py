@@ -342,6 +342,97 @@ def test_grouped_spearman_matches_python(spark, orders):
         assert r.spearman_rho == pytest.approx(rho, rel=1e-9)
 
 
+def test_mannwhitney_group_swap_negates_z(orders):
+    a = inference.mannwhitney_u_report(
+        orders,
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderstatus"),
+        "O",
+        "F",
+    ).collect()[0]
+    b = inference.mannwhitney_u_report(
+        orders,
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderstatus"),
+        "F",
+        "O",
+    ).collect()[0]
+    # U_A + U_B = n_a * n_b holds with or without ties (midranks), and
+    # the z statistic negates exactly (integer-derived doubles, shared
+    # sigma)
+    assert a.u_stat + b.u_stat == float(a.n_a) * float(a.n_b)
+    assert (b.n_a, b.n_b) == (a.n_b, a.n_a)
+    assert b.z == -a.z
+
+
+def test_anova_shift_invariance(spark):
+    rows = [("a", 1), ("a", 2), ("a", 6), ("b", 4), ("b", 5), ("b", 9), ("c", 7)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    base = inference.anova_report(
+        df, "g", F.col("v").cast("decimal(18,2)")
+    ).collect()[0]
+    shifted = inference.anova_report(
+        df, "g", (F.col("v") + F.lit(1000)).cast("decimal(18,2)")
+    ).collect()[0]
+    assert base.f_stat == pytest.approx(shifted.f_stat, rel=1e-6)
+    assert base.eta_squared == pytest.approx(shifted.eta_squared, rel=1e-6)
+    assert 0.0 <= base.eta_squared <= 1.0
+
+
+def test_permutation_flag_inversion_preserves_p(orders):
+    kwargs = dict(n_replicates=30, salt="perm1")
+    a = inference.permutation_mean_test(
+        orders,
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderpriority") == "1-URGENT",
+        **kwargs,
+    ).collect()[0]
+    b = inference.permutation_mean_test(
+        orders,
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderpriority") != "1-URGENT",
+        **kwargs,
+    ).collect()[0]
+    # inverting the flag negates obs_diff; the coin stream is unchanged,
+    # so |diff| >= |obs| tallies — and hence p — are identical
+    assert b.obs_diff == -a.obs_diff
+    assert (b.n_ge, b.p_value) == (a.n_ge, a.p_value)
+    assert 1.0 / (a.n_replicates + 1) <= a.p_value <= 1.0
+
+
+def test_bh_alpha_one_rejects_all(events):
+    got = inference.bh_fdr_report(
+        events, "event_type", F.col("value").cast("decimal(18,4)"), alpha=1.0
+    ).collect()
+    # at alpha=1 the rank-m criterion p <= (m/m)*1 always holds, so the
+    # suffix-max rejects the entire battery
+    assert all(r.rejected for r in got)
+
+
+def test_spearman_perfect_monotone(spark):
+    rows = [("g", i, i * i) for i in range(1, 30)]  # monotone, nonlinear
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = inference.grouped_spearman(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert got.spearman_rho == pytest.approx(1.0, abs=1e-12)
+
+
+def test_runs_test_extreme_sequences(spark):
+    # alternating above/below -> n_runs == n; two monotone blocks -> 2
+    alt = [("alt", i, 10 if i % 2 == 0 else 0) for i in range(20)]
+    blk = [("blk", i, 0 if i < 10 else 10) for i in range(20)]
+    df = spark.createDataFrame(alt + blk, ["k", "pos", "v"])
+    got = {
+        r.k: r
+        for r in inference.runs_test_report(
+            df, "k", F.col("v").cast("decimal(18,4)"), ["pos"]
+        ).collect()
+    }
+    assert got["alt"].n_runs == 20 and got["alt"].z > 0
+    assert got["blk"].n_runs == 2 and got["blk"].z < 0
+
+
 def test_containment_pairs_match_bruteforce(docs):
     rows = docs.select("doc_id", "text").collect()
     texts = {r.doc_id: r.text for r in rows}
@@ -375,6 +466,31 @@ def test_containment_synthetic_edge_cases(spark):
     # 1 in 2, 1 in 4 (interior shingles survive the char fusion), 1<->5,
     # 5 in 2, 5 in 4; 3 never as inner (too short)
     assert got == {(1, 2), (1, 4), (1, 5), (5, 1), (5, 2), (5, 4)}
+
+
+def test_containment_df_cap_excludes_boilerplate_inners(spark):
+    # ten identical boilerplate docs: every interior shingle has df=10,
+    # so candidate fan-out is quadratic; plus one genuine containment
+    # pair with rare interiors
+    rows = [(i, "common one two three four five") for i in range(1, 11)] + [
+        (11, "alpha beta gamma delta epsilon zeta"),
+        (12, "xx alpha beta gamma delta epsilon zeta yy"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    complete = {
+        (r.inner_doc, r.outer_doc)
+        for r in neardup.containment_pairs(docs).collect()
+    }
+    # complete form: all 90 ordered boilerplate pairs + the rare pair
+    assert (11, 12) in complete
+    assert len(complete) == 90 + 1
+    capped = {
+        (r.inner_doc, r.outer_doc)
+        for r in neardup.containment_pairs(docs, df_frac_cap=0.5).collect()
+    }
+    # cap at 50%: the boilerplate docs' rarest interior shingle has
+    # df=10 > 6, so they leave the inner side; the rare pair survives
+    assert capped == {(11, 12)}
 
 
 def test_source_token_jsd_matches_python(docs):

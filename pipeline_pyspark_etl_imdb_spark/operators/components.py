@@ -215,3 +215,72 @@ def label_propagation(
         if inter is not labels:
             release_local_checkpoint(inter)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = 4,
+    broadcast_max_nodes: int = 2_000_000,
+) -> DataFrame:
+    """Multi-source BFS layers: (node, hops) for every node within
+    ``max_hops`` of the seed set over the UNDIRECTED graph — the
+    path/distance primitive beside min-label CC (reachability), LPA
+    (density) and PageRank (centrality). hops = distance to the NEAREST
+    seed; nodes further than ``max_hops`` are absent from the output.
+
+    ``seeds`` is a 1-column (node) frame — relational, so no driver value
+    is ever collected; None seeds the minimum node id (a 1-row aggregate).
+    Hop counts are INTEGER-exact, so the fixed-round result is engine-
+    portable and the oracle unrolls the rounds (the LPA discipline);
+    rounds past frontier exhaustion are no-ops, not divergence.
+
+    Physical shape per round (the pagerank loop discipline): the frontier
+    (new nodes only, never the full dist set) joins the STATIC symmetrized
+    adjacency — broadcast while the node frame fits the budget, so edge
+    partitions never move; one partial-aggregated distinct on the
+    neighbor side; an anti-join against the accumulated distance frame
+    admits only unseen nodes. localCheckpoint truncates each frontier's
+    lineage; ONE action materializes the chain before the adjacency cache
+    releases. Per-round bytes moved: (frontier + new-node) ids, never
+    edges, never payloads."""
+    adj0 = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .persist()
+    )
+    n = adj0.select("node").distinct().count()
+    bcast = n <= broadcast_max_nodes
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    np_edges = max(4, min(shuffle_n, adj0.count() // 200_000 + 1))
+    adj = adj0.repartition(np_edges, "node").persist()
+    adj.count()
+    adj0.unpersist()
+
+    if seeds is None:
+        seeds = adj.agg(F.min("node").alias("node"))
+    frontier = seeds.select("node", F.lit(0).cast("int").alias("hops"))
+    dist = frontier
+    for h in range(1, max_hops + 1):
+        f_side = frontier.select("node")
+        if bcast:
+            f_side = F.broadcast(f_side)
+        nbrs = adj.join(f_side, "node").select(F.col("nbr").alias("node")).distinct()
+        seen = dist.select("node")
+        if bcast:
+            seen = F.broadcast(seen)
+        frontier = (
+            nbrs.join(seen, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(frontier)
+    dist.count()
+    adj.unpersist()
+    # frontier checkpoints feed the RETURNED union — release nothing here;
+    # blocks free when the caller's reference drops (unlike pagerank/LPA,
+    # every round's frame IS part of the result)
+    return dist.select("node", "hops")

@@ -2107,6 +2107,25 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["copurchase_communities"] = _copurchase_communities
 
 
+def _copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layers from the minimum part id over the co-purchase graph:
+    hop distance to the nearest seed, integer-exact, 4 unrolled rounds
+    in the oracle (the LPA discipline)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    return bfs_hops(
+        triangles.cooccurrence_edges(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+                F.col("l_partkey") % 4 == 0
+            )
+        ),
+        max_hops=4,
+    ).orderBy("node")
+
+
+QUERIES["copurchase_bfs_hops"] = _copurchase_bfs_hops
+
+
 # --- r5 additions: nonparametric/multiple-testing inference, containment
 # dedup, corpus-drift JSD, compaction planning (all oracle-backed; queue
 # for the r6 driver window — they are NOT in _R5_WINDOW, so the r5 slots

@@ -101,3 +101,55 @@ def test_label_propagation_rows_cover_all_nodes(spark):
     out = label_propagation(df, n_iter=3).collect()
     assert len(out) == 31
     assert {r.node for r in out} == set(range(31))
+
+
+def test_bfs_hops_path_graph(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    # path 0-1-2-...-10: default seed = min node (0), max_hops=4 reaches
+    # exactly nodes 0..4 at their index distance
+    path = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {r.node: r.hops for r in bfs_hops(df, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_multi_seed_nearest(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    # seeds at both ends of a path of 11 nodes: hops = distance to the
+    # NEAREST seed, frontier exhaustion mid-path is a no-op
+    path = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(df, seeds=seeds, max_hops=10).collect()}
+    assert got == {i: min(i, 10 - i) for i in range(11)}
+
+
+def test_bfs_hops_matches_python_on_cooccurrence(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        cooccurrence_edges,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").where(
+        "l_partkey % 4 = 0"
+    )
+    edges = cooccurrence_edges(li)
+    adj: dict = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    source = min(adj)
+    dist = {source: 0}
+    frontier = [source]
+    for h in range(1, 5):
+        nxt = sorted(
+            {v for u in frontier for v in adj[u] if v not in dist}
+        )
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    got = {r.node: r.hops for r in bfs_hops(edges, max_hops=4).collect()}
+    assert got == dist

@@ -107,6 +107,8 @@ SENSITIVE = [
     # r5 rows-only -> oracle conversion #6: unrolled float power iteration
     # (no comparisons in the update rule; cut margin measured 4.6e-9)
     "supplier_pagerank",
+    # r5 addition: integer-exact BFS layers, 4 unrolled rounds
+    "copurchase_bfs_hops",
 ]
 
 

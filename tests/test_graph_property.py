@@ -139,3 +139,50 @@ def test_bm25_matches_python(spark, docs, query):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-9, i
+
+
+def _py_bfs(edge_set, seeds, max_hops):
+    adj: dict = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = sorted(dist)
+    for h in range(1, max_hops + 1):
+        nxt = sorted(
+            {v for u in frontier for v in adj.get(u, ()) if v not in dist}
+        )
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(edge, min_size=1, max_size=20),
+    max_hops=st.integers(min_value=1, max_value=5),
+    n_seeds=st.integers(min_value=1, max_value=3),
+)
+def test_bfs_hops_matches_python(spark, edges, max_hops, n_seeds):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    es = _canon(edges)
+    if not es:
+        return
+    nodes = sorted({n for e in es for n in e})
+    seeds = nodes[:n_seeds]
+    df = spark.createDataFrame(sorted(es), "src int, dst int")
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "node int")
+    try:
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(df, seeds=seed_df, max_hops=max_hops).collect()
+        }
+    finally:
+        release_tracked()
+    assert got == _py_bfs(es, seeds, max_hops)

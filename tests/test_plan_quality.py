@@ -412,6 +412,24 @@ def test_contrastive_negatives_group_limit_and_broadcast_anchors(spark):
     assert "CartesianProduct" not in plan  # broadcast nested loop, not SMJ cross
 
 
+def test_containment_pairs_equi_joins_only(spark):
+    """The containment candidate path must be pure equi-joins: the
+    all-pairs instr() formulation would plan a CartesianProduct /
+    nested-loop join; the rarest-interior-shingle design replaces it
+    with a shingle equi-join plus id-keyed text fetches. Any cross-join
+    creeping in here turns exact containment dedup quadratic at 100 TB."""
+    from pipeline_pyspark_etl_imdb_spark.operators.neardup import (
+        containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(containment_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-doc rarest pick is a partial-aggregated struct-min, not a window
+    assert "partial_min" in plan
+
+
 def test_privacy_audits_are_two_level_partial_aggregates(spark):
     """k-anonymity / l-diversity reports must partially aggregate map-side
     (equivalence classes bounded by the quasi domain) with no window."""

@@ -262,7 +262,15 @@ def bfs_hops(
 
     if seeds is None:
         seeds = adj.agg(F.min("node").alias("node"))
-    frontier = seeds.select("node", F.lit(0).cast("int").alias("hops"))
+    # hop 0 is checkpointed like every later round: its lineage reaches
+    # through adj into the CALLER'S edge subtree (often an expensive
+    # self-join), and the final action on the returned union would
+    # otherwise rebuild that subtree after adj.unpersist() below just to
+    # recompute this one frame
+    frontier = (
+        seeds.select("node", F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint(eager=False)
+    )
     dist = frontier
     for h in range(1, max_hops + 1):
         f_side = frontier.select("node")

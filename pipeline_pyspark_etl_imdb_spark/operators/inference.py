@@ -194,12 +194,30 @@ def runs_test_report(
     two_n1n2 = F.lit(2.0) * n1 * n2
     e_r = F.lit(1.0) + two_n1n2 / n
     var_r = two_n1n2 * (two_n1n2 - n) / (n * n * (n - F.lit(1.0)))
+    # degenerate keys ({1 above, 1 below} gives 2*n1*n2 == N, a single
+    # non-mean row gives N == 1) have Var[R] <= 0 and the z expression
+    # is 0/0 -> NaN with ENGINE-DEPENDENT comparison semantics (DuckDB
+    # orders NaN above every number); NULL is the defined answer (no
+    # randomness information), mirrored in the oracle. The guard is
+    # INTEGER-only — Var[R] > 0 iff both sides are populated and
+    # 2*n1*n2 > n1+n2 — so it can never itself produce a NaN and agrees
+    # bit-for-bit across engines.
+    nondegenerate = (
+        (F.col("n_above") > 0)
+        & (F.col("n_below") > 0)
+        & (
+            F.lit(2) * F.col("n_above") * F.col("n_below")
+            > F.col("n_above") + F.col("n_below")
+        )
+    )
     return agg.select(
         key,
         "n_above",
         "n_below",
         "n_runs",
-        ((_d(F.col("n_runs")) - e_r) / F.sqrt(var_r)).alias("z"),
+        F.when(
+            nondegenerate, (_d(F.col("n_runs")) - e_r) / F.sqrt(var_r)
+        ).alias("z"),
     ).orderBy(key)
 
 
@@ -341,7 +359,10 @@ def permutation_mean_test(
         .alias("n_ge"),
         F.first("obs_diff").alias("obs_diff"),
     )
-    return tally.select(
+    # a global agg always emits one row; the oracle's GROUP BY emits
+    # ZERO when no replicate survives (empty input, or a degenerate
+    # corpus where every coin lands one-sided) — align the shapes
+    return tally.where(F.col("n_replicates") > 0).select(
         "obs_diff",
         "n_replicates",
         "n_ge",
@@ -393,19 +414,27 @@ def bh_fdr_report(
         z.alias("z"),
         normal_sf_two_sided(F.abs(z)).alias("p_value"),
     )
-    w_rank = Window.orderBy("p_value", group)
+    # p contains exp() — the one non-correctly-rounded primitive — so the
+    # DISCRETE decisions (rank order, p <= critical) must not ride on its
+    # last ulp: both run on p rounded to 9 decimals (the rag_chunk_bm25
+    # engine-portable-cut discipline). A decision flip now needs the true
+    # p within ~1e-16 of a 0.5e-9 rounding boundary; the reported p_value
+    # column stays unrounded (the protocol's 6-decimal canon covers it).
+    p9 = F.round(F.col("p_value"), 9).alias("__p9")
+    scored = scored.withColumn("__p9", p9)
+    w_rank = Window.orderBy("__p9", group)
     ranked = scored.withColumn("i", F.row_number().over(w_rank)).withColumn(
         "bh_critical", _d(F.col("i")) / _d(F.col("m")) * F.lit(alpha)
     )
-    w_all = Window.orderBy("p_value", group).rowsBetween(
+    w_all = Window.orderBy("__p9", group).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     flagged = ranked.withColumn(
         "max_reject_rank",
         F.max(
-            F.when(F.col("p_value") <= F.col("bh_critical"), F.col("i")).otherwise(
-                F.lit(0)
-            )
+            F.when(
+                F.col("__p9") <= F.round(F.col("bh_critical"), 9), F.col("i")
+            ).otherwise(F.lit(0))
         ).over(w_all),
     )
     return flagged.select(

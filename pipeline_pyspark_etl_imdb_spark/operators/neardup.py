@@ -836,11 +836,17 @@ def containment_pairs(
     LSH/Jaccard path instead). Default None keeps the result complete —
     the registry query and oracle use the complete form."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    toks = base.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).withColumn("n_toks", F.size("toks"))
-    postings = toks.select(
-        "doc_id", F.explode(word_shingles("toks", 3)).alias("shingle")
+    # toks feeds postings AND the interior-shingle frame; postings feeds
+    # the df aggregate AND the candidate equi-join — persist both so the
+    # tokenize/3-shingle explode (the dominant cost) runs once per
+    # action, not twice (the r3 cached-shingles discipline)
+    toks = tracked_persist(
+        base.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
+            "n_toks", F.size("toks")
+        )
+    )
+    postings = tracked_persist(
+        toks.select("doc_id", F.explode(word_shingles("toks", 3)).alias("shingle"))
     )
     df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
     interior = (

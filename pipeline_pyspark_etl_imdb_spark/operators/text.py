@@ -1194,6 +1194,8 @@ def source_token_jsd(
     pair frame (G^2 rows) broadcast. G is assumed small (sources,
     snapshots); the op is quadratic in G, never in rows or vocabulary.
     """
+    from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
     counts = (
         docs.select(F.col(group_col).alias("g"), tokens(F.col(text_col)).alias("toks"))
         .select("g", F.explode("toks").alias("token"))
@@ -1201,8 +1203,16 @@ def source_token_jsd(
         .agg(F.count("*").alias("n"))
     )
     totals = counts.groupBy("g").agg(F.sum("n").alias("total"))
-    probs = counts.join(F.broadcast(totals), "g").select(
-        "g", "token", (F.col("n").cast("double") / F.col("total").cast("double")).alias("p")
+    # probs feeds FIVE downstream subtrees (H(P), the group domain, the
+    # union-token frame, both sides of the pair join); without a persist
+    # the full-corpus token explode + (g, token) shuffle — the dominant
+    # cost — re-runs per consumer (the r3 cached-shingles lesson)
+    probs = tracked_persist(
+        counts.join(F.broadcast(totals), "g").select(
+            "g",
+            "token",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+        )
     )
     h = probs.groupBy("g").agg((-F.sum(F.col("p") * F.log("p"))).alias("h"))
     groups = probs.select("g").distinct()

@@ -27,7 +27,7 @@ a final ln() of a single division (the `doc_unigram_logprob` precedent).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.corpus import hex_uniform
@@ -487,4 +487,90 @@ def dsir_importance_sample(
         .orderBy(F.col("__key").asc(), F.col(id_col).asc())
         .limit(k)
         .drop("__h", "__key")
+    )
+
+
+def quantile_normalize_scores(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    id_col: str,
+) -> DataFrame:
+    """Map each group's score distribution onto the POOLED distribution —
+    the cross-source calibration step before a global selection cut
+    (quality scorers drift per source: a 0.6 from a clean crawl and a
+    0.6 from a forum dump are not the same quantity; after quantile
+    normalization a global budget cut like quality_token_budget compares
+    like with like).
+
+    Each row maps to p = (midrank - 0.5) / n_g within its group (midrank
+    = min-rank + half the tie width, the grouped_spearman convention;
+    p < 1 strictly), then to the pooled interpolated quantile at
+    pos = p * (N - 1) — the SQL quantile_cont convention: normalized =
+    (1 - frac) * v[floor(pos)] + frac * v[floor(pos) + 1] over the
+    0-based pooled order statistics.
+
+    Engine-exact: midranks and the pooled order are integer/tie-free
+    ((score, id) total order; equal scores make position->value
+    well-defined regardless of tie permutation), and p, pos, frac, and
+    the blend are one fixed correctly-rounded double tree shared with
+    the oracle.
+
+    Scale shape: two group-partitioned windows (midrank, n_g), the
+    distributed total-order rank for the pooled order statistics
+    (ranks.total_order_ranks — range shuffle + a partition-count-bounded
+    offsets window, never a single-partition data window), and two
+    integer-key equi-joins to fetch v[lo] / v[hi]. Nothing quadratic,
+    nothing driver-side.
+    """
+    from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+
+    base = df.select(F.col(id_col), F.col(group_col), score.alias("score"))
+    n_tot = base.agg(F.count("*").cast("bigint").alias("__N"))
+    w_rank = Window.partitionBy(group_col).orderBy("score")
+    w_tie = Window.partitionBy(group_col, "score")
+    w_grp = Window.partitionBy(group_col)
+    midrank = (
+        F.rank().over(w_rank).cast("double")
+        + (F.count("*").over(w_tie).cast("double") - F.lit(1.0)) / F.lit(2.0)
+    )
+    ranked = base.select(
+        id_col,
+        group_col,
+        "score",
+        midrank.alias("__mid"),
+        F.count("*").over(w_grp).cast("double").alias("__ng"),
+    )
+    pooled = total_order_ranks(base, ["score", id_col]).select(
+        F.col("global_rn").alias("__rn"), F.col("score").alias("__v")
+    )
+    pos = (
+        (F.col("__mid") - F.lit(0.5))
+        / F.col("__ng")
+        * (F.col("__N").cast("double") - F.lit(1.0))
+    )
+    with_pos = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn("__pos", pos)
+        .withColumn("__lo", F.floor(F.col("__pos")).cast("bigint"))
+        .withColumn("__frac", F.col("__pos") - F.col("__lo").cast("double"))
+    )
+    lo_side = pooled.select(F.col("__rn").alias("__lo_rn"), F.col("__v").alias("__vlo"))
+    hi_side = pooled.select(F.col("__rn").alias("__hi_rn"), F.col("__v").alias("__vhi"))
+    return (
+        with_pos.join(lo_side, F.col("__lo") + F.lit(1) == F.col("__lo_rn"))
+        .join(
+            hi_side,
+            F.least(F.col("__lo") + F.lit(2), F.col("__N")) == F.col("__hi_rn"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "score",
+            (
+                (F.lit(1.0) - F.col("__frac")) * F.col("__vlo")
+                + F.col("__frac") * F.col("__vhi")
+            ).alias("normalized"),
+        )
+        .orderBy(id_col)
     )

@@ -2126,6 +2126,23 @@ def _copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["copurchase_bfs_hops"] = _copurchase_bfs_hops
 
 
+def _quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: each source's quality-score
+    distribution mapped onto the POOLED distribution (midrank -> pooled
+    interpolated quantile), so a global budget cut compares like with
+    like across sources. Engine-exact double tree; the pooled order
+    statistics come from the distributed total-order rank."""
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "source", text_ops.quality_expr(F.col("text")).alias("score")
+    )
+    return importance.quantile_normalize_scores(
+        scored, "source", F.col("score"), "doc_id"
+    )
+
+
+QUERIES["quality_quantile_normalized"] = _quality_quantile_normalized
+
+
 # --- r5 additions: nonparametric/multiple-testing inference, containment
 # dedup, corpus-drift JSD, compaction planning (all oracle-backed; queue
 # for the r6 driver window — they are NOT in _R5_WINDOW, so the r5 slots

@@ -291,3 +291,53 @@ def test_span_dedup_trim_full_removal_yields_empty_string(spark):
     out = {r.doc_id: r for r in span_dedup_trim(docs, k=8, min_docs=2).collect()}
     assert out[1].n_removed == 0 and out[1].trimmed_text == same
     assert out[2].n_removed == 8 and out[2].trimmed_text == ""
+
+
+def test_quantile_normalize_matches_python(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.importance import (
+        quantile_normalize_scores,
+    )
+
+    rows = [
+        # group a: scores 1..4; group b: shifted + a tie
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 40.0),
+        ("b", 5, 35.0), ("b", 6, 45.0), ("b", 7, 45.0), ("b", 8, 55.0),
+        ("b", 9, 65.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "score"])
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r.normalized
+        for r in quantile_normalize_scores(df, "g", F.col("score"), "doc_id").collect()
+    }
+    pooled = sorted(s for _, _, s in rows)
+    n = len(pooled)
+    by_g: dict = {}
+    for g, i, s in rows:
+        by_g.setdefault(g, []).append((i, s))
+    expected = {}
+    for g, members in by_g.items():
+        scores = [s for _, s in members]
+        ng = len(scores)
+        for i, s in members:
+            min_rank = 1 + sum(1 for x in scores if x < s)
+            tie = sum(1 for x in scores if x == s)
+            mid = min_rank + (tie - 1) / 2.0
+            pos = (mid - 0.5) / ng * (n - 1)
+            lo = int(pos // 1)
+            frac = pos - lo
+            hi = min(lo + 1, n - 1)
+            expected[i] = (1.0 - frac) * pooled[lo] + frac * pooled[hi]
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == _pytest.approx(expected[k], rel=1e-12)
+    # calibration property: within every group, normalized is monotone in
+    # score, and identical scores in a group normalize identically
+    assert got[6] == got[7]
+    for g, members in by_g.items():
+        ms = sorted(members, key=lambda t: t[1])
+        for (i1, s1), (i2, s2) in zip(ms, ms[1:]):
+            if s1 < s2:
+                assert got[i1] < got[i2]

@@ -716,6 +716,8 @@ _BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
     # r5 inference battery
     "price_mannwhitney_u": "midrank cumsum over DISTINCT cent prices (value-domain-bounded)",
     "event_value_bh_fdr": "BH rank + suffix-max over the m-row battery frame (m = #groups)",
+    # r5 cross-source calibration (pooled order stats via total_order_ranks)
+    "quality_quantile_normalized": "rank partition offsets (~n_partitions rows)",
 }
 
 

@@ -109,6 +109,8 @@ SENSITIVE = [
     "supplier_pagerank",
     # r5 addition: integer-exact BFS layers, 4 unrolled rounds
     "copurchase_bfs_hops",
+    # r5 addition: midrank -> pooled interpolated quantile double tree
+    "quality_quantile_normalized",
 ]
 
 

@@ -146,6 +146,12 @@ def main() -> None:
             timings[name] = round(min(best, iso), 4)
 
     total = sum(v for v in timings.values() if v == v)
+    # the driver records only a truncated TAIL of this line (2000 chars),
+    # which used to cut the leading total and ~75% of per-query timings
+    # (VERDICT r5 §missing#3). Totals are therefore REPEATED at the END of
+    # the JSON object — dict order is preserved by json.dumps, so the
+    # trailing "total_sec"/"n_queries"/"sf_tail" keys survive any
+    # head-truncation and the round-over-round record keeps the run total.
     print(
         json.dumps(
             {
@@ -154,6 +160,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "total_sec": round(float(total), 4),
+                "n_queries": len(timings),
+                "sf_tail": sf,
             }
         )
     )

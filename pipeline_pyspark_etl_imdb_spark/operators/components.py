@@ -262,6 +262,14 @@ def bfs_hops(
 
     if seeds is None:
         seeds = adj.agg(F.min("node").alias("node"))
+    else:
+        # a caller-supplied seeds frame is untrusted: duplicate seed ids
+        # would emit duplicate (node, 0) rows (and double every later
+        # anti-join's "seen" semantics held only by accident). Seed ids
+        # absent from the edge set are KEPT by design — they appear at
+        # hop 0 with no reachable neighbors, the standard multi-source
+        # BFS contract for isolated sources.
+        seeds = seeds.select("node").distinct()
     # hop 0 is checkpointed like every later round: its lineage reaches
     # through adj into the CALLER'S edge subtree (often an expensive
     # self-join), and the final action on the returned union would

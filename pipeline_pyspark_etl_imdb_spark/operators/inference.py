@@ -230,6 +230,16 @@ def anova_report(df: DataFrame, group: str, value_dec: Column) -> DataFrame:
     in double over the k-row group frame (k-term double sums differ
     across engines only in association order — inside the protocol's
     6-decimal rounding).
+
+    Degenerate inputs (one group, k = n_total, or zero within/total
+    variance) would otherwise hit 0/0 with ENGINE-DEPENDENT results
+    (Spark NULL on divide-by-zero, DuckDB IEEE inf/NaN): f_stat is
+    guarded by (k > 1 AND n_total > k AND ssw > 0) and eta_squared by
+    (sst > 0), NULL otherwise. The variance guards compare the SAME
+    double expression tree both engines evaluate (exact decimal sums →
+    correctly-rounded casts → identical ops → bit-identical doubles), so
+    the guard decision itself cannot diverge — the runs-test
+    nondegenerate-guard discipline, extended to float-exact comparisons.
     """
     per_g = df.groupBy(group).agg(
         F.count("*").cast("bigint").alias("n"),
@@ -253,8 +263,12 @@ def anova_report(df: DataFrame, group: str, value_dec: Column) -> DataFrame:
     f_stat = (ssb / (_d(F.col("k")) - F.lit(1.0))) / (
         ssw / (_d(F.col("n_total")) - _d(F.col("k")))
     )
+    f_ok = (F.col("k") > 1) & (F.col("n_total") > F.col("k")) & (ssw > F.lit(0.0))
     return agg.select(
-        "k", "n_total", f_stat.alias("f_stat"), (ssb / sst).alias("eta_squared")
+        "k",
+        "n_total",
+        F.when(f_ok, f_stat).alias("f_stat"),
+        F.when(sst > F.lit(0.0), ssb / sst).alias("eta_squared"),
     )
 
 
@@ -388,6 +402,12 @@ def bh_fdr_report(
 
     One partial-aggregated shuffle on ``group``; everything after runs on
     m rows.
+
+    Degenerate groups (n = 1, complement of size <= 1, zero pooled
+    variance) get NULL z/p under an engine-portable guard and rank LAST
+    in the BH order (explicit NULLS LAST both engines); they are still
+    counted in m (they are hypotheses — they just carry no evidence) and
+    can never reject.
     """
     per_g = df.groupBy(group).agg(
         F.count("*").cast("bigint").alias("n"),
@@ -406,7 +426,21 @@ def bh_fdr_report(
     ss_g, ss_r = _d(F.col("ss")), _d(F.col("ss_t") - F.col("ss"))
     var_g = (ss_g - s_g * s_g / n_g) / (n_g - F.lit(1.0))
     var_r = (ss_r - s_r * s_r / n_r) / (n_r - F.lit(1.0))
-    z = (s_g / n_g - s_r / n_r) / F.sqrt(var_g / n_g + var_r / n_r)
+    denom = var_g / n_g + var_r / n_r
+    # degenerate-group guard: a singleton group (n = 1), a singleton
+    # complement (n_t - n = 1, incl. the m = 1 battery), or zero pooled
+    # variance would hit 0/0 / x/0 with ENGINE-DEPENDENT semantics (Spark
+    # NULL, DuckDB IEEE inf/NaN). The integer conditions are exact; the
+    # denom > 0 comparison runs on the SAME double expression tree both
+    # engines evaluate from exact decimal sums, so it is bit-identical
+    # too (and it excludes sqrt-of-negative when the true variance is 0
+    # but the double rounds tiny-negative). NULL z/p is the defined
+    # answer; the BH ranks place NULL p LAST (pinned below) and such
+    # rows can never reject.
+    z_ok = (
+        (F.col("n") > 1) & (F.col("n_t") - F.col("n") > 1) & (denom > F.lit(0.0))
+    )
+    z = F.when(z_ok, (s_g / n_g - s_r / n_r) / F.sqrt(denom))
     scored = j.select(
         group,
         F.col("n"),
@@ -422,11 +456,14 @@ def bh_fdr_report(
     # column stays unrounded (the protocol's 6-decimal canon covers it).
     p9 = F.round(F.col("p_value"), 9).alias("__p9")
     scored = scored.withColumn("__p9", p9)
-    w_rank = Window.orderBy("__p9", group)
+    # NULLS LAST is pinned explicitly: Spark's ascending default is
+    # nulls-FIRST, DuckDB's is nulls-LAST — guarded-NULL p rows must
+    # rank after every real p in both engines
+    w_rank = Window.orderBy(F.col("__p9").asc_nulls_last(), group)
     ranked = scored.withColumn("i", F.row_number().over(w_rank)).withColumn(
         "bh_critical", _d(F.col("i")) / _d(F.col("m")) * F.lit(alpha)
     )
-    w_all = Window.orderBy("__p9", group).rowsBetween(
+    w_all = Window.orderBy(F.col("__p9").asc_nulls_last(), group).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     flagged = ranked.withColumn(

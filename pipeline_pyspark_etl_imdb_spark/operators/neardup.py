@@ -789,6 +789,99 @@ def dedup_signal_consensus(
     )
 
 
+def _containment_rarest(
+    base: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared head of the containment-dedup pipeline: returns
+    ``(toks, postings, rarest)`` where ``rarest`` is one row per
+    eligible inner doc (>= 5 tokens) carrying its globally rarest
+    interior 3-shingle and that shingle's document frequency.
+
+    toks feeds postings AND the interior-shingle frame; postings feeds
+    the df aggregate AND (in containment_pairs) the candidate equi-join
+    — both are ``tracked_persist``ed so the tokenize/3-shingle explode
+    (the dominant cost) runs once per action, not twice (the r3
+    cached-shingles discipline)."""
+    toks = tracked_persist(
+        base.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
+            "n_toks", F.size("toks")
+        )
+    )
+    postings = tracked_persist(
+        toks.select("doc_id", F.explode(word_shingles("toks", 3)).alias("shingle"))
+    )
+    df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
+    interior = (
+        toks.where(F.col("n_toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, n_toks - 4), "
+                    "s -> concat_ws(' ', slice(toks, s + 1, 3))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    rarest = (
+        interior.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "shingle")).alias("m"))
+        .select(
+            "doc_id", F.col("m.shingle").alias("shingle"), F.col("m.df").alias("df")
+        )
+    )
+    return toks, postings, rarest
+
+
+def containment_df_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale observability for :func:`containment_pairs` (ADVICE r5).
+
+    The complete (``df_frac_cap=None``) containment form's candidate
+    fan-out is EXACTLY ``sum over inner docs of df(rarest interior
+    shingle)`` — near-linear on natural corpora, quadratic on
+    boilerplate-heavy ones where every interior shingle is ubiquitous.
+    This one-row report makes that regime observable BEFORE it bites:
+
+    - ``candidate_rows`` — the exact pre-verify join fan-out (it counts
+      each inner doc's own posting, i.e. overcounts the post-self-filter
+      candidate set by exactly ``n_inner_docs``);
+    - ``max_df`` — the hottest rarest-shingle df (the skew ceiling of
+      the candidate equi-join);
+    - ``docs_over_1pct`` / ``docs_over_10pct`` — inner docs whose rarest
+      interior shingle appears in > 1% / > 10% of ALL docs (integer-
+      exact: ``df * 100 > n_docs`` / ``df * 10 > n_docs``) — exactly the
+      docs a ``df_frac_cap`` at that threshold would route to the
+      LSH/Jaccard path.
+
+    Everything is BIGINT arithmetic over the same toks/postings chain
+    the dedup itself runs — no float anywhere, so the oracle matches
+    bit-for-bit. One extra aggregate over the doc-count-sized rarest
+    frame; no new shuffle class at 100 TB."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    _toks, _postings, rarest = _containment_rarest(base)
+    n_docs = base.agg(F.count("*").cast("bigint").alias("__n"))
+    return (
+        rarest.crossJoin(F.broadcast(n_docs))
+        .agg(
+            F.max("__n").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_inner_docs"),
+            F.sum("df").cast("bigint").alias("candidate_rows"),
+            F.max("df").cast("bigint").alias("max_df"),
+            F.count_if(F.col("df") * 100 > F.col("__n"))
+            .cast("bigint")
+            .alias("docs_over_1pct"),
+            F.count_if(F.col("df") * 10 > F.col("__n"))
+            .cast("bigint")
+            .alias("docs_over_10pct"),
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -836,37 +929,7 @@ def containment_pairs(
     LSH/Jaccard path instead). Default None keeps the result complete —
     the registry query and oracle use the complete form."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # toks feeds postings AND the interior-shingle frame; postings feeds
-    # the df aggregate AND the candidate equi-join — persist both so the
-    # tokenize/3-shingle explode (the dominant cost) runs once per
-    # action, not twice (the r3 cached-shingles discipline)
-    toks = tracked_persist(
-        base.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
-            "n_toks", F.size("toks")
-        )
-    )
-    postings = tracked_persist(
-        toks.select("doc_id", F.explode(word_shingles("toks", 3)).alias("shingle"))
-    )
-    df_counts = postings.groupBy("shingle").agg(F.count("*").alias("df"))
-    interior = (
-        toks.where(F.col("n_toks") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, n_toks - 4), "
-                    "s -> concat_ws(' ', slice(toks, s + 1, 3))))"
-                )
-            ).alias("shingle"),
-        )
-    )
-    rarest = (
-        interior.join(df_counts, "shingle")
-        .groupBy("doc_id")
-        .agg(F.min(F.struct("df", "shingle")).alias("m"))
-        .select("doc_id", F.col("m.shingle").alias("shingle"), F.col("m.df").alias("df"))
-    )
+    toks, postings, rarest = _containment_rarest(base)
     if df_frac_cap is not None:
         # in-plan corpus count (1-row broadcast) — no driver action
         n_docs = base.agg(F.count("*").cast("double").alias("__n"))

@@ -1102,7 +1102,7 @@ def _kmv_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # NOTE: the dict literal below is in historical (r3) order; the
     # DRIVER WINDOW (first 50 names the driver actually checks) is
-    # imposed by the _R5_WINDOW reorder at the END of this module —
+    # imposed by the _R6_WINDOW reorder at the END of this module —
     # see that block for the r5 rotation rationale.
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
@@ -1698,87 +1698,93 @@ ROWS_ONLY: tuple[str, ...] = (
 )
 
 
-# --- R5 DRIVER WINDOW ---------------------------------------------------
+# --- R6 DRIVER WINDOW ---------------------------------------------------
 # The driver hash-checks the FIRST 50 entries of QUERIES at sf0.01 each
-# round. The r5 window clears the never-driver-green backlog to ZERO:
-# slots 1-46 are every oracle-backed query without a green CORRECTNESS
-# row across r1-r4 — the 10 r4-deferred structurally simple queries, the
-# 29 late-r4 additions, the two quantization queries re-registered with
-# exploded scalar shapes (r4's only reds — driver canonicalizer vs
-# ArrayType columns, values were verified locally), and the 5 queries
-# converted from rows-only to exact oracles this round (LPA communities,
-# k-core, PAV isotonic, BMP aHash, WAV fingerprint). Slots 47-50 are
-# re-checks of refactor-touched green rows: ann_ivf / ann_pq (struct-min
-# argmin encoding), prefix_filter_pairs (candidate-join rework), and
-# customer_spend_deciles (ranks.py cached-input guard). After this
-# window runs, every oracle-backed query in the registry has met the
-# driver's signal of record at least once.
-_R5_WINDOW: tuple[str, ...] = (
-    # fixed-shape quantization re-registrations (r4 reds)
-    "embedding_int8_quantize",
-    "embedding_jl_projection",
-    # r4-deferred simple backlog (_R5_BACKLOG promotion)
-    "event_audience_overlap",
-    "event_type_trigrams",
-    "event_value_bands",
-    "event_dow_seasonality",
-    "decayed_user_engagement",
-    "lang_ngram_diversity",
-    "curriculum_stages",
-    "contrastive_doc_negatives",
-    "revenue_concentration",
-    "join_size_estimate_ol",
-    # rows-only -> exact-oracle conversions (this round)
-    "media_ahash_values",
-    "media_audio_fingerprints",
-    "copurchase_k_core",
-    "copurchase_communities",
-    "quality_isotonic_calibration",
-    # late-r4 additions, numerically subtle first
-    "status_price_iqr",
-    "lineitem_trimmed_mean",
-    "order_price_bootstrap_ci",
-    "theilsen_revenue_trend",
-    "quality_brier_decomposition",
-    "daily_revenue_acf",
-    "experiment_srm_check",
-    "experiment_power_mde",
-    "did_revenue_estimate",
-    "status_price_ks_test",
-    "doclen_hill_tail",
-    "dsir_importance_sample",
-    "lang_source_contingency",
-    "token_pmi_pairs",
-    "customer_rfm_scores",
-    "doc_char_concentration",
-    "priority_price_bands",
-    "token_gini_concentration",
-    "doc_readability",
-    "order_total_reconciliation",
-    "benford_price_digits",
-    "copurchase_clustering",
-    "copurchase_assortativity",
-    "vocab_coverage_curve",
-    "en_distinctive_tokens",
-    "event_entropy_rate",
-    "user_burstiness",
-    "parttype_supplier_hhi",
-    "quality_decile_lift",
-    # re-checks of refactor-touched green rows
-    "ann_ivf",
-    "ann_pq",
-    "prefix_filter_pairs",
-    "customer_spend_deciles",
+# round. CORRECTNESS_r05 went 50/50 green, so the r6 window (VERDICT r5
+# items #1/#7, ROUND5_NOTES §11):
+#   slots 1-13  — the ONLY oracle-backed queries without a green driver
+#                 row: the 12 late-r5 additions + supplier_pagerank
+#                 (whose hash oracle replaced its r3 rows-only check);
+#   slot  14    — containment_df_profile (new r6, the ADVICE r5 candidate-
+#                 budget observability query for the containment family);
+#   slots 15-22 — the 8 registry queries that have NEVER appeared in any
+#                 CORRECTNESS record (rows-only at r5 end; the BPE family
+#                 gains hash oracles this round, the rest record
+#                 spark_rows under err=no_oracle — every registry query
+#                 then has met the signal of record at least once);
+#   slots 23-50 — re-confirmation rotation of the LONGEST-green rows,
+#                 weighted to the high-value families the verdict names:
+#                 dedup/LSH/ANN (r1/r3 green), warehouse lifecycle (r2),
+#                 text quality (r1), the reference IMDb surface (r1), and
+#                 session_top_paths / top_orders_per_segment_year from
+#                 the r5 tail-regression watchlist.
+_R6_WINDOW: tuple[str, ...] = (
+    # oracle-backed, never driver-green (the entire remaining debt)
+    "price_mannwhitney_u",
+    "event_value_runs_test",
+    "priority_price_anova",
+    "price_permutation_test",
+    "event_value_bh_fdr",
+    "segment_spearman",
+    "customer_bivariate_outliers",
+    "doc_containment_pairs",
+    "source_token_jsd",
+    "doc_compaction_plan",
+    "copurchase_bfs_hops",
+    "quality_quantile_normalized",
+    "supplier_pagerank",
+    # new r6 (ADVICE observability)
+    "containment_df_profile",
+    # never-driver-seen rows (BPE trio -> hash oracles this round)
+    "bpe_merge_table",
+    "bpe_token_counts",
+    "bpe_doc_token_budget",
+    "unigram_lm_vocab",
+    "semdedup_kmeans",
+    "pack_best_fit_assignment",
+    "kcenter_diversity_picks",
+    "doc_compression_ratio",
+    # rotation: r1-green dedup/ANN/text/reference surface
+    "exact_dup_groups",
+    "dedup_components",
+    "dedup_canonical_corpus",
+    "dedup_lineitem_latest",
+    "lsh_buckets",
+    "ann_lsh",
+    "knn_bruteforce",
+    "simhash_pairs",
+    "doc_fingerprint",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "pricing_summary",
+    "null_marker_cast",
+    "top_orders_per_segment_year",
+    "segment_price_quantiles",
+    # rotation: r2-green warehouse lifecycle + heavy aggregates
+    "merge_upsert_customers",
+    "scd2_customer_priority",
+    "column_profile_orders",
+    "contamination_check",
+    "events_sessionize",
+    "winsorized_price_stats",
+    "tfidf_top_terms",
+    "heavy_hitter_users",
+    # rotation: r3-green LSH verification chain + watchlist
+    "minhash_candidates",
+    "lsh_verified_pairs",
+    "jaccard_pairs",
+    "session_top_paths",
 )
 
-# (window reorder applied at module end, after the late-r4/r5
-#  registrations below exist in QUERIES)
+# (window reorder applied at module end, after the late registrations
+#  below exist in QUERIES)
 
 
 # --- late-r4 additions (all inside the r5 window above) ------------------
 # Growth stays capped below the 50-slot verification rate (VERDICT r3
 # item #2, re-affirmed r4 item #4): every oracle-backed query below is
-# slotted in _R5_WINDOW, so the never-driver-checked backlog is ZERO
+# slotted in _R6_WINDOW, so the never-driver-checked backlog is ZERO
 # once the r5 window runs.
 def _status_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_pyspark_etl_imdb_spark.operators.selection import (
@@ -2144,9 +2150,8 @@ QUERIES["quality_quantile_normalized"] = _quality_quantile_normalized
 
 
 # --- r5 additions: nonparametric/multiple-testing inference, containment
-# dedup, corpus-drift JSD, compaction planning (all oracle-backed; queue
-# for the r6 driver window — they are NOT in _R5_WINDOW, so the r5 slots
-# still clear the pre-existing backlog) -----------------------------------
+# dedup, corpus-drift JSD, compaction planning (all oracle-backed; they
+# head the R6 driver window above) ----------------------------------------
 
 def _price_dec() -> F.Column:
     # column construction is deferred: F.col needs an active SparkContext
@@ -2257,6 +2262,13 @@ def _doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.containment_pairs(_docs(spark, sf_dir))
 
 
+def _containment_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-budget observability for the complete containment form:
+    rarest-interior-shingle df distribution (exact fan-out, skew ceiling,
+    docs a 1%/10% df_frac_cap would exclude) — ADVICE r5."""
+    return neardup.containment_df_profile(_docs(spark, sf_dir))
+
+
 def _source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between source unigram
     distributions — the corpus-drift distance before mixing."""
@@ -2291,16 +2303,17 @@ QUERIES["event_value_bh_fdr"] = _event_value_bh_fdr
 QUERIES["segment_spearman"] = _segment_spearman
 QUERIES["customer_bivariate_outliers"] = _customer_bivariate_outliers
 QUERIES["doc_containment_pairs"] = _doc_containment_pairs
+QUERIES["containment_df_profile"] = _containment_df_profile
 QUERIES["source_token_jsd"] = _source_token_jsd
 QUERIES["doc_compaction_plan"] = _doc_compaction_plan
 
 
-# --- apply the R5 driver-window reorder (see _R5_WINDOW above) -----------
-assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
-assert len(set(_R5_WINDOW)) == len(_R5_WINDOW)
-assert all(name in QUERIES for name in _R5_WINDOW), sorted(
-    set(_R5_WINDOW) - set(QUERIES)
+# --- apply the R6 driver-window reorder (see _R6_WINDOW above) -----------
+assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+assert len(set(_R6_WINDOW)) == len(_R6_WINDOW)
+assert all(name in QUERIES for name in _R6_WINDOW), sorted(
+    set(_R6_WINDOW) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _R5_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R5_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R6_WINDOW)
 }

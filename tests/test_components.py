@@ -126,6 +126,21 @@ def test_bfs_hops_multi_seed_nearest(spark):
     assert got == {i: min(i, 10 - i) for i in range(11)}
 
 
+def test_bfs_hops_duplicate_and_isolated_seeds(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    # a caller-supplied seeds frame is untrusted: duplicated seed ids must
+    # not duplicate (node, 0) rows, and a seed absent from the edge set
+    # stays at hop 0 with no reachable neighbors (isolated-source contract)
+    path = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (0,), (0,), (99,)], "node long")
+    rows = bfs_hops(df, seeds=seeds, max_hops=2).collect()
+    assert len(rows) == len({r.node for r in rows}), "duplicate node rows"
+    got = {r.node: r.hops for r in rows}
+    assert got == {0: 0, 1: 1, 2: 2, 99: 0}
+
+
 def test_bfs_hops_matches_python_on_cooccurrence(spark):
     from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
     from pipeline_pyspark_etl_imdb_spark.operators.triangles import (

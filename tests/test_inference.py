@@ -571,3 +571,87 @@ def test_compaction_plan_greedy_contract(spark):
         groups.sort(key=lambda r: r.merge_group)
         for r in groups[:-1]:
             assert r.group_bytes >= target
+
+
+def test_anova_degenerate_inputs_yield_null(spark):
+    # one group -> k = 1: f_stat undefined (guarded NULL), eta^2 NULL
+    # when total variance is zero; both formerly hit engine-dependent 0/0
+    one_group = spark.createDataFrame(
+        [("a", Decimal("1.00")), ("a", Decimal("2.00"))], "g string, v decimal(18,2)"
+    )
+    row = inference.anova_report(one_group, "g", F.col("v")).collect()[0]
+    assert row.k == 1 and row.f_stat is None and row.eta_squared is not None
+
+    # all values identical across groups -> sst = ssw = 0 exactly:
+    # BOTH statistics are guarded NULL (never NaN/inf)
+    const = spark.createDataFrame(
+        [("a", Decimal("5.00")), ("a", Decimal("5.00")),
+         ("b", Decimal("5.00")), ("b", Decimal("5.00"))],
+        "g string, v decimal(18,2)",
+    )
+    row = inference.anova_report(const, "g", F.col("v")).collect()[0]
+    assert row.f_stat is None and row.eta_squared is None
+
+    # k = n_total (every group a singleton) -> within df = 0: NULL f_stat
+    singletons = spark.createDataFrame(
+        [("a", Decimal("1.00")), ("b", Decimal("2.00")), ("c", Decimal("4.00"))],
+        "g string, v decimal(18,2)",
+    )
+    row = inference.anova_report(singletons, "g", F.col("v")).collect()[0]
+    assert row.f_stat is None and row.eta_squared is not None
+
+
+def test_bh_fdr_degenerate_groups_null_and_rank_last(spark):
+    # battery of 3: two healthy groups and one singleton. The singleton's
+    # z/p are guarded NULL, it ranks LAST (nulls-last pinned), it never
+    # rejects, and m still counts it as a hypothesis.
+    rows = (
+        [("a", float(i % 7) + 0.25) for i in range(40)]
+        + [("b", float(i % 5) + 9.5) for i in range(40)]
+        + [("lonely", 3.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = inference.bh_fdr_report(
+        df, "g", F.col("v").cast("decimal(18,4)"), alpha=0.05
+    ).collect()
+    by_g = {r.g: r for r in got}
+    assert by_g["lonely"].z is None and by_g["lonely"].p_value is None
+    assert by_g["lonely"].rejected is False
+    # NULL p ranks last: its bh_critical carries the max rank i = m
+    assert by_g["lonely"].bh_critical == pytest.approx(3 / 3 * 0.05)
+    assert all(r.z is not None for g, r in by_g.items() if g != "lonely")
+
+    # m = 1 battery (complement empty): guarded NULL, no crash
+    solo = spark.createDataFrame([("only", 1.0), ("only", 2.0)], "g string, v double")
+    row = inference.bh_fdr_report(
+        solo, "g", F.col("v").cast("decimal(18,4)")
+    ).collect()[0]
+    assert row.z is None and row.rejected is False
+
+    # zero pooled variance (both sides constant): NULL, never NaN
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    for r in inference.bh_fdr_report(
+        const, "g", F.col("v").cast("decimal(18,4)")
+    ).collect():
+        assert r.z is None and r.rejected is False
+
+
+def test_containment_df_profile_pinned(spark):
+    # corpus of 6 docs: 3 copies of one 6-token text (eligible inners,
+    # interior shingles shared by all three), one distinct eligible doc,
+    # two short docs (< 5 tokens -> not inner-eligible)
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, dup), (4, "one two three four five six seven"),
+         (5, "tiny doc"), (6, "x y z")],
+        "doc_id bigint, text string",
+    )
+    row = neardup.containment_df_profile(docs).collect()[0]
+    assert row.n_docs == 6 and row.n_inner_docs == 4
+    # the 3 clones: every interior shingle has df = 3; doc 4's are unique
+    assert row.max_df == 3 and row.candidate_rows == 3 * 3 + 1
+    # df=3 of 6 docs -> 3*100 > 6 and 3*10 > 6: all three clones exceed
+    # both thresholds; doc 4 (df=1) exceeds the 10% one (1*10 > 6)
+    assert row.docs_over_1pct == 4 and row.docs_over_10pct == 4

@@ -1687,10 +1687,11 @@ ROWS_ONLY: tuple[str, ...] = (
     # measured top-100 cut margin (4.6e-9 at sf0.1) is engine-stable
     "embedding_kmeans",
     "semdedup_kmeans",
-    "bpe_merge_table",
-    "bpe_token_counts",
+    # the BPE trio (merge_table / token_counts / doc_token_budget) left
+    # this list in r6: the integer-exact merge sequence unrolls as
+    # MATERIALIZED CTE rounds and the greedy merge fold becomes a
+    # delimited-symbol string replace — see plans/oracles.py _bpe_rounds_sql
     "pack_best_fit_assignment",
-    "bpe_doc_token_budget",
     "unigram_lm_vocab",
     "kcenter_diversity_picks",
     # zlib is not SQL-expressible; pinned against direct zlib.compress

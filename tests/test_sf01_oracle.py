@@ -111,6 +111,13 @@ SENSITIVE = [
     "copurchase_bfs_hops",
     # r5 addition: midrank -> pooled interpolated quantile double tree
     "quality_quantile_normalized",
+    # r6 rows-only -> oracle conversions: unrolled integer-exact merge
+    # rounds, delimited-symbol replace() fold (see oracles._bpe_rounds_sql)
+    "bpe_merge_table",
+    "bpe_token_counts",
+    "bpe_doc_token_budget",
+    # r6 addition: BIGINT-exact containment candidate-budget profile
+    "containment_df_profile",
 ]
 
 

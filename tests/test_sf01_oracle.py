@@ -118,6 +118,48 @@ SENSITIVE = [
     "bpe_doc_token_budget",
     # r6 addition: BIGINT-exact containment candidate-budget profile
     "containment_df_profile",
+    # r6 suite growth (VERDICT r5 item #6): the 38 oldest-green (r1)
+    # oracle-backed queries, none of which had ever run at sf0.1 under
+    # the oracle protocol — the suite has caught every scale-revealed
+    # bug so far (DuckDB decimal 1-ulp, CUSUM fold order, md5 hotspot)
+    "ann_lsh",
+    "customer_order_profile_left",
+    "customer_running_spend",
+    "customers_without_orders_anti",
+    "dedup_canonical_corpus",
+    "dedup_components",
+    "dedup_lineitem_latest",
+    "distinct_segments",
+    "doc_fingerprint",
+    "exact_dup_groups",
+    "forecast_revenue_change",
+    "knn_bruteforce",
+    "lang_id",
+    "lineitem_rollup",
+    "lsh_buckets",
+    "media_decode",
+    "media_frames",
+    "media_resize",
+    "media_stats",
+    "nation_role_set_ops",
+    "null_marker_cast",
+    "order_price_histogram",
+    "order_status_priority_cube",
+    "orders_with_lineitems_semi",
+    "part_type_words",
+    "part_word_bridge",
+    "pricing_summary",
+    "quality_score",
+    "return_share_by_year",
+    "revenue_yoy",
+    "segment_price_quantiles",
+    "simhash_pairs",
+    "simhash_values",
+    "sql_segment_leaders",
+    "subtoken_count",
+    "text_stats",
+    "top_orders_per_segment_year",
+    "year_order_kpi",
 ]
 
 

@@ -309,3 +309,64 @@ def bpe_encode_docs(
     out = out.localCheckpoint(eager=True)
     model.segmented.unpersist()
     return out
+
+
+def bpe_source_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+    broadcast_max_words: int = 10_000_000,
+    local_vocab_max: int = 1_000_000,
+) -> DataFrame:
+    """Tokenizer FERTILITY by corpus slice: (group, n_docs, n_words,
+    n_tokens, n_chars, tokens_per_word, chars_per_token) — the standard
+    multilingual tokenizer-quality report (fertility = subword tokens
+    emitted per word; a tokenizer trained on one language's corpus
+    over-fragments the others, and this is the table that shows it
+    before a mixing plan locks in token budgets).
+
+    Same scale shape as :func:`bpe_encode_docs`: the trained distinct-
+    word segmentation joins the corpus word stream (broadcast under the
+    guard), then ONE partial-aggregated groupBy on the slice column —
+    tokens_per_word and chars_per_token are correctly-rounded divisions
+    of exact BIGINT sums, so the whole report hash-matches an ANSI
+    oracle (the _bpe_rounds_sql unrolled-merge chain)."""
+    model = bpe_learn(docs, n_merges, text_col, local_vocab_max)
+    seg_sizes = model.segmented.select(
+        "word", F.size("syms").alias("__wtok"), F.length("word").alias("__wchars")
+    )
+    if seg_sizes.count() <= broadcast_max_words:
+        seg_sizes = F.broadcast(seg_sizes)
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    out = (
+        words.join(seg_sizes, "word")
+        .groupBy("grp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("__wtok").alias("n_tokens"),
+            F.sum("__wchars").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy(group_col)
+    )
+    out = out.localCheckpoint(eager=True)
+    model.segmented.unpersist()
+    return out

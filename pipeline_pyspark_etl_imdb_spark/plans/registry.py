@@ -1238,6 +1238,12 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "bpe_merge_table": lambda s, d: bpe.bpe_merge_table(_docs(s, d), n_merges=8),
     "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(_docs(s, d), n_merges=8),
+    # r6 addition (queued for the r7 window): tokenizer fertility by
+    # source — subword tokens per word per corpus slice, the multilingual
+    # over-fragmentation report; exact sums + correctly-rounded divisions
+    "bpe_source_fertility": lambda s, d: bpe.bpe_source_fertility(
+        _docs(s, d), n_merges=8
+    ),
     # new this session, oracle-backed, queued for the r4 window: Okapi
     # BM25 retrieval scoring, l-diversity release gate, deterministic
     # contrastive hard-negative sampling

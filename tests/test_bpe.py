@@ -173,3 +173,39 @@ def test_encode_docs_broadcasts_vocab_join(spark, docs):
     model.segmented.unpersist()
     assert "BroadcastHashJoin" in plan
     assert out.count() > 0
+
+
+def test_source_fertility_matches_python(spark, docs, ref):
+    """bpe_source_fertility vs the word-by-word reference replay,
+    aggregated per source; ratios are exact-sum divisions."""
+    _wc, (merges, _tok) = ref
+    rows = docs.select("source", "doc_id", "text").collect()
+    agg: dict = {}
+    for r in rows:
+        words = [w for w in r.text.split() if w]
+        if not words:
+            continue
+        a = agg.setdefault(r.source, [set(), 0, 0, 0])
+        a[0].add(r.doc_id)
+        for w in words:
+            syms = [c for c in w]
+            for left, right, _cnt in merges:
+                out = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                syms = out
+            a[1] += 1
+            a[2] += len(syms)
+            a[3] += len(w)
+    got = {r.source: r for r in bpe.bpe_source_fertility(docs, n_merges=8).collect()}
+    assert set(got) == set(agg)
+    for src, (ids, n_w, n_t, n_c) in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.n_words, g.n_tokens, g.n_chars) == (
+            len(ids), n_w, n_t, n_c
+        )
+        assert g.tokens_per_word == n_t / n_w
+        assert g.chars_per_token == n_c / n_t

@@ -116,6 +116,7 @@ SENSITIVE = [
     "bpe_merge_table",
     "bpe_token_counts",
     "bpe_doc_token_budget",
+    "bpe_source_fertility",
     # r6 addition: BIGINT-exact containment candidate-budget profile
     "containment_df_profile",
     # r6 suite growth (VERDICT r5 item #6): the 38 oldest-green (r1)

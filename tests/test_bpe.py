@@ -209,3 +209,22 @@ def test_source_fertility_matches_python(spark, docs, ref):
         )
         assert g.tokens_per_word == n_t / n_w
         assert g.chars_per_token == n_c / n_t
+
+
+def test_bpe_oracle_separator_precondition():
+    """The BPE oracles' delimited-symbol encoding (plans/oracles.py
+    _bpe_rounds_sql) assumes chr(31) never occurs in the corpus — if a
+    future fixture violates this, fail HERE with a clear message rather
+    than as an opaque hash mismatch."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.connect().execute(
+            f"SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet') "
+            "WHERE contains(text, chr(31))"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: {n} documents contain chr(31); the _bpe_rounds_sql "
+            "delimited-symbol encoding needs a different separator"
+        )

@@ -968,3 +968,105 @@ def containment_pairs(
         F.length("__in_t").cast("bigint").alias("inner_chars"),
         F.length("__out_t").cast("bigint").alias("outer_chars"),
     ).orderBy("inner_doc", "outer_doc")
+
+
+def dedup_cascade(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Stage-ordered dedup SURVIVORSHIP — the composite an actual
+    training-data pipeline runs, with per-document attribution:
+
+    1. **exact**: md5-free full-text grouping; the minimum id per
+       identical-text group survives, the rest drop with
+       ``stage='exact'`` and the group canonical as ``canonical_id``.
+    2. **contained**: among exact survivors, every doc (>= 5 tokens)
+       whose text occurs verbatim inside a DIFFERENT survivor drops with
+       ``stage='contained'`` and the minimum containing doc as canonical.
+       Containment is transitive, so dropping against ALL survivors (not
+       just un-contained ones) is sound: if a < b < c, a's witness chain
+       ends in a kept container.
+    3. **near**: among the remaining docs, exact k-shingle Jaccard >=
+       ``threshold`` pairs (complete by the shared-shingle join — any
+       positive-Jaccard pair shares a shingle; df-capped per the
+       boilerplate guard) form components; the minimum id per component
+       survives, the rest drop with ``stage='near'``.
+    4. everything else: ``keep=true, stage='kept', canonical_id=doc_id``.
+
+    Output: exactly one row per input doc — (doc_id, keep, stage,
+    canonical_id), ordered by doc_id. Every stage reuses the engine's
+    bucketed primitives (exact groupBy, rarest-interior-shingle
+    containment join, shingle-postings Jaccard, min-label components),
+    so the cascade inherits their no-all-pairs 100 TB posture; the
+    stages run on strictly shrinking survivor frames."""
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        connected_components,
+    )
+
+    base = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    groups = base.groupBy("text").agg(F.min("doc_id").alias("exact_canonical"))
+    s1 = tracked_persist(base.join(groups, "text"))
+    surv1 = tracked_persist(
+        s1.where(F.col("doc_id") == F.col("exact_canonical")).select(
+            "doc_id", "text"
+        )
+    )
+    contained = tracked_persist(
+        containment_pairs(surv1)
+        .groupBy("inner_doc")
+        .agg(F.min("outer_doc").alias("container"))
+    )
+    surv2 = tracked_persist(
+        surv1.join(
+            contained, surv1["doc_id"] == contained["inner_doc"], "left_anti"
+        )
+    )
+    edges = jaccard_pairs(
+        surv2, k=k, threshold=threshold, max_shingle_df=max_shingle_df
+    ).select("doc_a", "doc_b")
+    comp = tracked_persist(connected_components(edges))
+    near_dropped = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+    report = (
+        s1.where(F.col("doc_id") != F.col("exact_canonical"))
+        .select(
+            "doc_id",
+            F.lit(False).alias("keep"),
+            F.lit("exact").alias("stage"),
+            F.col("exact_canonical").alias("canonical_id"),
+        )
+        .unionByName(
+            contained.select(
+                F.col("inner_doc").alias("doc_id"),
+                F.lit(False).alias("keep"),
+                F.lit("contained").alias("stage"),
+                F.col("container").alias("canonical_id"),
+            )
+        )
+        .unionByName(
+            near_dropped.select(
+                "doc_id",
+                F.lit(False).alias("keep"),
+                F.lit("near").alias("stage"),
+                "canonical_id",
+            )
+        )
+        .unionByName(
+            surv2.join(
+                near_dropped.select("doc_id"), "doc_id", "left_anti"
+            ).select(
+                "doc_id",
+                F.lit(True).alias("keep"),
+                F.lit("kept").alias("stage"),
+                F.col("doc_id").alias("canonical_id"),
+            )
+        )
+    )
+    return report.orderBy("doc_id")

@@ -2269,6 +2269,13 @@ def _doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.containment_pairs(_docs(spark, sf_dir))
 
 
+def _dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-ordered dedup survivorship — exact -> contained -> near —
+    with per-document attribution (keep, stage, canonical_id); the
+    composite an actual pipeline runs (r6 addition, queued for r7)."""
+    return neardup.dedup_cascade(_docs(spark, sf_dir))
+
+
 def _containment_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-budget observability for the complete containment form:
     rarest-interior-shingle df distribution (exact fan-out, skew ceiling,
@@ -2311,6 +2318,7 @@ QUERIES["segment_spearman"] = _segment_spearman
 QUERIES["customer_bivariate_outliers"] = _customer_bivariate_outliers
 QUERIES["doc_containment_pairs"] = _doc_containment_pairs
 QUERIES["containment_df_profile"] = _containment_df_profile
+QUERIES["dedup_cascade_report"] = _dedup_cascade_report
 QUERIES["source_token_jsd"] = _source_token_jsd
 QUERIES["doc_compaction_plan"] = _doc_compaction_plan
 

@@ -655,3 +655,49 @@ def test_containment_df_profile_pinned(spark):
     # df=3 of 6 docs -> 3*100 > 6 and 3*10 > 6: all three clones exceed
     # both thresholds; doc 4 (df=1) exceeds the 10% one (1*10 > 6)
     assert row.docs_over_1pct == 4 and row.docs_over_10pct == 4
+
+
+def test_dedup_cascade_stages_and_partition(spark, docs):
+    # hand-built corpus hitting all four stages:
+    #   1/2: exact dups          -> 2 drops 'exact' against canonical 1
+    #   3:   contained in 1      -> drops 'contained' (>= 5 tokens, inside 1)
+    #   4/5: near-dups (J >= .8) -> 5 drops 'near' against canonical 4
+    #   6:   unique              -> kept
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 15 tokens differing only in the last -> 12 of 13 shingles shared,
+    # J = 12/14 = 0.857 >= 0.8
+    near_a = ("one two three four five six seven eight nine ten "
+              "red green blue white black")
+    near_b = ("one two three four five six seven eight nine ten "
+              "red green blue white pink")
+    tiny = spark.createDataFrame(
+        [(1, big), (2, big), (3, "beta gamma delta epsilon zeta eta"),
+         (4, near_a), (5, near_b), (6, "completely different text here okay")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in neardup.dedup_cascade(tiny).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}, "exactly one row per doc"
+    assert (got[2].keep, got[2].stage, got[2].canonical_id) == (False, "exact", 1)
+    assert (got[3].keep, got[3].stage, got[3].canonical_id) == (
+        False, "contained", 1)
+    assert (got[5].keep, got[5].stage, got[5].canonical_id) == (False, "near", 4)
+    for kept_id in (1, 4, 6):
+        assert (got[kept_id].keep, got[kept_id].stage,
+                got[kept_id].canonical_id) == (True, "kept", kept_id)
+
+    # partition invariant on the real fixture corpus: one row per doc,
+    # kept rows are self-canonical, dropped rows point at a kept doc
+    rep = neardup.dedup_cascade(docs).collect()
+    assert len(rep) == docs.count()
+    assert len({r.doc_id for r in rep}) == len(rep)
+    kept = {r.doc_id for r in rep if r.keep}
+    for r in rep:
+        if r.keep:
+            assert r.canonical_id == r.doc_id and r.stage == "kept"
+        elif r.stage in ("exact", "near"):
+            # exact/near canonicals are group minima -> always kept
+            assert r.canonical_id in kept and r.canonical_id < r.doc_id
+        else:
+            # containment witnesses may themselves be contained in a
+            # larger kept doc (transitive chain) — only ordering holds
+            assert r.stage == "contained" and r.canonical_id != r.doc_id

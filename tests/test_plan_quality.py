@@ -430,6 +430,20 @@ def test_containment_pairs_equi_joins_only(spark):
     assert "partial_min" in plan
 
 
+def test_dedup_cascade_equi_joins_only(spark):
+    """The cascade composes three dedup stages; its physical plan must
+    stay pure equi-join end to end — a CartesianProduct or nested-loop
+    join in ANY stage (exact group-back, containment candidates, shingle
+    Jaccard, component propagation) would reintroduce the all-pairs
+    shape the individual operators are designed to avoid."""
+    from pipeline_pyspark_etl_imdb_spark.operators.neardup import dedup_cascade
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _plan(dedup_cascade(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_privacy_audits_are_two_level_partial_aggregates(spark):
     """k-anonymity / l-diversity reports must partially aggregate map-side
     (equivalence classes bounded by the quasi domain) with no window."""

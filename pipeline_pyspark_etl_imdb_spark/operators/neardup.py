@@ -100,6 +100,21 @@ def jaccard_pairs(
     float op is one final division.
     """
     sh = shingle_sets(docs, k, text_col, id_col)
+    return jaccard_pairs_from_shingles(sh, threshold, id_col, max_shingle_df)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """:func:`jaccard_pairs` over a PRE-SHINGLED (id, shingle) frame —
+    for callers that already materialized the per-doc distinct-shingle
+    rows (the dedup cascade reuses the containment stage's persisted
+    postings, saving a second full-corpus tokenize+explode). Semantics
+    identical to jaccard_pairs: df-cap first, then exact intersection/
+    union counts over the capped universe."""
     if max_shingle_df is not None:
         # persist the capped rows: FOUR consumers (a-side, b-side, two size
         # frames) read this subtree, and Spark does not reuse exchanges
@@ -929,6 +944,17 @@ def containment_pairs(
     LSH/Jaccard path instead). Default None keeps the result complete —
     the registry query and oracle use the complete form."""
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    pairs, _postings = _containment_pairs_and_postings(base, df_frac_cap)
+    return pairs
+
+
+def _containment_pairs_and_postings(
+    base: DataFrame, df_frac_cap: float | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """containment_pairs body over a normalized (doc_id, text) frame,
+    also returning the persisted per-doc distinct 3-shingle postings so
+    composite callers (dedup_cascade) can reuse them without a second
+    corpus tokenize+explode."""
     toks, postings, rarest = _containment_rarest(base)
     if df_frac_cap is not None:
         # in-plan corpus count (1-row broadcast) — no driver action
@@ -962,12 +988,13 @@ def containment_pairs(
         )
         .where(F.instr(F.col("__out_t"), F.col("__in_t")) > 0)
     )
-    return verified.select(
+    pairs = verified.select(
         "inner_doc",
         "outer_doc",
         F.length("__in_t").cast("bigint").alias("inner_chars"),
         F.length("__out_t").cast("bigint").alias("outer_chars"),
     ).orderBy("inner_doc", "outer_doc")
+    return pairs, postings
 
 
 def dedup_cascade(
@@ -1008,28 +1035,47 @@ def dedup_cascade(
     )
 
     base = tracked_persist(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.md5(F.col(text_col)).alias("__h"),
+        )
     )
-    groups = base.groupBy("text").agg(F.min("doc_id").alias("exact_canonical"))
-    s1 = tracked_persist(base.join(groups, "text"))
+    # exact grouping keys on md5(text), the exact_dup_groups discipline:
+    # the group shuffle and the join back move a 32-char digest, not the
+    # document body — at 100 TB the full-text key would ship the corpus
+    # through BOTH exchanges
+    groups = base.groupBy("__h").agg(F.min("doc_id").alias("exact_canonical"))
+    s1 = tracked_persist(base.join(groups, "__h").drop("__h"))
     surv1 = tracked_persist(
         s1.where(F.col("doc_id") == F.col("exact_canonical")).select(
             "doc_id", "text"
         )
     )
+    pairs, postings = _containment_pairs_and_postings(surv1)
     contained = tracked_persist(
-        containment_pairs(surv1)
-        .groupBy("inner_doc")
-        .agg(F.min("outer_doc").alias("container"))
+        pairs.groupBy("inner_doc").agg(F.min("outer_doc").alias("container"))
     )
     surv2 = tracked_persist(
         surv1.join(
             contained, surv1["doc_id"] == contained["inner_doc"], "left_anti"
         )
     )
-    edges = jaccard_pairs(
-        surv2, k=k, threshold=threshold, max_shingle_df=max_shingle_df
-    ).select("doc_a", "doc_b")
+    # stage 3 reuses stage 2's PERSISTED per-doc distinct 3-shingle
+    # postings (identical shingle definition) restricted to the stage-2
+    # survivors — the corpus is tokenized/exploded once for both stages,
+    # not twice (at 100 TB: one corpus scan saved per cascade run).
+    # Note: postings are k=3 shingles; a non-default k falls back to a
+    # fresh shingle pass.
+    if k == 3:
+        sh2 = postings.join(surv2.select("doc_id"), "doc_id", "left_semi")
+        edges = jaccard_pairs_from_shingles(
+            sh2, threshold=threshold, max_shingle_df=max_shingle_df
+        ).select("doc_a", "doc_b")
+    else:
+        edges = jaccard_pairs(
+            surv2, k=k, threshold=threshold, max_shingle_df=max_shingle_df
+        ).select("doc_a", "doc_b")
     comp = tracked_persist(connected_components(edges))
     near_dropped = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")

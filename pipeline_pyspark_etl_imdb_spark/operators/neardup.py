@@ -816,11 +816,13 @@ def _containment_rarest(
     the df aggregate AND (in containment_pairs) the candidate equi-join
     — both are ``tracked_persist``ed so the tokenize/3-shingle explode
     (the dominant cost) runs once per action, not twice (the r3
-    cached-shingles discipline)."""
+    cached-shingles discipline). The base fans out first (the
+    shingle_sets discipline): tokenize+shingle multiplies rows ~50x and
+    is CPU-bound, so a single-file scan must not serialize it."""
     toks = tracked_persist(
-        base.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
-            "n_toks", F.size("toks")
-        )
+        fan_out(base).select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        ).withColumn("n_toks", F.size("toks"))
     )
     postings = tracked_persist(
         toks.select("doc_id", F.explode(word_shingles("toks", 3)).alias("shingle"))

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.text import tokens, word_shingles
+from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
 
 _HEX = "0123456789abcdef"
 HEX_LEVELS = 16**4  # resolution of the md5-derived uniform variate
@@ -490,6 +491,94 @@ def dataset_split(
         expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
     )
     return out.withColumn("split", expr).drop("__u", "__h")
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    ratios: dict[str, float] | None = None,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Cross-split NEAR-DUPLICATE leakage — the eval-integrity check
+    exact-id splitting cannot give you: :func:`dataset_split` guarantees
+    no document id crosses the train/val/test boundary, but a near-copy
+    of a training doc landing in val/test still leaks (the C4/Dodge
+    et al. failure mode), and this query measures exactly that.
+
+    For every unordered split pair: the count of k-shingle Jaccard >=
+    ``threshold`` pairs whose endpoints sit in DIFFERENT splits, the
+    number of distinct documents involved, and the worst (max) crossing
+    Jaccard. Empty result = no measurable leakage at the threshold.
+
+    Scale shape: the pair generation IS :func:`neardup.jaccard_pairs`
+    (shared-shingle equi-join, df-capped — no all-pairs anywhere); the
+    split assignment is the map-only hash split; the report is two tiny
+    aggregates over the crossing-pair frame. Nothing new shuffles at
+    100 TB beyond what the dedup pass itself costs — which a pipeline
+    runs anyway, so in production this report is a near-free by-product
+    of dedup."""
+    from pipeline_pyspark_etl_imdb_spark.operators.neardup import jaccard_pairs
+
+    assign = dataset_split(docs, ratios, id_col=id_col, salt=salt).select(
+        F.col(id_col).alias("__id"), "split"
+    )
+    pairs = jaccard_pairs(
+        docs,
+        k=k,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        max_shingle_df=max_shingle_df,
+    )
+    crossing = (
+        pairs.join(
+            assign.select(
+                F.col("__id").alias("doc_a"), F.col("split").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assign.select(
+                F.col("__id").alias("doc_b"), F.col("split").alias("__sb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("__sa") != F.col("__sb"))
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+        )
+    )
+    crossing = tracked_persist(crossing)
+    pairs_per = crossing.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_crossing_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    docs_per = (
+        crossing.select(
+            "split_a", "split_b", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count_distinct("d").alias("n_leaked_docs"))
+    )
+    return (
+        pairs_per.join(docs_per, ["split_a", "split_b"])
+        .select(
+            "split_a",
+            "split_b",
+            "n_crossing_pairs",
+            "n_leaked_docs",
+            "max_jaccard",
+        )
+        .orderBy("split_a", "split_b")
+    )
 
 
 def contrastive_negatives(

@@ -2269,6 +2269,13 @@ def _doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.containment_pairs(_docs(spark, sf_dir))
 
 
+def _split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage: Jaccard >= 0.8 pairs whose endpoints
+    landed in different train/val/test splits — the eval-integrity check
+    id-level splitting cannot give (r6 addition, queued for r7)."""
+    return corpus.split_leakage_report(_docs(spark, sf_dir))
+
+
 def _dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-ordered dedup survivorship — exact -> contained -> near —
     with per-document attribution (keep, stage, canonical_id); the
@@ -2319,6 +2326,7 @@ QUERIES["customer_bivariate_outliers"] = _customer_bivariate_outliers
 QUERIES["doc_containment_pairs"] = _doc_containment_pairs
 QUERIES["containment_df_profile"] = _containment_df_profile
 QUERIES["dedup_cascade_report"] = _dedup_cascade_report
+QUERIES["split_leakage_report"] = _split_leakage_report
 QUERIES["source_token_jsd"] = _source_token_jsd
 QUERIES["doc_compaction_plan"] = _doc_compaction_plan
 

@@ -701,3 +701,35 @@ def test_dedup_cascade_stages_and_partition(spark, docs):
             # containment witnesses may themselves be contained in a
             # larger kept doc (transitive chain) — only ordering holds
             assert r.stage == "contained" and r.canonical_id != r.doc_id
+
+
+def test_split_leakage_report_matches_replay(spark, docs):
+    # replay the composition from its two audited components: jaccard
+    # pairs at 0.8 and the hash split assignment — the report must be
+    # exactly the cross-split subset, aggregated per unordered split pair
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup.jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assign = {
+        r.doc_id: r.split for r in corpus.dataset_split(docs).collect()
+    }
+    want: dict = {}
+    for (a, b), j in pairs.items():
+        sa, sb = assign[a], assign[b]
+        if sa == sb:
+            continue
+        key = (min(sa, sb), max(sa, sb))
+        e = want.setdefault(key, [0, set(), 0.0])
+        e[0] += 1
+        e[1].update((a, b))
+        e[2] = max(e[2], j)
+    got = {
+        (r.split_a, r.split_b): r
+        for r in corpus.split_leakage_report(docs).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n_pairs, d, mx) in want.items():
+        r = got[key]
+        assert (r.n_crossing_pairs, r.n_leaked_docs) == (n_pairs, len(d))
+        assert r.max_jaccard == mx

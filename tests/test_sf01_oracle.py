@@ -121,6 +121,8 @@ SENSITIVE = [
     "containment_df_profile",
     # r6 addition: stage-ordered dedup survivorship composite
     "dedup_cascade_report",
+    # r6 addition: cross-split near-dup leakage (eval integrity)
+    "split_leakage_report",
     # r6 suite growth (VERDICT r5 item #6): the 38 oldest-green (r1)
     # oracle-backed queries, none of which had ever run at sf0.1 under
     # the oracle protocol — the suite has caught every scale-revealed

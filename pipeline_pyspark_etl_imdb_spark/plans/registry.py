@@ -1719,12 +1719,15 @@ ROWS_ONLY: tuple[str, ...] = (
 #                 gains hash oracles this round, the rest record
 #                 spark_rows under err=no_oracle — every registry query
 #                 then has met the signal of record at least once);
-#   slots 23-50 — re-confirmation rotation of the LONGEST-green rows,
+#   slots 23-25 — the three late-r6 additions (bpe_source_fertility,
+#                 dedup_cascade_report, split_leakage_report), slotted
+#                 in-window so they carry NO visibility debt into r7;
+#   slots 26-50 — re-confirmation rotation of the LONGEST-green rows,
 #                 weighted to the high-value families the verdict names:
 #                 dedup/LSH/ANN (r1/r3 green), warehouse lifecycle (r2),
-#                 text quality (r1), the reference IMDb surface (r1), and
-#                 session_top_paths / top_orders_per_segment_year from
-#                 the r5 tail-regression watchlist.
+#                 the reference IMDb surface (r1), and session_top_paths /
+#                 top_orders_per_segment_year from the r5 tail-regression
+#                 watchlist.
 _R6_WINDOW: tuple[str, ...] = (
     # oracle-backed, never driver-green (the entire remaining debt)
     "price_mannwhitney_u",
@@ -1751,6 +1754,11 @@ _R6_WINDOW: tuple[str, ...] = (
     "pack_best_fit_assignment",
     "kcenter_diversity_picks",
     "doc_compression_ratio",
+    # late-r6 additions — slotted here so never-driver-checked = 0 after
+    # this window runs (they would otherwise queue for r7)
+    "bpe_source_fertility",
+    "dedup_cascade_report",
+    "split_leakage_report",
     # rotation: r1-green dedup/ANN/text/reference surface
     "exact_dup_groups",
     "dedup_components",
@@ -1761,9 +1769,6 @@ _R6_WINDOW: tuple[str, ...] = (
     "knn_bruteforce",
     "simhash_pairs",
     "doc_fingerprint",
-    "text_stats",
-    "quality_score",
-    "lang_id",
     "pricing_summary",
     "null_marker_cast",
     "top_orders_per_segment_year",

@@ -796,6 +796,119 @@ def test_no_unbounded_partitionless_windows_anywhere(spark):
     assert not stale_whitelist, f"stale whitelist entries: {sorted(stale_whitelist)}"
 
 
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# every entry is a crossJoin against a BROADCAST frame whose row count is
+# bounded by construction (a one-row global aggregate, a k-row centroid/
+# query/battery frame, or a bin/calendar spine) — never a data-sized side.
+# The value names the bounded frame so the audit is re-checkable.
+_BOUNDED_BROADCAST_NESTED_LOOPS = {
+    # one-row global-aggregate frames (totals, moments, cuts, spans)
+    "ab_experiment_report": "one-row pooled-moments frame",
+    "cuped_experiment_report": "one-row theta/moments frame",
+    "did_revenue_estimate": "one-row cut-date frame",
+    "decayed_user_engagement": "one-row max-date frame",
+    "status_price_ks_test": "one-row group-counts frame",
+    "theilsen_revenue_trend": "one-row median-slope frame",
+    "en_distinctive_tokens": "one-row corpus-totals frame",
+    "event_entropy_rate": "one-row corpus-entropy frame",
+    "tfidf_top_terms": "one-row N-docs frame",
+    "heavy_hitter_users": "one-row total-count frame",
+    "doc_unigram_logprob": "one-row corpus-token-total frame",
+    "token_pmi_pairs": "one-row token/pair totals frame",
+    "temperature_mixing_plan": "one-row normalizer frame",
+    "neyman_order_sample": "one-row allocation-normalizer frame",
+    "dsir_doc_weights": "one-row source-ratio normalizer frame",
+    "dsir_importance_sample": "one-row source-ratio normalizer frame",
+    "join_size_estimate_ol": "one-row per-side key-stats frames",
+    "orphan_keys_qa": "one-row per-side key-universe frames",
+    "lang_id_kappa": "one-row agreement-totals frame",
+    "user_km_retention": "one-row cohort-size frame",
+    "event_cusum_changepoints": "one-row mean/sd frame",
+    "events_gap_fill": "one-row min/max-day span frame",
+    "event_key_skew_profile": "one-row total-count frame",
+    "quality_quantile_normalized": "one-row pooled-quantile frame",
+    "source_token_jsd": "one-row corpus-totals frame",
+    "price_permutation_test": "one-row observed-statistic frame",
+    "event_value_bh_fdr": "one-row pooled-moments frame (m-row battery)",
+    "customer_bivariate_outliers": "one-row moment/inverse-covariance frame",
+    "containment_df_profile": "one-row candidate-budget totals frame",
+    "bm25_docs": "one-row avgdl/N frame",
+    "rag_chunk_bm25": "one-row avgdl/N frame",
+    "retrieval_ndcg_report": "one-row ideal-DCG normalizer frame",
+    "hybrid_rrf_retrieval": "one-row per-system cut frames",
+    "customer_rfm_scores": "one-row tercile-cuts frame",
+    # k-row broadcast frames (centroids / query vectors / anchors / bins)
+    "knn_bruteforce": "k-row query-vector frame",
+    "ann_ivf": "k-row centroid frame",
+    "ann_recall_report": "k-row query-vector frame",
+    "matryoshka_recall16": "k-row query-vector frame",
+    "embedding_int8_quantize": "per-dim max battery (one-row, plan-gated)",
+    "contrastive_doc_negatives": "k-row broadcast anchor frame",
+    "event_audience_overlap": "event-type pair frame (|types|^2 rows)",
+}
+
+
+def _product_joins(sdf) -> list[str]:
+    hits: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if name == "InMemoryTableScanExec":
+            try:
+                walk(node.relation().cachedPlan())
+            except Exception:
+                pass
+        if "CartesianProduct" in name or "BroadcastNestedLoopJoin" in name:
+            hits.append(name)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(sdf._jdf.queryExecution().executedPlan())
+    return hits
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Walk EVERY registry query's physical plan: a CartesianProduct is
+    forbidden outright (an all-pairs join is never the right 100 TB
+    shape), and a BroadcastNestedLoopJoin is allowed only for queries on
+    the audited whitelist above, where the broadcast side is a bounded
+    (one-row / k-row / spine) aggregate frame. A new query that slips an
+    unbounded product past review fails here before it ships."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders: dict[str, list[str]] = {}
+    stale_whitelist = set(_BOUNDED_BROADCAST_NESTED_LOOPS)
+    for name, fn in QUERIES.items():
+        try:
+            hits = _product_joins(fn(spark, sf))
+        finally:
+            release_tracked()
+            spark.catalog.clearCache()
+        cartesian = [h for h in hits if "CartesianProduct" in h]
+        if cartesian:
+            offenders[name] = cartesian
+            continue
+        if hits:
+            if name in _BOUNDED_BROADCAST_NESTED_LOOPS:
+                stale_whitelist.discard(name)
+            else:
+                offenders[name] = hits
+    assert not offenders, (
+        "queries planning cartesian/nested-loop products outside the "
+        f"audited bounded-broadcast whitelist: {offenders}"
+    )
+    assert not stale_whitelist, f"stale whitelist entries: {sorted(stale_whitelist)}"
+
+
 def test_all_driver_facing_output_schemas_atomic(spark):
     """Every registry query must emit only atomic driver-facing columns.
 

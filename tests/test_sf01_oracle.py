@@ -165,6 +165,138 @@ SENSITIVE = [
     "text_stats",
     "top_orders_per_segment_year",
     "year_order_kpi",
+    # r6 full-registry completion: the remaining 123 oracle-backed
+    # queries, enrolling the ENTIRE oracle-backed registry (245) at
+    # sf0.1. Grouped by family.
+    # warehouse lifecycle / QA
+    "merge_upsert_customers",
+    "scd2_customer_priority",
+    "column_profile_orders",
+    "contamination_check",
+    "customer_snapshot_diff",
+    "incremental_ingest_dedup",
+    "incremental_daily_kpi",
+    "incremental_join_delta",
+    "signed_join_refresh",
+    "signed_daily_kpi_refresh",
+    "orders_pit_priority",
+    "orders_contract_report",
+    "orphan_keys_qa",
+    "k_anonymity_customers",
+    "l_diversity_customers",
+    "bloom_contamination_check",
+    "part_zorder_key",
+    "event_key_skew_profile",
+    "skew_safe_flag_totals",
+    "skew_safe_status_revenue",
+    "null_safe_bucket_join",
+    "join_size_estimate_ol",
+    # sessionization / event-time / streaming-batch
+    "events_sessionize",
+    "session_top_paths",
+    "event_ohlc_bars",
+    "events_tumbling_kpi",
+    "events_hourly_rollup",
+    "events_sliding_counts",
+    "events_gap_fill",
+    "user_activity_spans",
+    "user_inter_arrival",
+    "ema_user_value",
+    "trailing_week_spend",
+    "event_value_stats",
+    "event_value_anomalies",
+    "event_type_transitions",
+    "events_variant_stats",
+    "events_json_kpi",
+    "events_props_struct",
+    "events_user_pivot",
+    "event_counts_unpivot",
+    "purchase_last_click_asof",
+    "purchases_near_errors",
+    "funnel_view_click_purchase",
+    "funnel_time_to_convert",
+    "cohort_weekly_retention",
+    "order_gap_profile",
+    "order_calendar_profile",
+    "daily_orders_vs_events_full",
+    # text / corpus construction / importance
+    "tfidf_top_terms",
+    "heavy_hitter_users",
+    "gopher_quality_flags",
+    "repetition_score",
+    "pii_redact",
+    "ngram_stats",
+    "vocab_top_tokens",
+    "doc_bigram_logprob",
+    "doc_unigram_logprob",
+    "doc_chunks",
+    "doc_segments_udtf",
+    "chunk_dedup_corpus",
+    "repeated_spans",
+    "span_dup_coverage",
+    "span_dedup_trim",
+    "token_feature_hash",
+    "part_name_features",
+    "part_string_battery",
+    "shard_assignment",
+    "domain_mix",
+    "sequence_packing",
+    "corpus_build_manifest",
+    "group_doc_sample",
+    "global_doc_sample",
+    "weighted_doc_sample",
+    "dataset_split_assign",
+    "dsir_doc_weights",
+    "quality_funnel_report",
+    "mixing_epochs_plan",
+    "lang_id_confusion",
+    "lang_id_kappa",
+    "label_confusion_report",
+    # dedup / similarity / retrieval
+    "minhash_candidates",
+    "lsh_verified_pairs",
+    "jaccard_pairs",
+    "minhash_jaccard_estimates",
+    "prefix_filter_pairs",
+    "tfidf_cosine_pairs",
+    "embedding_neardup",
+    "semdedup_lsh",
+    "dedup_signal_consensus",
+    "brand_entity_resolution",
+    "brand_fuzzy_pairs",
+    "ann_ivf",
+    "ann_pq",
+    "ann_recall_report",
+    "bm25_docs",
+    "rag_chunk_bm25",
+    "hybrid_rrf_retrieval",
+    "retrieval_ndcg_report",
+    "embedding_vector_stats",
+    "embedding_prototype_scores",
+    "kmv_user_sketch",
+    "cms_user_event_counts",
+    # graph
+    "copurchase_triangles",
+    "copurchase_clustering",
+    "copurchase_assortativity",
+    "copurchase_link_prediction",
+    "custkey_tree_depth",
+    "nation_customer_roster",
+    # relational / SQL-surface battery
+    "region_revenue",
+    "order_grouping_sets",
+    "orders_above_global_avg",
+    "pipe_priority_revenue",
+    "supplier_top_orders_lateral",
+    "user_type_share_map",
+    "media_features",
+    "media_decode_real",
+    "event_audience_overlap",
+    "event_type_trigrams",
+    "lang_ngram_diversity",
+    "event_value_bands",
+    "contrastive_doc_negatives",
+    "curriculum_stages",
 ]
 
 

@@ -463,8 +463,11 @@ def _cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means cluster assignments over the embedding corpus
     (SemDeDup-style semantic grouping). Float-mean summation order is
-    engine-specific, so exposure is rows-only; values are gated against
-    an independent NumPy Lloyd's run in tests/test_kmeans.py."""
+    engine-specific, but the measured argmin margins (>= 8.5e-7 rel at
+    every SF) clear that spread by 5+ orders, so the integer output is
+    engine-stable and hash-oracle-backed (oracles._kmeans_assign_cte);
+    values are additionally gated against an independent NumPy Lloyd's
+    run in tests/test_kmeans.py."""
     from pipeline_pyspark_etl_imdb_spark.operators.kmeans import lloyd_kmeans
 
     assigned, _ = lloyd_kmeans(_emb(spark, sf_dir), k=16, n_iter=4)
@@ -1690,9 +1693,12 @@ ROWS_ONLY: tuple[str, ...] = (
     # supplier_pagerank converted to oracle-backed in r5: the fixed-count
     # float iteration has no comparisons, so cross-engine sum-order spread
     # (~1e-15) is invisible at the protocol's 6-decimal rounding and the
-    # measured top-100 cut margin (4.6e-9 at sf0.1) is engine-stable
-    "embedding_kmeans",
-    "semdedup_kmeans",
+    # measured top-100 cut margin (4.6e-9 at sf0.1) is engine-stable.
+    # embedding_kmeans / semdedup_kmeans converted in r6 by the same
+    # discipline: integer/boolean outputs, and every float comparison
+    # (argmin assignment, cos >= 0.35 prune) measured >= 8.5e-7 relative
+    # margin at all three SFs — 5+ orders above cross-engine sum-order
+    # spread (see oracles._kmeans_assign_cte)
     # the BPE trio (merge_table / token_counts / doc_token_budget) left
     # this list in r6: the integer-exact merge sequence unrolls as
     # MATERIALIZED CTE rounds and the greedy merge fold becomes a
@@ -1745,7 +1751,8 @@ _R6_WINDOW: tuple[str, ...] = (
     "supplier_pagerank",
     # new r6 (ADVICE observability)
     "containment_df_profile",
-    # never-driver-seen rows (BPE trio -> hash oracles this round)
+    # never-driver-seen rows (BPE trio AND semdedup_kmeans gained hash
+    # oracles this round; the other four record spark_rows as no_oracle)
     "bpe_merge_table",
     "bpe_token_counts",
     "bpe_doc_token_budget",
@@ -1768,7 +1775,10 @@ _R6_WINDOW: tuple[str, ...] = (
     "ann_lsh",
     "knn_bruteforce",
     "simhash_pairs",
-    "doc_fingerprint",
+    # rows-only -> hash-oracle conversion this round (argmin margins
+    # measured 5+ orders above float spread); takes the slot of the
+    # r1-green doc_fingerprint rotation row
+    "embedding_kmeans",
     "pricing_summary",
     "null_marker_cast",
     "top_orders_per_segment_year",

@@ -297,6 +297,11 @@ SENSITIVE = [
     "event_value_bands",
     "contrastive_doc_negatives",
     "curriculum_stages",
+    # r6 continuation: kmeans family rows-only -> hash-oracle conversions
+    # (unrolled Lloyd CTEs; argmin / cosine margins measured 5+ orders
+    # above cross-engine float spread at every SF)
+    "embedding_kmeans",
+    "semdedup_kmeans",
 ]
 
 

@@ -1705,7 +1705,10 @@ ROWS_ONLY: tuple[str, ...] = (
     # delimited-symbol string replace — see plans/oracles.py _bpe_rounds_sql
     "pack_best_fit_assignment",
     "unigram_lm_vocab",
-    "kcenter_diversity_picks",
+    # kcenter_diversity_picks converted in r6 (oracles._kcenter_sql):
+    # fixed k-1 argmax rounds unroll as CTEs; measured argmax gaps
+    # >= 1.2e-3 and rounding-boundary distances >= 3.4e-8 — both 6+
+    # orders above cross-engine float spread
     # zlib is not SQL-expressible; pinned against direct zlib.compress
     "doc_compression_ratio",
 )

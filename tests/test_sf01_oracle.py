@@ -302,6 +302,7 @@ SENSITIVE = [
     # above cross-engine float spread at every SF)
     "embedding_kmeans",
     "semdedup_kmeans",
+    "kcenter_diversity_picks",
 ]
 
 

@@ -1724,8 +1724,9 @@ ROWS_ONLY: tuple[str, ...] = (
 #   slot  14    — containment_df_profile (new r6, the ADVICE r5 candidate-
 #                 budget observability query for the containment family);
 #   slots 15-22 — the 8 registry queries that have NEVER appeared in any
-#                 CORRECTNESS record (rows-only at r5 end; the BPE family
-#                 gains hash oracles this round, the rest record
+#                 CORRECTNESS record (rows-only at r5 end; the BPE family,
+#                 semdedup_kmeans and kcenter_diversity_picks gain hash
+#                 oracles this round, the remaining three record
 #                 spark_rows under err=no_oracle — every registry query
 #                 then has met the signal of record at least once);
 #   slots 23-25 — the three late-r6 additions (bpe_source_fertility,
@@ -1754,8 +1755,9 @@ _R6_WINDOW: tuple[str, ...] = (
     "supplier_pagerank",
     # new r6 (ADVICE observability)
     "containment_df_profile",
-    # never-driver-seen rows (BPE trio AND semdedup_kmeans gained hash
-    # oracles this round; the other four record spark_rows as no_oracle)
+    # never-driver-seen rows (the BPE trio, semdedup_kmeans and
+    # kcenter_diversity_picks gained hash oracles this round; the other
+    # three record spark_rows as no_oracle)
     "bpe_merge_table",
     "bpe_token_counts",
     "bpe_doc_token_budget",

@@ -39,6 +39,7 @@ from pipeline_pyspark_etl_imdb_spark.operators import (
     triangles,
     unigram_lm,
     warehouse,
+    weaklabel,
 )
 from pipeline_pyspark_etl_imdb_spark.operators import text as text_ops
 from pipeline_pyspark_etl_imdb_spark.operators import udtf as udtf_ops
@@ -1779,7 +1780,10 @@ _R6_WINDOW: tuple[str, ...] = (
     "lsh_buckets",
     "ann_lsh",
     "knn_bruteforce",
-    "simhash_pairs",
+    # late-r6 addition (weak supervision diagnostics), slotted in-window
+    # so it carries no visibility debt; takes the slot of the r1-green
+    # simhash_pairs rotation row (re-verified at sf0.1 this round)
+    "weak_label_report",
     # rows-only -> hash-oracle conversion this round (argmin margins
     # measured 5+ orders above float spread); takes the slot of the
     # r1-green doc_fingerprint rotation row
@@ -2349,6 +2353,20 @@ QUERIES["dedup_cascade_report"] = _dedup_cascade_report
 QUERIES["split_leakage_report"] = _split_leakage_report
 QUERIES["source_token_jsd"] = _source_token_jsd
 QUERIES["doc_compaction_plan"] = _doc_compaction_plan
+
+
+def _weak_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style labeling-function diagnostics over the document
+    corpus: per-LF coverage / overlap / conflict / consensus agreement
+    for five deterministic quality heuristics, plus the majority-vote
+    consensus machinery a learned filter trains on (r6 addition,
+    slotted in the r6 window). Engine-exact votes — integer comparisons
+    or identical double trees — so the report hash-matches the oracle
+    with no margin analysis (operators/weaklabel.py)."""
+    return weaklabel.weak_label_report(_docs(spark, sf_dir))
+
+
+QUERIES["weak_label_report"] = _weak_label_report
 
 
 # --- apply the R6 driver-window reorder (see _R6_WINDOW above) -----------

@@ -837,6 +837,7 @@ _BOUNDED_BROADCAST_NESTED_LOOPS = {
     "retrieval_ndcg_report": "one-row ideal-DCG normalizer frame",
     "hybrid_rrf_retrieval": "one-row per-system cut frames",
     "customer_rfm_scores": "one-row tercile-cuts frame",
+    "weak_label_report": "one-row corpus-count frame (+5-row LF spine)",
     # k-row broadcast frames (centroids / query vectors / anchors / bins)
     "knn_bruteforce": "k-row query-vector frame",
     "ann_ivf": "k-row centroid frame",

@@ -303,6 +303,8 @@ SENSITIVE = [
     "embedding_kmeans",
     "semdedup_kmeans",
     "kcenter_diversity_picks",
+    # r6 continuation addition: weak-supervision LF diagnostics
+    "weak_label_report",
 ]
 
 

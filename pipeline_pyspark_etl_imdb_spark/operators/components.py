@@ -261,7 +261,12 @@ def bfs_hops(
     adj0.unpersist()
 
     if seeds is None:
-        seeds = adj.agg(F.min("node").alias("node"))
+        # the 1-row min aggregate yields (NULL) on an EMPTY graph — filter
+        # it so the result is zero rows, not a phantom (NULL, 0) row (the
+        # permutation-test empty-shape discipline; mirrored in _bfs_sql)
+        seeds = adj.agg(F.min("node").alias("node")).where(
+            F.col("node").isNotNull()
+        )
     else:
         # a caller-supplied seeds frame is untrusted: duplicate seed ids
         # would emit duplicate (node, 0) rows (and double every later

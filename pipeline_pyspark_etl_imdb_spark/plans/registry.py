@@ -1106,8 +1106,8 @@ def _kmv_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # NOTE: the dict literal below is in historical (r3) order; the
     # DRIVER WINDOW (first 50 names the driver actually checks) is
-    # imposed by the _R6_WINDOW reorder at the END of this module —
-    # see that block for the r5 rotation rationale.
+    # imposed by the _R7_WINDOW reorder at the END of this module —
+    # see that block for the staleness-rotation rationale.
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
     "orders_above_global_avg": analytics.orders_above_global_avg,
@@ -1242,7 +1242,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "bpe_merge_table": lambda s, d: bpe.bpe_merge_table(_docs(s, d), n_merges=8),
     "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(_docs(s, d), n_merges=8),
-    # r6 addition (queued for the r7 window): tokenizer fertility by
+    # r6 addition (driver-green in the r6 window): tokenizer fertility by
     # source — subword tokens per word per corpus slice, the multilingual
     # over-fragmentation report; exact sums + correctly-rounded divisions
     "bpe_source_fertility": lambda s, d: bpe.bpe_source_fertility(
@@ -1715,108 +1715,95 @@ ROWS_ONLY: tuple[str, ...] = (
 )
 
 
-# --- R6 DRIVER WINDOW ---------------------------------------------------
+# --- R7 DRIVER WINDOW ---------------------------------------------------
 # The driver hash-checks the FIRST 50 entries of QUERIES at sf0.01 each
-# round. CORRECTNESS_r05 went 50/50 green, so the r6 window (VERDICT r5
-# items #1/#7, ROUND5_NOTES §11):
-#   slots 1-13  — the ONLY oracle-backed queries without a green driver
-#                 row: the 12 late-r5 additions + supplier_pagerank
-#                 (whose hash oracle replaced its r3 rows-only check);
-#   slot  14    — containment_df_profile (new r6, the ADVICE r5 candidate-
-#                 budget observability query for the containment family);
-#   slots 15-22 — the 8 registry queries that have NEVER appeared in any
-#                 CORRECTNESS record (rows-only at r5 end; the BPE family,
-#                 semdedup_kmeans and kcenter_diversity_picks gain hash
-#                 oracles this round, the remaining three record
-#                 spark_rows under err=no_oracle — every registry query
-#                 then has met the signal of record at least once);
-#   slots 23-25 — the three late-r6 additions (bpe_source_fertility,
-#                 dedup_cascade_report, split_leakage_report), slotted
-#                 in-window so they carry NO visibility debt into r7;
-#   slots 26-50 — re-confirmation rotation of the LONGEST-green rows,
-#                 weighted to the high-value families the verdict names:
-#                 dedup/LSH/ANN (r1/r3 green), warehouse lifecycle (r2),
-#                 the reference IMDb surface (r1), and session_top_paths /
-#                 top_orders_per_segment_year from the r5 tail-regression
-#                 watchlist.
-_R6_WINDOW: tuple[str, ...] = (
-    # oracle-backed, never driver-green (the entire remaining debt)
-    "price_mannwhitney_u",
-    "event_value_runs_test",
-    "priority_price_anova",
-    "price_permutation_test",
-    "event_value_bh_fdr",
-    "segment_spearman",
-    "customer_bivariate_outliers",
-    "doc_containment_pairs",
-    "source_token_jsd",
-    "doc_compaction_plan",
-    "copurchase_bfs_hops",
-    "quality_quantile_normalized",
-    "supplier_pagerank",
-    # new r6 (ADVICE observability)
-    "containment_df_profile",
-    # never-driver-seen rows (the BPE trio, semdedup_kmeans and
-    # kcenter_diversity_picks gained hash oracles this round; the other
-    # three record spark_rows as no_oracle)
-    "bpe_merge_table",
-    "bpe_token_counts",
-    "bpe_doc_token_budget",
-    "unigram_lm_vocab",
-    "semdedup_kmeans",
-    "pack_best_fit_assignment",
-    "kcenter_diversity_picks",
-    "doc_compression_ratio",
-    # late-r6 additions — slotted here so never-driver-checked = 0 after
-    # this window runs (they would otherwise queue for r7)
-    "bpe_source_fertility",
-    "dedup_cascade_report",
-    "split_leakage_report",
-    # rotation: r1-green dedup/ANN/text/reference surface
-    "exact_dup_groups",
-    "dedup_components",
-    "dedup_canonical_corpus",
-    "dedup_lineitem_latest",
-    "lsh_buckets",
-    "ann_lsh",
-    "knn_bruteforce",
-    # late-r6 addition (weak supervision diagnostics), slotted in-window
-    # so it carries no visibility debt; takes the slot of the r1-green
-    # simhash_pairs rotation row (re-verified at sf0.1 this round)
-    "weak_label_report",
-    # rows-only -> hash-oracle conversion this round (argmin margins
-    # measured 5+ orders above float spread); takes the slot of the
-    # r1-green doc_fingerprint rotation row
-    "embedding_kmeans",
-    "pricing_summary",
-    "null_marker_cast",
-    "top_orders_per_segment_year",
-    "segment_price_quantiles",
-    # rotation: r2-green warehouse lifecycle + heavy aggregates
-    "merge_upsert_customers",
-    "scd2_customer_priority",
-    "column_profile_orders",
-    "contamination_check",
-    "events_sessionize",
-    "winsorized_price_stats",
-    "tfidf_top_terms",
-    "heavy_hitter_users",
-    # rotation: r3-green LSH verification chain + watchlist
-    "minhash_candidates",
-    "lsh_verified_pairs",
-    "jaccard_pairs",
-    "session_top_paths",
+# round. After r6, every oracle-backed query has a green driver row and
+# every rows-only query a recorded driver appearance — visibility debt
+# is zero — so the r7 window is a pure STALENESS-ORDERED rotation
+# (VERDICT r6 item #1, ROUND6_NOTES §10): refresh the rows whose last
+# driver signal is oldest.
+#   slots 1-4   — the four rows-only queries last seen r2/r3
+#                 (approx_user_stats, distinct_users_sketch r2;
+#                 stratified_doc_sample, doc_classifier_scores r3) —
+#                 their rows-rows refresh under err=no_oracle;
+#   slots 5-31  — ALL 27 queries whose last green driver row is r1
+#                 (reference IMDb surface, set-ops/rollup analytics,
+#                 text stats/quality/lang-id, simhash/fingerprint,
+#                 multimodal, sql_segment_leaders) — six rounds stale;
+#   slots 32-50 — 19 of the 39 queries whose last green is r2, by
+#                 family value: the event-time battery, the as-of /
+#                 range joins, corpus construction, and the remaining
+#                 text ops. The 20 r2-green rows that did not fit head
+#                 the r8 rotation, then the r3-green families.
+_R7_WINDOW: tuple[str, ...] = (
+    # rows-only refreshes (stalest driver signal in the registry)
+    "approx_user_stats",
+    "distinct_users_sketch",
+    "stratified_doc_sample",
+    "doc_classifier_scores",
+    # last-green r1: reference IMDb surface + core analytics
+    "year_order_kpi",
+    "order_price_histogram",
+    "distinct_segments",
+    "part_type_words",
+    "part_word_bridge",
+    "lineitem_rollup",
+    "orders_with_lineitems_semi",
+    "customers_without_orders_anti",
+    "return_share_by_year",
+    "forecast_revenue_change",
+    "revenue_yoy",
+    "customer_running_spend",
+    "order_status_priority_cube",
+    "customer_order_profile_left",
+    "nation_role_set_ops",
+    "sql_segment_leaders",
+    # last-green r1: text analysis + fingerprints + multimodal
+    "text_stats",
+    "subtoken_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "simhash_values",
+    "simhash_pairs",
+    "media_stats",
+    "media_decode",
+    "media_frames",
+    "media_resize",
+    # last-green r2: event-time battery
+    "events_tumbling_kpi",
+    "events_hourly_rollup",
+    "events_sliding_counts",
+    "events_json_kpi",
+    "events_user_pivot",
+    "event_counts_unpivot",
+    "events_props_struct",
+    "events_gap_fill",
+    # last-green r2: as-of / range joins
+    "purchase_last_click_asof",
+    "purchases_near_errors",
+    # last-green r2: corpus construction
+    "shard_assignment",
+    "domain_mix",
+    "sequence_packing",
+    "corpus_build_manifest",
+    "doc_chunks",
+    # last-green r2: remaining text ops
+    "ngram_stats",
+    "pii_redact",
+    "repetition_score",
+    "vocab_top_tokens",
 )
 
 # (window reorder applied at module end, after the late registrations
 #  below exist in QUERIES)
 
 
-# --- late-r4 additions (all inside the r5 window above) ------------------
+# --- late-r4 additions --------------------------------------------------
 # Growth stays capped below the 50-slot verification rate (VERDICT r3
-# item #2, re-affirmed r4 item #4): every oracle-backed query below is
-# slotted in _R6_WINDOW, so the never-driver-checked backlog is ZERO
-# once the r5 window runs.
+# item #2, re-affirmed r4 item #4): every oracle-backed query below went
+# driver-green by r6 via the r5/r6 windows; they now ride the normal
+# staleness rotation.
 def _status_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_pyspark_etl_imdb_spark.operators.selection import (
         grouped_exact_iqr_report,
@@ -2369,12 +2356,12 @@ def _weak_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["weak_label_report"] = _weak_label_report
 
 
-# --- apply the R6 driver-window reorder (see _R6_WINDOW above) -----------
-assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
-assert len(set(_R6_WINDOW)) == len(_R6_WINDOW)
-assert all(name in QUERIES for name in _R6_WINDOW), sorted(
-    set(_R6_WINDOW) - set(QUERIES)
+# --- apply the R7 driver-window reorder (see _R7_WINDOW above) -----------
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+assert len(set(_R7_WINDOW)) == len(_R7_WINDOW)
+assert all(name in QUERIES for name in _R7_WINDOW), sorted(
+    set(_R7_WINDOW) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R6_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R7_WINDOW)
 }

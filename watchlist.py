@@ -1,0 +1,139 @@
+"""Per-query bench regression watchlist.
+
+Diffs the newest full bench artifact (``bench_full_r<N>.json``, written
+by bench.py) against (a) the prior round's recorded timings and (b) the
+table of isolated best-of-3 pins, and flags every query whose current
+best-of-N reads >= FLAG_RATIO of its yardstick. This automates the
+discipline that caught ``status_price_ks_test`` (noise) and
+``quality_token_budget`` (unpinned riser) in r5/r6, which until now
+lived only in the judge's and builder's notes (VERDICT r6 item #5).
+
+Usage:
+    python watchlist.py                 # newest bench_full vs prior round
+    python watchlist.py CUR.json PRIOR.json
+
+Prior-round timings come from the previous ``bench_full_r*.json`` if
+one exists, else from the driver's ``BENCH_r*.json`` tail (regex-scanned
+the same way bench.py's anomaly pass does — truncated tails only carry
+~60 of 256 queries, which is exactly why the full artifact exists).
+
+A flag is a MEASUREMENT TODO, not a verdict: the r5/r6 record shows most
+flags are shared-JVM session noise. The follow-up is an isolated
+best-of-3 pin (fresh process, sf0.001 warmup, 3 timed runs at sf0.1);
+only a pin that stays >= FLAG_RATIO of its prior pin warrants a
+root-cause.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+FLAG_RATIO = 1.5
+# queries cheaper than this are skipped: at sub-second cost the ratio is
+# dominated by scheduler jitter, and 1.5x of 0.2 s is not a signal
+MIN_SECONDS = 0.75
+
+# Isolated best-of-3 pins (fresh JVM, sf0.001 warmup, best of 3 timed
+# runs at sf0.1 on this box class). Source: ROUND5/6/7_NOTES pin tables.
+PINS: dict[str, float] = {
+    "status_price_ks_test": 2.35,  # r6 notes §5
+    "session_top_paths": 1.50,  # r6 notes §5
+    "span_dedup_trim": 0.74,  # r6 notes §5
+    "user_activity_spans": 1.17,  # r6 notes §5
+    "top_orders_per_segment_year": 1.40,  # r6 notes §5
+    "order_price_bootstrap_ci": 2.68,  # r6 notes §8
+    "bpe_source_fertility": 2.75,  # r6 notes §7
+    "dedup_cascade_report": 5.95,  # r6 notes §9b (A/B'd)
+    "copurchase_k_core": 4.10,  # r6 notes §9c
+    "supplier_pagerank": 5.55,  # r6 notes §9c
+    "copurchase_triangles": 6.58,  # r6 notes §9c
+    "prefix_filter_pairs": 2.37,  # r6 notes §9c
+    "part_association_rules": 2.51,  # r6 notes §9c
+    "quality_token_budget": 2.22,  # r7 notes (the r6 1.46x riser: pin is
+    #   1.25x its r5 shared-run reading and BELOW its r6 one — cleared)
+    "split_leakage_report": 2.61,  # r7 notes (new-in-r6, first pin)
+}
+
+
+def _load_queries(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        raw = fh.read()
+    try:
+        data = json.loads(raw)
+        q = data.get("queries")
+        if isinstance(q, dict) and q:
+            return {k: float(v) for k, v in q.items() if v == v}
+    except json.JSONDecodeError:
+        pass
+    # truncated driver tail: regex-scan, delimiter-anchored (see bench.py)
+    out: dict[str, float] = {}
+    for name, sec in re.findall(r'(?:^|[{,])\s*"([a-z0-9_]+)":\s*([0-9.]+)', raw):
+        out[name] = float(sec)
+    for k in ("total_sec", "n_queries", "sf_tail", "sf", "value"):
+        out.pop(k, None)
+    return out
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
+
+
+def _pick_files(here: str) -> tuple[str, str | None]:
+    fulls = sorted(glob.glob(os.path.join(here, "bench_full_r*.json")), key=_round_of)
+    if not fulls:
+        raise SystemExit("no bench_full_r*.json found — run bench.py first")
+    cur = fulls[-1]
+    cur_round = _round_of(cur)
+    prior_fulls = [p for p in fulls if _round_of(p) < cur_round]
+    if prior_fulls:
+        return cur, prior_fulls[-1]
+    tails = sorted(
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json")) if _round_of(p) < cur_round),
+        key=_round_of,
+    )
+    return cur, (tails[-1] if tails else None)
+
+
+def main() -> int:
+    here = os.path.dirname(__file__) or "."
+    if len(sys.argv) >= 3:
+        cur_path, prior_path = sys.argv[1], sys.argv[2]
+    else:
+        cur_path, prior_path = _pick_files(here)
+    cur = _load_queries(cur_path)
+    prior = _load_queries(prior_path) if prior_path else {}
+    print(f"current: {cur_path} ({len(cur)} queries)")
+    print(f"prior:   {prior_path} ({len(prior)} queries)" if prior_path else "prior:   none")
+
+    flags: list[tuple[str, float, float, str]] = []
+    for name, sec in sorted(cur.items()):
+        if sec != sec or sec < MIN_SECONDS:
+            continue
+        yard, src = None, ""
+        if name in prior and prior[name] >= 0.05:
+            yard, src = prior[name], "prior-round"
+        if name in PINS and (yard is None or PINS[name] < yard):
+            # the pin is the *engine cost*; a shared-run prior above the
+            # pin is itself inflated, so compare against the tighter one
+            yard, src = PINS[name], "pin"
+        if yard is not None and sec >= FLAG_RATIO * yard:
+            flags.append((name, sec, yard, src))
+
+    if not flags:
+        print(f"watchlist: CLEAR — no query >= {FLAG_RATIO}x its yardstick "
+              f"(min {MIN_SECONDS}s)")
+        return 0
+    print(f"watchlist: {len(flags)} flagged (>= {FLAG_RATIO}x yardstick) — "
+          "pin each isolated best-of-3 before trusting")
+    for name, sec, yard, src in sorted(flags, key=lambda f: -f[1] / f[2]):
+        print(f"  {name}: {sec:.2f}s vs {yard:.2f}s {src} ({sec / yard:.2f}x)")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

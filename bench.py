@@ -57,9 +57,14 @@ def _prior_medians(known_queries: set[str] | None = None) -> dict[str, float]:
             # cut-off name like ...rder_price_histogram would credit the
             # suffix-named query (ADVICE r4); requiring {, or , (or
             # line start) before the opening quote drops the first
-            # partial pair after the truncation point instead
+            # partial pair after the truncation point instead.
+            # The driver stores the bench line as an ESCAPED string field
+            # (\"name\": sec), which the quote-anchored pattern cannot see
+            # — unescape before scanning (found r7: the r6 records yielded
+            # 3 of ~60 tail pairs without this)
             for name, sec in re.findall(
-                r'(?:^|[{,])\s*"([a-z0-9_]+)":\s*([0-9.]+)', raw
+                r'(?:^|[{,])\s*"([a-z0-9_]+)":\s*([0-9.]+)',
+                raw.replace('\\"', '"'),
             ):
                 if name in known_queries:
                     by_query.setdefault(name, []).append(float(sec))

@@ -56,6 +56,20 @@ PINS: dict[str, float] = {
     "quality_token_budget": 2.22,  # r7 notes (the r6 1.46x riser: pin is
     #   1.25x its r5 shared-run reading and BELOW its r6 one — cleared)
     "split_leakage_report": 2.61,  # r7 notes (new-in-r6, first pin)
+    "status_price_quantile_sketch": 1.01,  # r7 notes (r7 flag, cleared)
+    "tfidf_cosine_pairs": 1.92,  # r7 notes (r7 flag, cleared)
+}
+
+# Flags already followed up within a round: the query was pinned isolated
+# best-of-3 that round and cleared (<1.5x its yardstick in isolation), so
+# re-flagging the same shared-sweep reading is noise. Entries expire when
+# a newer round's artifact appears — a rise that persists re-flags.
+RESOLVED: dict[str, int] = {
+    "quality_token_budget": 7,  # pin 2.22 = 1.25x r5, below r6 reading
+    "split_leakage_report": 7,  # pin 2.61, first pin, in family
+    "status_price_quantile_sketch": 7,  # pin 1.01 = 1.16x prior shared
+    "prefix_filter_pairs": 7,  # pin 2.67 = 1.13x its r6 pin
+    "tfidf_cosine_pairs": 7,  # pin 1.92 = 1.33x prior shared
 }
 
 
@@ -69,8 +83,11 @@ def _load_queries(path: str) -> dict[str, float]:
             return {k: float(v) for k, v in q.items() if v == v}
     except json.JSONDecodeError:
         pass
-    # truncated driver tail: regex-scan, delimiter-anchored (see bench.py)
+    # truncated driver tail: regex-scan, delimiter-anchored (see bench.py);
+    # the driver stores the line as an escaped string field, so unescape
+    # first or the quote-anchored pattern misses nearly every pair
     out: dict[str, float] = {}
+    raw = raw.replace('\\"', '"')
     for name, sec in re.findall(r'(?:^|[{,])\s*"([a-z0-9_]+)":\s*([0-9.]+)', raw):
         out[name] = float(sec)
     for k in ("total_sec", "n_queries", "sf_tail", "sf", "value"):
@@ -110,18 +127,25 @@ def main() -> int:
     print(f"current: {cur_path} ({len(cur)} queries)")
     print(f"prior:   {prior_path} ({len(prior)} queries)" if prior_path else "prior:   none")
 
+    cur_round = _round_of(cur_path)
     flags: list[tuple[str, float, float, str]] = []
     for name, sec in sorted(cur.items()):
         if sec != sec or sec < MIN_SECONDS:
             continue
-        yard, src = None, ""
+        if RESOLVED.get(name) == cur_round:
+            continue
+        # a flag must clear 1.5x of EVERY available yardstick: the pin is
+        # the trusted isolated engine cost, and a shared-run prior can read
+        # arbitrarily low on cache luck — a current reading that is still
+        # within family of the pin is not a regression no matter what the
+        # prior-round shared reading was (and vice versa)
+        yards = []
         if name in prior and prior[name] >= 0.05:
-            yard, src = prior[name], "prior-round"
-        if name in PINS and (yard is None or PINS[name] < yard):
-            # the pin is the *engine cost*; a shared-run prior above the
-            # pin is itself inflated, so compare against the tighter one
-            yard, src = PINS[name], "pin"
-        if yard is not None and sec >= FLAG_RATIO * yard:
+            yards.append((prior[name], "prior-round"))
+        if name in PINS:
+            yards.append((PINS[name], "pin"))
+        if yards and all(sec >= FLAG_RATIO * y for y, _ in yards):
+            yard, src = max(yards)  # report the hardest-to-exceed one
             flags.append((name, sec, yard, src))
 
     if not flags:

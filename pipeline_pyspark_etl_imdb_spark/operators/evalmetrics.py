@@ -310,7 +310,14 @@ def conformal_cutoff(
                 .limit(1)
                 .collect()
             )
-            cutoff = float(kth[0].score) if kth else float("nan")
+            if not kth:
+                # empty calibration split: no order statistic exists, so
+                # no gate row is emitted for this alpha (mirrors the
+                # oracle, whose cutoff join over zero ranked rows yields
+                # nothing). Reachable only when the split is empty —
+                # n >= 1 implies k >= 1 implies a kth row.
+                continue
+            cutoff = float(kth[0].score)
             kept = base.agg(
                 F.sum(
                     F.when(~F.col("__cal") & (F.col("score") <= cutoff), 1).otherwise(0)
@@ -323,8 +330,8 @@ def conformal_cutoff(
                     n,
                     k,
                     cutoff,
-                    int(kept.kept),
-                    int(kept.test_n),
+                    int(kept.kept or 0),
+                    int(kept.test_n or 0),
                     (kept.kept / kept.test_n) if kept.test_n else None,
                 )
             )

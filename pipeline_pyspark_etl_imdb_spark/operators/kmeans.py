@@ -212,6 +212,19 @@ def lloyd_kmeans(
         r.cluster: [float(x) for x in r.centroid] for r in seed_rows
     }
     spark = embeddings.sparkSession
+    if not cents:
+        # empty corpus: no seeds exist, so there is nothing to iterate —
+        # zero assignment rows (schema from the empty input frame) and
+        # zero centroids, matching the oracle's empty seed/af CTEs
+        out = emb.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
+        emb.unpersist()
+        return out, spark.createDataFrame(
+            [], "cluster int, centroid array<double>"
+        )
 
     def _matrix(c: dict[int, list[float]]):
         # cluster ids are always exactly 0..k-1 (seeding numbers them,

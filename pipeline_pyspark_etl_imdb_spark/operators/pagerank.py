@@ -93,6 +93,12 @@ def pagerank(
         .persist()
     )
     n = nodes0.count()
+    if n == 0:
+        # empty graph: zero rows, not a phantom row or a 1/0 teleport —
+        # the bfs_hops empty-shape contract (b934e1d); the unrolled-CTE
+        # oracle yields the same (every round CTE is empty)
+        nodes0.unpersist()
+        return nodes0.select("node", F.lit(None).cast("double").alias("rank"))
     # frame-proportional partitioning: the rank/node frames are 2-3
     # columns of ~20 B/row, the edge frame similar — sizing partitions by
     # ROW VOLUME (capped at the session's shuffle width, floored for

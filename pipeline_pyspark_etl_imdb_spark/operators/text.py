@@ -940,8 +940,12 @@ def hill_tail_index(
     )
     top = vals.orderBy(F.desc("x")).limit(k + 1)
     arr = top.agg(F.sort_array(F.collect_list("x"), asc=False).alias("a"))
-    k_eff = F.least(F.lit(k), F.size("a") - 1)
-    x_tail = F.element_at("a", F.size("a"))
+    # empty input: collect_list yields [], and element_at(a, 0) THROWS in
+    # Spark (index 0 invalid) even with ANSI off — guard both derived
+    # columns so the empty corpus yields one all-NULL row, matching the
+    # oracle's list(x)-over-zero-rows NULL propagation
+    k_eff = F.when(F.size("a") >= 1, F.least(F.lit(k), F.size("a") - 1))
+    x_tail = F.when(F.size("a") >= 1, F.element_at("a", F.size("a")))
     hill = F.when(
         k_eff >= 1,
         F.aggregate(

@@ -908,6 +908,15 @@ def _doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     seed = docs.where(F.col("doc_id") < 500)
+    if seed.isEmpty():
+        # no training seed -> no model -> no scores (all-NULL frame over
+        # the corpus, zero rows when the corpus itself is empty); MLlib's
+        # LBFGS summarizer raises on a zero-row fit
+        return docs.select(
+            "doc_id",
+            F.lit(None).cast("double").alias("p_positive"),
+            F.lit(None).cast("int").alias("predicted"),
+        )
     model = train_doc_classifier(
         seed, quality_expr(F.col("text")) >= 0.5, max_iter=10
     )

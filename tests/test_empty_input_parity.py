@@ -1,0 +1,93 @@
+"""Empty-input parity battery: every oracle-backed query on zero-row tables.
+
+The r6/r7 record shows the empty shape is where engines silently diverge:
+the BFS phantom (NULL, 0) row, weak_label_report's 0/0 NaN-vs-NULL, the
+semdedup zero-norm prune, and this round's 17-query sweep hit (Spark
+crashes in hill_tail/lloyd_kmeans/conformal_cutoff/pagerank; grand-total
+rollup rows DuckDB emits and Spark doesn't; spine frames Spark keeps and
+grouped oracles drop; DuckDB least() skipping NULLs). None of that is
+visible at sf0.01 — a slice CAN be empty in production whenever a filter
+zeroes out a source, and a driver hash row would go red with no local
+signal. This battery runs EVERY oracle-backed registry query against
+zero-row copies of all fixture tables (exact schemas) and asserts:
+
+- the Spark side does not crash;
+- the raw DuckDB output carries no NaN/Inf (the driver stringifies, so
+  NaN-vs-NULL is a hash red the canonicalizing local compare can't see);
+- both engines agree row-for-row under the driver protocol.
+
+Rows-only queries are exercised crash-only (no oracle to compare).
+"""
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+from pipeline_pyspark_etl_imdb_spark.sources.tables import FIXTURE_TABLES
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare_frames
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_fixtures")
+    for name in FIXTURE_TABLES:
+        schema = pq.read_schema(f"{SF_SMOKE}/{name}.parquet")
+        schema = pa.schema([pa.field(f.name, f.type) for f in schema])
+        pq.write_table(schema.empty_table(), str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_conn(empty_dir):
+    conn = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        conn.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{empty_dir}/{name}.parquet')"
+        )
+    return conn
+
+
+def _raw_has_nonfinite(rows) -> bool:
+    return any(
+        isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+        for row in rows
+        for v in row
+    )
+
+
+def test_every_query_agrees_on_empty_tables(spark, empty_dir, oracle_conn):
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures: list[str] = []
+    for name in sorted(queries):
+        try:
+            spark_pdf = queries[name](spark, empty_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — collecting, not masking
+            failures.append(f"{name}: SPARK RAISED {type(exc).__name__}: {exc}")
+            release_tracked()
+            spark.catalog.clearCache()
+            continue
+        sql = oracles.get(name)
+        if sql is not None:
+            raw = oracle_conn.execute(sql).fetchall()
+            if _raw_has_nonfinite(raw):
+                failures.append(
+                    f"{name}: oracle emitted NaN/Inf on empty input "
+                    "(driver-hash divergence vs Spark NULL)"
+                )
+            problems = compare_frames(spark_pdf, oracle_conn.execute(sql).df())
+            if problems:
+                failures.append(f"{name}: " + " | ".join(p[:200] for p in problems[:3]))
+        release_tracked()
+        spark.catalog.clearCache()
+    assert not failures, (
+        f"{len(failures)} empty-input divergences:\n" + "\n".join(failures)
+    )

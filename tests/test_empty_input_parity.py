@@ -63,13 +63,13 @@ def _raw_has_nonfinite(rows) -> bool:
     )
 
 
-def test_every_query_agrees_on_empty_tables(spark, empty_dir, oracle_conn):
+def _run_battery(spark, conn, fixture_dir: str, label: str) -> list[str]:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures: list[str] = []
     for name in sorted(queries):
         try:
-            spark_pdf = queries[name](spark, empty_dir).toPandas()
+            spark_pdf = queries[name](spark, fixture_dir).toPandas()
         except Exception as exc:  # noqa: BLE001 — collecting, not masking
             failures.append(f"{name}: SPARK RAISED {type(exc).__name__}: {exc}")
             release_tracked()
@@ -77,17 +77,68 @@ def test_every_query_agrees_on_empty_tables(spark, empty_dir, oracle_conn):
             continue
         sql = oracles.get(name)
         if sql is not None:
-            raw = oracle_conn.execute(sql).fetchall()
+            raw = conn.execute(sql).fetchall()
             if _raw_has_nonfinite(raw):
                 failures.append(
-                    f"{name}: oracle emitted NaN/Inf on empty input "
+                    f"{name}: oracle emitted NaN/Inf on {label} input "
                     "(driver-hash divergence vs Spark NULL)"
                 )
-            problems = compare_frames(spark_pdf, oracle_conn.execute(sql).df())
+            problems = compare_frames(spark_pdf, conn.execute(sql).df())
             if problems:
                 failures.append(f"{name}: " + " | ".join(p[:200] for p in problems[:3]))
         release_tracked()
         spark.catalog.clearCache()
+    return failures
+
+
+def test_every_query_agrees_on_empty_tables(spark, empty_dir, oracle_conn):
+    failures = _run_battery(spark, oracle_conn, empty_dir, "empty")
     assert not failures, (
         f"{len(failures)} empty-input divergences:\n" + "\n".join(failures)
+    )
+
+
+@pytest.fixture(scope="module")
+def onerow_dir(tmp_path_factory):
+    """One row per table with CONSISTENT keys, sliced from sf0.001: the
+    first lineitem row plus exactly the orders/customer/nation/region/
+    part/supplier rows it references — joins still land, but every
+    group is a singleton, every variance is zero, and every pairwise
+    family (slopes, transitions, gaps) is pairless."""
+    import pyarrow.compute as pc
+
+    d = tmp_path_factory.mktemp("onerow_fixtures")
+
+    def one(name, key_col=None, key_val=None):
+        t = pq.read_table(f"{SF_SMOKE}/{name}.parquet")
+        if key_col is not None:
+            t = t.filter(pc.equal(t[key_col], key_val))
+        t = t.slice(0, 1)
+        assert t.num_rows == 1, name
+        pq.write_table(t, str(d / f"{name}.parquet"))
+        return t
+
+    li = one("lineitem")
+    orders = one("orders", "o_orderkey", li["l_orderkey"][0].as_py())
+    cust = one("customer", "c_custkey", orders["o_custkey"][0].as_py())
+    nat = one("nation", "n_nationkey", cust["c_nationkey"][0].as_py())
+    one("region", "r_regionkey", nat["n_regionkey"][0].as_py())
+    one("part", "p_partkey", li["l_partkey"][0].as_py())
+    one("supplier", "s_suppkey", li["l_suppkey"][0].as_py())
+    one("events")
+    one("documents")
+    one("embeddings")
+    return str(d)
+
+
+def test_every_query_agrees_on_single_row_tables(spark, onerow_dir):
+    conn = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        conn.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{onerow_dir}/{name}.parquet')"
+        )
+    failures = _run_battery(spark, conn, onerow_dir, "single-row")
+    assert not failures, (
+        f"{len(failures)} single-row divergences:\n" + "\n".join(failures)
     )

@@ -41,8 +41,12 @@ def featurize(
     text_col: str = "text",
 ) -> DataFrame:
     """Append a sparse ``features`` vector: hashed token counts
-    (vocabulary-free, map-only)."""
-    with_tok = docs.withColumn("__tok", tokens(F.lower(F.col(text_col))))
+    (vocabulary-free, map-only). A NULL text tokenizes to the empty
+    token list (HashingTF raises on a NULL input array)."""
+    tok = F.coalesce(
+        tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
+    with_tok = docs.withColumn("__tok", tok)
     tf = HashingTF(inputCol="__tok", outputCol="features", numFeatures=n_features)
     return tf.transform(with_tok).drop("__tok")
 
@@ -59,8 +63,15 @@ def train_doc_classifier(
     ``label_col`` is any boolean/0-1 expression (curated flag, weak
     label, heuristic threshold)."""
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    # rows whose label expression is NULL (3VL: e.g. a quality threshold
+    # over NULL text) carry no supervision — drop them; MLlib's LBFGS
+    # raises on NULL labels
     prepared = featurize(
-        labeled_docs.withColumn("label", lab.cast("double")), n_features, text_col
+        labeled_docs.withColumn("label", lab.cast("double")).where(
+            F.col("label").isNotNull()
+        ),
+        n_features,
+        text_col,
     )
     lr = LogisticRegression(
         featuresCol="features",

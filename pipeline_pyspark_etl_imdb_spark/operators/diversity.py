@@ -81,7 +81,9 @@ def kcenter_select(
     optimal k-center radius (every unpicked point is within sqrt(d) of a
     center)."""
     spark = embeddings.sparkSession
-    base = embeddings.select(
+    # NULL embeddings never participate (the semdedup_flags contract):
+    # the NumPy distance kernel would throw on a None row
+    base = embeddings.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )

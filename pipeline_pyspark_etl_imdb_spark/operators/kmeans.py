@@ -203,6 +203,9 @@ def lloyd_kmeans(
     literals change every round; see also _assign_udf for why these
     kernels are Pandas UDFs rather than Catalyst higher-order
     functions.)"""
+    # NULL embeddings never participate (the semdedup_flags contract):
+    # both the seed pick and the assignment kernel would throw on None
+    embeddings = embeddings.where(F.col(vec_col).isNotNull())
     emb = fan_out(embeddings).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -237,6 +237,8 @@ def media_real_containers(docs: DataFrame) -> DataFrame:
         for pdf in it:
             ids, kinds, payloads = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # no source text -> no asset to serialize
                 data = text.encode("utf-8")
                 n = len(data)  # header geometry derives from the RAW length
                 fill = data if data else b"\x00"
@@ -283,6 +285,8 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     payload's md5, so results are stable across engines and runs."""
     out = {"media_id": [], "kind": [], "width": [], "height": [], "n_frames": [], "n_bytes": []}
     for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+        if payload is None:
+            continue  # missing blob: decode failure, skip (never throw)
         digest = hashlib.md5(bytes(payload)).digest()
         out["media_id"].append(media_id)
         out["kind"].append(kind)
@@ -296,6 +300,8 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = {"media_id": [], "kind": [], "width": [], "height": [], "n_frames": [], "n_bytes": []}
     for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+        if payload is None:
+            continue  # missing blob: decode failure, skip (never throw)
         buf = bytes(payload)
         width, height, n_frames = _real_decode_one(buf)
         out["media_id"].append(media_id)
@@ -354,6 +360,8 @@ def media_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in it:
             ids, feats = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # missing blob: no features, skip
                 buf = bytes(payload)
                 hist = [0] * dim
                 for byte in buf:
@@ -420,7 +428,7 @@ def resize_media(
             for media_id, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                if kind != "image":
+                if kind != "image" or payload is None:
                     continue
                 buf = bytes(payload) or b"\x00"
                 if _resize_one is not None:
@@ -466,7 +474,7 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> 
             for media_id, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                if kind != "video":
+                if kind != "video" or payload is None:
                     continue
                 buf = bytes(payload)
                 n_frames = (len(buf) + frame_bytes - 1) // frame_bytes

@@ -135,6 +135,11 @@ def label_confusion_matrix(
     definition."""
     import math
 
+    # NULL labels form no class and NULL embeddings carry no mass — both
+    # would crash the driver-side pairing (None is unorderable/unzippable)
+    embeddings = embeddings.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     cents = label_centroids(embeddings, dim, label_col=label_col, vec_col=vec_col)
     rows = sorted(cents.collect(), key=lambda r: r.label)
     out = []

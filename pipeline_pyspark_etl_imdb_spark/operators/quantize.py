@@ -200,5 +200,9 @@ def jl_project(
         acc = acc * scale
         return pd.Series(list(acc))
 
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    # NULL embeddings never participate (the semdedup_flags contract):
+    # np.stack inside the kernel would throw on a None row
+    base = embeddings.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
     return base.select(id_col, _proj("v").alias("projection"))

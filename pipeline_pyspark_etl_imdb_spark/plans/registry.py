@@ -634,7 +634,13 @@ def _user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (share >= 0.2), exploded back to scalar rows for hashing. All
     map ops are builtin expressions inside one aggregation plan."""
     events = _events(spark, sf_dir)
-    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # a NULL event type cannot be a map key (Spark raises NULL_MAP_KEY);
+    # untyped events carry no share — no-op on the stock fixtures
+    counts = (
+        events.where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
     per_user = counts.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m"),
         F.sum("n").alias("total"),

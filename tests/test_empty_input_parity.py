@@ -142,3 +142,78 @@ def test_every_query_agrees_on_single_row_tables(spark, onerow_dir):
     assert not failures, (
         f"{len(failures)} single-row divergences:\n" + "\n".join(failures)
     )
+
+
+# Columns a production feed could plausibly deliver as NULL. Key/join
+# columns stay intact — a NULL join key is an ingest defect the QA
+# queries (orphan_keys_qa, contracts) exist to catch, not an input the
+# analytic operators must absorb.
+_NULLABLE: dict[str, list[str]] = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate",
+               "o_orderpriority"],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "nation": [],
+    "region": [],
+    "events": ["ts", "event_type", "value", "props"],
+    "documents": ["text", "lang", "source", "n_chars"],
+    "embeddings": ["embedding", "label"],
+}
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """sf0.001 with a deterministic ~15% of every non-key column NULLed
+    (seeded per column, so null patterns differ across columns)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    d = tmp_path_factory.mktemp("nulls_fixtures")
+    for name, cols in _NULLABLE.items():
+        t = pq.read_table(f"{SF_SMOKE}/{name}.parquet")
+        arrays, names = [], []
+        for field in t.schema:
+            col = t[field.name].combine_chunks()
+            if field.name in cols:
+                # zlib.crc32, NOT hash(): str hash is randomized per
+                # process, which would make the null pattern (and any
+                # failure) unreproducible across runs
+                import zlib
+
+                rng = np.random.default_rng(
+                    zlib.crc32(f"{name}.{field.name}".encode())
+                )
+                mask = pa.array(rng.random(len(col)) < 0.15)
+                col = pc.if_else(mask, pa.scalar(None, type=field.type), col)
+            arrays.append(col)
+            names.append(field.name)
+        pq.write_table(pa.table(dict(zip(names, arrays))), str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def test_no_query_crashes_on_sprinkled_nulls(spark, nulls_dir):
+    """Crash-only (parity NOT asserted): most operators are SPECIFIED over
+    non-null corpus columns, and on this fixture the two engines
+    legitimately differ wherever that contract is relaxed (e.g. a NULL
+    shingle set matching everything vs nothing). What an engine must
+    never do is THROW — the r7 sweep found nine crashes here (bytes(None)
+    in every media kernel, np.stack of None embeddings, MLlib fit on
+    NULL labels, None in a driver-side sort). The fix contract: NULL
+    payloads/embeddings/labels never participate (skip), NULL text
+    tokenizes to the empty list."""
+    queries = entry_mod.queries()
+    failures: list[str] = []
+    for name in sorted(queries):
+        try:
+            queries[name](spark, nulls_dir).count()
+        except Exception as exc:  # noqa: BLE001 — collecting, not masking
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+        release_tracked()
+        spark.catalog.clearCache()
+    assert not failures, (
+        f"{len(failures)} queries crash on NULL-sprinkled input:\n"
+        + "\n".join(f[:300] for f in failures)
+    )

@@ -26,10 +26,23 @@ from pipeline_pyspark_etl_imdb_spark import get_spark
 from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
 
 
-def _prior_medians(known_queries: set[str] | None = None) -> dict[str, float]:
-    """Per-query median of prior rounds' recorded timings (BENCH_r*.json
+def _round_of(path: str) -> int:
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _prior_medians(
+    known_queries: set[str] | None = None, before_round: int | None = None
+) -> dict[str, float]:
+    """Per-query median of PRIOR rounds' recorded timings (BENCH_r*.json
     beside this script) — the anomaly yardstick: a run >2x this median is
     re-measured in isolation rather than trusted.
+
+    Only rounds strictly before ``before_round`` count, and a round
+    contributes at most ONE reading per query (the full map if present,
+    else the driver tail): a same-round re-run must not use this round's
+    own timings as its 'prior' baseline, and a round recorded as both a
+    tail and a full map must not be double-weighted (ADVICE r7).
 
     The driver's record files don't carry a structured ``queries`` map —
     they embed the bench's one-line JSON (often truncated) in a ``tail``
@@ -37,10 +50,17 @@ def _prior_medians(known_queries: set[str] | None = None) -> dict[str, float]:
     pairs, filtered to the current registry's query names."""
     by_query: dict[str, list[float]] = {}
     here = os.path.dirname(__file__) or "."
-    paths = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
-        os.path.join(here, "bench_full_r*.json")
-    )
+    full_rounds = {
+        _round_of(p) for p in glob.glob(os.path.join(here, "bench_full_r*.json"))
+    }
+    paths = [
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if _round_of(p) not in full_rounds  # the full map supersedes the tail
+    ] + glob.glob(os.path.join(here, "bench_full_r*.json"))
     for path in sorted(paths):
+        if before_round is not None and _round_of(path) >= before_round:
+            continue
         try:
             with open(path) as fh:
                 raw = fh.read()
@@ -75,6 +95,21 @@ def _prior_medians(known_queries: set[str] | None = None) -> dict[str, float]:
     return meds
 
 
+def _current_round() -> int:
+    """The round being measured = max recorded BENCH_r* round + 1
+    (overridable via SPARK_GRAFT_ROUND)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(__file__) or "."
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def _full_map_path() -> str:
     """Repo path for this round's FULL per-query bench artifact.
 
@@ -83,20 +118,24 @@ def _full_map_path() -> str:
     (VERDICT r6 missing#2). The complete map is therefore also written
     to ``bench_full_r<N>.json`` beside this script, where N = the round
     being measured = max recorded BENCH_r* round + 1 (overridable via
-    SPARK_GRAFT_ROUND). Re-runs within a round overwrite — the last full
-    sweep before the driver's own run is the comparable artifact."""
+    SPARK_GRAFT_ROUND).
+
+    IMMUTABLE once written (VERDICT r7 wrong#3: the driver's post-close
+    run used to clobber the builder's committed artifact, leaving the
+    round notes citing numbers that no longer existed): a re-run within
+    the same round writes ``bench_full_r<N>_2.json``, ``_3``, ... so
+    every sweep's record survives. Round-scanning tools match
+    ``r(\\d+)`` on the basename, so suffixed re-runs attribute to the
+    right round; watchlist auto-pick prefers the unsuffixed (first)
+    sweep and takes any re-run via explicit args."""
     here = os.path.dirname(__file__) or "."
-    env = os.environ.get("SPARK_GRAFT_ROUND")
-    if env:
-        n = int(env)
-    else:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        n = (max(rounds) + 1) if rounds else 1
-    return os.path.join(here, f"bench_full_r{n:02d}.json")
+    n = _current_round()
+    path = os.path.join(here, f"bench_full_r{n:02d}.json")
+    k = 2
+    while os.path.exists(path):
+        path = os.path.join(here, f"bench_full_r{n:02d}_{k}.json")
+        k += 1
+    return path
 
 
 def main() -> None:
@@ -169,7 +208,7 @@ def main() -> None:
     # the minimum is kept. This is the reproducibility guard for session
     # effects (GC/cache pressure from 120 queries sharing one JVM) — the
     # signal of record should reflect the engine, not the neighborhood.
-    meds = _prior_medians(set(queries))
+    meds = _prior_medians(set(queries), before_round=_current_round())
     for name, fn in sorted(queries.items()):
         best, med = timings.get(name), meds.get(name)
         if best is None or best != best or not med or best <= 2 * med:

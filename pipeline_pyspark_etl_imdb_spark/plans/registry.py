@@ -1121,7 +1121,7 @@ def _kmv_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     # NOTE: the dict literal below is in historical (r3) order; the
     # DRIVER WINDOW (first 50 names the driver actually checks) is
-    # imposed by the _R7_WINDOW reorder at the END of this module —
+    # imposed by the _R8_WINDOW reorder at the END of this module —
     # see that block for the staleness-rotation rationale.
     "event_ohlc_bars": _event_ohlc_bars,
     "order_grouping_sets": analytics.order_grouping_sets,
@@ -1730,26 +1730,82 @@ ROWS_ONLY: tuple[str, ...] = (
 )
 
 
-# --- R7 DRIVER WINDOW ---------------------------------------------------
+# --- R8 DRIVER WINDOW ---------------------------------------------------
 # The driver hash-checks the FIRST 50 entries of QUERIES at sf0.01 each
-# round. After r6, every oracle-backed query has a green driver row and
-# every rows-only query a recorded driver appearance — visibility debt
-# is zero — so the r7 window is a pure STALENESS-ORDERED rotation
-# (VERDICT r6 item #1, ROUND6_NOTES §10): refresh the rows whose last
-# driver signal is oldest.
-#   slots 1-4   — the four rows-only queries last seen r2/r3
-#                 (approx_user_stats, distinct_users_sketch r2;
-#                 stratified_doc_sample, doc_classifier_scores r3) —
-#                 their rows-rows refresh under err=no_oracle;
-#   slots 5-31  — ALL 27 queries whose last green driver row is r1
-#                 (reference IMDb surface, set-ops/rollup analytics,
-#                 text stats/quality/lang-id, simhash/fingerprint,
-#                 multimodal, sql_segment_leaders) — six rounds stale;
-#   slots 32-50 — 19 of the 39 queries whose last green is r2, by
-#                 family value: the event-time battery, the as-of /
-#                 range joins, corpus construction, and the remaining
-#                 text ops. The 20 r2-green rows that did not fit head
-#                 the r8 rotation, then the r3-green families.
+# round. Pure staleness-ordered rotation, continued from r7 (VERDICT r7
+# item #2: "staleness.py already emits the correct r8 rotation — just
+# run it"); this tuple IS that emission, verbatim:
+#   slots 1-20  — all 20 queries whose last green driver row is r2
+#                 (the r7 window took the other 19 r2 rows): EMA /
+#                 trailing-window / inter-arrival event ops, calendar
+#                 profiles, funnel + cohort retention, chunk dedup,
+#                 incremental KPI, feature hashing, z-order, fuzzy
+#                 brand pairs, QA orphan keys, unigram logprob;
+#   slots 21-50 — the first 30 of the 39 r3-green rows in registry
+#                 order: OHLC / grouping-sets / transitions analytics,
+#                 sampling family, UDTF segments, variant stats,
+#                 Gopher flags, CMS/map-aggregates, string battery,
+#                 null-safe joins, snapshot diff, ANN recall, DSIR,
+#                 span dedup, quality funnel, mixing plan, rosters,
+#                 recursive depth, lateral top-k, entity resolution,
+#                 bloom contamination. The 9 r3-green rows that did
+#                 not fit head the r9 rotation.
+_R8_WINDOW: tuple[str, ...] = (
+    "event_value_stats",  # last green r2
+    "media_features",  # last green r2
+    "media_decode_real",  # last green r2
+    "ema_user_value",  # last green r2
+    "order_calendar_profile",  # last green r2
+    "trailing_week_spend",  # last green r2
+    "part_name_features",  # last green r2
+    "orphan_keys_qa",  # last green r2
+    "doc_unigram_logprob",  # last green r2
+    "group_doc_sample",  # last green r2
+    "funnel_view_click_purchase",  # last green r2
+    "cohort_weekly_retention",  # last green r2
+    "user_inter_arrival",  # last green r2
+    "chunk_dedup_corpus",  # last green r2
+    "incremental_daily_kpi",  # last green r2
+    "token_feature_hash",  # last green r2
+    "part_zorder_key",  # last green r2
+    "event_value_anomalies",  # last green r2
+    "brand_fuzzy_pairs",  # last green r2
+    "order_gap_profile",  # last green r2
+    "event_ohlc_bars",  # last green r3
+    "order_grouping_sets",  # last green r3
+    "orders_above_global_avg",  # last green r3
+    "event_type_transitions",  # last green r3
+    "embedding_vector_stats",  # last green r3
+    "user_activity_spans",  # last green r3
+    "global_doc_sample",  # last green r3
+    "weighted_doc_sample",  # last green r3
+    "daily_orders_vs_events_full",  # last green r3
+    "doc_segments_udtf",  # last green r3
+    "events_variant_stats",  # last green r3
+    "gopher_quality_flags",  # last green r3
+    "incremental_ingest_dedup",  # last green r3
+    "cms_user_event_counts",  # last green r3
+    "user_type_share_map",  # last green r3
+    "part_string_battery",  # last green r3
+    "null_safe_bucket_join",  # last green r3
+    "customer_snapshot_diff",  # last green r3
+    "pipe_priority_revenue",  # last green r3
+    "ann_recall_report",  # last green r3
+    "dsir_doc_weights",  # last green r3
+    "repeated_spans",  # last green r3
+    "span_dup_coverage",  # last green r3
+    "quality_funnel_report",  # last green r3
+    "mixing_epochs_plan",  # last green r3
+    "nation_customer_roster",  # last green r3
+    "custkey_tree_depth",  # last green r3
+    "supplier_top_orders_lateral",  # last green r3
+    "brand_entity_resolution",  # last green r3
+    "bloom_contamination_check",  # last green r3
+)
+
+# retired r7 window, kept for the record (tests assert the ACTIVE window
+# matches the staleness emission; the historical tuples document the
+# rotation's trajectory)
 _R7_WINDOW: tuple[str, ...] = (
     # rows-only refreshes (stalest driver signal in the registry)
     "approx_user_stats",
@@ -2371,12 +2427,12 @@ def _weak_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["weak_label_report"] = _weak_label_report
 
 
-# --- apply the R7 driver-window reorder (see _R7_WINDOW above) -----------
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
-assert len(set(_R7_WINDOW)) == len(_R7_WINDOW)
-assert all(name in QUERIES for name in _R7_WINDOW), sorted(
-    set(_R7_WINDOW) - set(QUERIES)
+# --- apply the R8 driver-window reorder (see _R8_WINDOW above) -----------
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+assert len(set(_R8_WINDOW)) == len(_R8_WINDOW)
+assert all(name in QUERIES for name in _R8_WINDOW), sorted(
+    set(_R8_WINDOW) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R7_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R8_WINDOW)
 }

@@ -29,7 +29,13 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def load_history() -> tuple[dict[str, int], dict[str, int], int]:
+def load_history(
+    through_round: int | None = None,
+) -> tuple[dict[str, int], dict[str, int], int]:
+    """Signal history from the CORRECTNESS_r*.json records, optionally
+    truncated to rounds <= ``through_round`` (so a window chosen at round
+    N can be re-derived — and regression-tested — after later records
+    land)."""
     last_green: dict[str, int] = {}
     last_seen: dict[str, int] = {}
     max_round = 0
@@ -38,6 +44,8 @@ def load_history() -> tuple[dict[str, int], dict[str, int], int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
         max_round = max(max_round, rnd)
         try:
             with open(path) as fh:
@@ -55,6 +63,33 @@ def load_history() -> tuple[dict[str, int], dict[str, int], int]:
     return last_green, last_seen, max_round
 
 
+def propose_window(through_round: int | None = None) -> list[str]:
+    """The staleness-ordered 50-slot window given records through
+    ``through_round`` (None = all). Tie-break: current registry order.
+    This is self-consistent under the window reorder itself: applying a
+    staleness-ordered window moves equal-signal entries to the front IN
+    staleness order, so re-deriving the proposal from the same records
+    after the reorder reproduces the same window
+    (tests/test_registry_window.py pins this for the active round)."""
+    from pipeline_pyspark_etl_imdb_spark.plans import registry
+
+    rows_only = set(registry.ROWS_ONLY)
+    last_green, last_seen, _ = load_history(through_round)
+    order = list(registry.QUERIES)
+
+    def signal_round(name: str) -> int:
+        if name in rows_only:
+            return last_seen.get(name, 0)
+        return last_green.get(name, 0)
+
+    never = [n for n in order if n not in rows_only and signal_round(n) == 0]
+    rest = sorted(
+        (n for n in order if n not in never),
+        key=lambda n: (signal_round(n), order.index(n)),
+    )
+    return (never + rest)[:50]
+
+
 def main() -> None:
     from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES, ROWS_ONLY
 
@@ -67,12 +102,7 @@ def main() -> None:
             return last_seen.get(name, 0)
         return last_green.get(name, 0)
 
-    never = [n for n in order if n not in rows_only and signal_round(n) == 0]
-    rest = sorted(
-        (n for n in order if n not in never),
-        key=lambda n: (signal_round(n), order.index(n)),
-    )
-    proposal = (never + rest)[:50]
+    proposal = propose_window()
 
     if "--window-only" not in sys.argv:
         print(f"registry: {len(order)} queries ({len(rows_only)} rows-only); "
@@ -83,7 +113,9 @@ def main() -> None:
         for rnd in sorted(by_round):
             label = "NEVER" if rnd == 0 else f"r{rnd}"
             print(f"  last signal {label}: {by_round[rnd]} queries")
-        stalest = max_round - min(signal_round(n) for n in order if signal_round(n))
+        stalest = max_round - min(
+            (signal_round(n) for n in order if signal_round(n)), default=max_round
+        )
         print(f"  max rounds-since-signal (excl. never): {stalest}")
         if never:
             print(f"  NEVER-GREEN oracle-backed (visibility debt): {never}")

@@ -19,8 +19,6 @@ zero-row copies of all fixture tables (exact schemas) and asserts:
 Rows-only queries are exercised crash-only (no oracle to compare).
 """
 
-import math
-
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -55,12 +53,19 @@ def oracle_conn(empty_dir):
     return conn
 
 
-def _raw_has_nonfinite(rows) -> bool:
-    return any(
-        isinstance(v, float) and (math.isnan(v) or math.isinf(v))
-        for row in rows
-        for v in row
-    )
+def _arrow_has_nonfinite(tbl: pa.Table) -> bool:
+    """True if any top-level float cell is NaN/Inf. Nulls are NOT flagged
+    (SQL NULL is the agreed representation; an actual NaN is the
+    driver-hash divergence) — the reason this scans Arrow, where null and
+    NaN stay distinct, rather than a pandas frame, where they collapse."""
+    import pyarrow.compute as pc
+
+    for col in tbl.columns:
+        if pa.types.is_floating(col.type):
+            bad = pc.or_(pc.is_nan(col), pc.is_inf(col))
+            if pc.any(pc.fill_null(bad, False)).as_py():
+                return True
+    return False
 
 
 def _run_battery(spark, conn, fixture_dir: str, label: str) -> list[str]:
@@ -77,13 +82,20 @@ def _run_battery(spark, conn, fixture_dir: str, label: str) -> list[str]:
             continue
         sql = oracles.get(name)
         if sql is not None:
-            raw = conn.execute(sql).fetchall()
-            if _raw_has_nonfinite(raw):
+            # one execution feeds both checks (ADVICE r7: running the SQL
+            # twice doubled the battery's DuckDB cost). Arrow, not .df(),
+            # is the single fetch: pandas renders SQL NULL in a float
+            # column as NaN, which the raw-NaN scan must NOT flag — Arrow
+            # keeps null and NaN distinct, and its to_pandas() produces
+            # the same frame .df() did (duckdb's .df() is the same
+            # Arrow-mediated conversion).
+            oracle_tbl = conn.execute(sql).arrow()
+            if _arrow_has_nonfinite(oracle_tbl):
                 failures.append(
                     f"{name}: oracle emitted NaN/Inf on {label} input "
                     "(driver-hash divergence vs Spark NULL)"
                 )
-            problems = compare_frames(spark_pdf, conn.execute(sql).df())
+            problems = compare_frames(spark_pdf, oracle_tbl.to_pandas())
             if problems:
                 failures.append(f"{name}: " + " | ".join(p[:200] for p in problems[:3]))
         release_tracked()

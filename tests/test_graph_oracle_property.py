@@ -23,7 +23,7 @@ from collections import Counter, deque
 
 import duckdb
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pipeline_pyspark_etl_imdb_spark.plans.oracles import (
@@ -157,6 +157,17 @@ _order_row = st.tuples(
     orders=st.lists(_order_row, min_size=1, max_size=6),
     n_iter=st.integers(1, 4),
 )
+# the r7 judge's falsifying example for the ORIGINAL (falsifiable)
+# contract — exact equality of round(rank, 6) dicts. Two correct
+# engines can sum the same contributions in different orders, land
+# ~1e-16 apart straddling a 6th-decimal HALF-boundary, and round to
+# different outputs (here node s0: 0.3721875 ± ulp → 0.372188 vs
+# 0.372187). Pinned so every box exercises the boundary case without
+# depending on the local .hypothesis example database; the closeness
+# contract below is the mathematically universal one. Fixture-level
+# protection against this class for the DRIVER hash is
+# tests/test_margin_floors.py::test_pagerank_rounding_and_cut_margin_floors.
+@example(li=[(0, 0), (0, 1), (1, 0)], orders=[(0, 0), (1, 1)], n_iter=2)
 def test_pagerank_oracle_matches_replay(li, orders, n_iter):
     # orders must be unique per orderkey (primary key in the fixture)
     omap = {}
@@ -203,5 +214,20 @@ def test_pagerank_oracle_matches_replay(li, orders, n_iter):
         rank = {
             v: 0.15 / float(n) + 0.85 * (contrib.get(v, 0.0) + dm) for v in nodes
         }
-    got_map = {r.node: round(float(r.rank), 6) for r in got.itertuples()}
-    assert got_map == {v: round(rank[v], 6) for v in nodes}
+    # closeness, not rounded equality: the oracle CTE and this replay sum
+    # identical contribution sets in different orders, so agreement is
+    # only guaranteed to ~n_iter * n_edges ulps (~1e-15 relative). Exact
+    # round(·, 6) equality is falsifiable whenever a value lands within
+    # float-noise of a half-boundary (see the pinned @example above);
+    # 1e-9 is ~6 orders above the observed spread and ~3 below the
+    # rounding granularity, so a REAL semantics bug (wrong damping,
+    # missed dangling mass, off-by-one round: all >= 1e-3 on these tiny
+    # graphs) still fails loudly.
+    got_map = {r.node: float(r.rank) for r in got.itertuples()}
+    assert set(got_map) == set(nodes)
+    for v in nodes:
+        assert abs(got_map[v] - rank[v]) <= 1e-9, (
+            v,
+            got_map[v],
+            rank[v],
+        )

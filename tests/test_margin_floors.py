@@ -28,6 +28,33 @@ Measured minima at the time of writing (sf0.001 / sf0.01 / sf0.1):
 Floors are set just below the measured minima — any fixture drift that
 eats an order of magnitude of margin fails here by name, long before
 the ~1e-13 engine spread could flip a comparison.
+
+r8 extension (VERDICT r7 item #1): the same guard for every OTHER
+6-decimal-rounded float oracle emission. Hypothesis proved the boundary
+class is live (test_graph_oracle_property found a pagerank micro-graph
+whose rank straddles a half-boundary at ~1e-16), so each such oracle
+now has a fixture-level floor here:
+
+- supplier_pagerank: half-boundary distance of the emitted top-100
+  ranks, and the raw-rank top-100 cut margin (kept set stability).
+  Measured: half-boundary 3.32e-8 / 6.43e-9 / 7.27e-9, cut 0 (exact
+  structural tie, sf0.001 — never hashed) / 3.61e-3 / 4.57e-9.
+- rag_chunk_bm25: half-boundary distance of the top-40 scores (covers
+  both the hashed top-20 values and order flips across the rounded
+  cut). Measured: 4.60e-9 / 1.26e-8 / 1.01e-8.
+- media_audio_fingerprints: relative |rms - mean(rms)| threshold margin
+  per clip (the only float comparison in the media kernels).
+  Measured min: 2.00e-6 / 4.99e-6 / 2.32e-7.
+- media_ahash_values: the rule is INTEGER-exact (scaled-integer
+  threshold, multimodal.media_ahash docstring), so there is no rounding
+  margin to guard — the cross-engine risk is int64 overflow (NumPy
+  wraps silently, DuckDB promotes to HUGEINT); the floor is headroom.
+  Measured max intermediate: 8.9e9, asserted < 2^40.
+- copurchase_communities / copurchase_bfs_hops / copurchase_k_core:
+  integer emissions end to end (labels, hops, degrees; LPA's vote
+  tie-rule is integer count + min label) — no float comparison exists,
+  so no floor is needed or possible. Recorded here so the oracle-floor
+  inventory is complete.
 """
 
 import hashlib
@@ -169,4 +196,182 @@ def test_kcenter_argmax_and_rounding_margin_floors(sf_dir):
         "6-decimal rounding half-boundary (floor "
         f"{HALF_BOUNDARY_FLOOR:.1e}) — its hashed value could flip under "
         "cross-engine float spread on this fixture"
+    )
+
+
+# --- r8 floors: the remaining 6-decimal-rounded float oracles ---------------
+
+PAGERANK_HALF_FLOOR = 2.0e-9  # measured min 6.43e-9 (sf0.01)
+PAGERANK_CUT_FLOOR = 1.0e-9  # measured min 4.57e-9 (sf0.1); sf0.001 is an
+#   exact structural tie (see test body) and is never driver-hashed
+BM25_HALF_FLOOR = 1.0e-9  # measured min 4.60e-9 (sf0.001)
+AUDIO_RMS_REL_FLOOR = 1.0e-7  # measured min 2.32e-7 (sf0.1)
+AHASH_HEADROOM_CAP = 2**40  # measured max intermediate 8.9e9; int64
+#   wrap (NumPy) vs HUGEINT promotion (DuckDB) diverges at 2^63
+
+
+def _half_boundary_dist(vals) -> float:
+    """Distance of each value from the nearest round(·, 6) HALF-boundary
+    (where the rounded output flips under a tiny perturbation)."""
+    r = np.asarray(vals, dtype=np.float64) * 1e6
+    return float(np.abs((r - np.floor(r)) - 0.5).min()) * 1e-6
+
+
+def _graph_conn(sf_dir):
+    import duckdb
+
+    conn = duckdb.connect()
+    for t in ("lineitem", "orders", "documents"):
+        conn.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return conn
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_pagerank_rounding_and_cut_margin_floors(sf_dir):
+    from pipeline_pyspark_etl_imdb_spark.plans.oracles import _pagerank_sql
+
+    conn = _graph_conn(sf_dir)
+    # top=200: the emitted 100 plus the runner-ups that define the cut
+    ranks = conn.execute(_pagerank_sql(10, top=200)).df()["rank"].to_numpy()
+    conn.close()
+    half = _half_boundary_dist(ranks[:100])
+    assert half >= PAGERANK_HALF_FLOOR, (
+        f"{sf_dir}: an emitted pagerank rank sits {half:.3e} from a "
+        f"6-decimal half-boundary (floor {PAGERANK_HALF_FLOOR:.1e}) — "
+        "supplier_pagerank's hashed values could flip under cross-engine "
+        "float spread on this fixture (the class Hypothesis proved live, "
+        "test_graph_oracle_property.py)"
+    )
+    if len(ranks) <= 100:
+        return
+    cut = float(ranks[99] - ranks[100])
+    if cut == 0.0:
+        # exact raw tie at the cut (bit-identical DuckDB sums — observed
+        # at sf0.001, which no hash protocol ever covers: the driver and
+        # the local gates run sf0.01/sf0.1 only). A tie that is exact in
+        # one engine but 1-ulp split in the other WOULD be unstable, so
+        # this branch must never appear on a hashed fixture.
+        assert sf_dir.endswith("sf0.001"), (
+            f"{sf_dir}: exact raw-rank tie AT the top-100 cut on a "
+            "driver-hashed fixture — the kept node set is not "
+            "engine-stable; re-measure before trusting a hash row"
+        )
+        return
+    assert cut >= PAGERANK_CUT_FLOOR, (
+        f"{sf_dir}: pagerank top-100 cut margin {cut:.3e} fell below the "
+        f"floor {PAGERANK_CUT_FLOOR:.1e} — the kept node set is no longer "
+        "engine-stable on this fixture"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bm25_cut_rounding_margin_floor(sf_dir):
+    from pipeline_pyspark_etl_imdb_spark.plans.oracles import ORACLES
+
+    sql = ORACLES["rag_chunk_bm25"]
+    assert "LIMIT 20" in sql  # the widened cut below must actually widen
+    conn = _graph_conn(sf_dir)
+    # top-40: the hashed top-20 scores plus the band below the rounded
+    # cut, where a half-boundary flip could re-order a chunk into the
+    # kept set
+    scores = (
+        conn.execute(sql.replace("LIMIT 20", "LIMIT 40")).df()["score"].to_numpy()
+    )
+    conn.close()
+    half = _half_boundary_dist(scores)
+    assert half >= BM25_HALF_FLOOR, (
+        f"{sf_dir}: a bm25 score within the top-40 band sits {half:.3e} "
+        f"from a 6-decimal half-boundary (floor {BM25_HALF_FLOOR:.1e}) — "
+        "rag_chunk_bm25's hashed values or rounded-score cut order could "
+        "flip under cross-engine float spread on this fixture"
+    )
+
+
+def _doc_payload_params(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_audio_fingerprint_rms_margin_floor(sf_dir):
+    """Replays media_real_containers' WAV payload construction + the
+    media_audio_fingerprint envelope (the kernels' documented rules) and
+    measures the only float comparison in the media family:
+    ``rms_block >= mean(rms)``. Relative margin, because the
+    cross-engine sum-order spread is relative (~1e-15)."""
+    n_blocks = 16
+    rel_min = np.inf
+    for doc_id, text in _doc_payload_params(sf_dir):
+        if text is None or doc_id % 2 == 0:
+            continue  # even ids are BMP payloads (integer-exact rule)
+        data = text.encode("utf-8")
+        n = len(data)
+        fill = data if data else b"\x00"
+        channels, n_samples = 1 + n % 2, 1 + n % 500
+        need = n_samples * channels * 2
+        frames = (fill * (need // len(fill) + 1))[:need]
+        samples = (
+            np.frombuffer(frames, dtype="<i2")
+            .astype(np.float64)
+            .reshape(-1, channels)
+            .mean(axis=1)
+        )
+        m = len(samples)
+        idx = (np.arange(m) * n_blocks) // m
+        sums = np.zeros(n_blocks)
+        cnts = np.zeros(n_blocks)
+        np.add.at(sums, idx, samples * samples)
+        np.add.at(cnts, idx, 1.0)
+        rms = np.sqrt(sums / np.maximum(cnts, 1.0))
+        mean = rms.mean()
+        if mean > 0:
+            rel_min = min(rel_min, float(np.abs(rms - mean).min() / mean))
+    assert rel_min >= AUDIO_RMS_REL_FLOOR, (
+        f"{sf_dir}: an audio-envelope block RMS sits {rel_min:.3e} "
+        f"(relative) from the clip-mean threshold (floor "
+        f"{AUDIO_RMS_REL_FLOOR:.1e}) — media_audio_fingerprints' bit "
+        "pattern is no longer engine-stable on this fixture"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ahash_integer_headroom(sf_dir):
+    """media_ahash's threshold rule is scaled-INTEGER (no float margin to
+    guard) — the divergence risk is overflow: the NumPy kernel wraps
+    int64 silently at 2^63 while the DuckDB oracle promotes to HUGEINT.
+    Asserts every intermediate (n_bits * v_b and sum(v)) keeps 22+ bits
+    of headroom on the fixture payloads."""
+    hash_size = 8
+    n_bits = hash_size * hash_size
+    head_max = 0
+    for doc_id, text in _doc_payload_params(sf_dir):
+        if text is None or doc_id % 2 == 1:
+            continue
+        data = text.encode("utf-8")
+        n = len(data)
+        fill = data if data else b"\x00"
+        w, h = 1 + n % 64, 1 + int(doc_id) % 32
+        need = w * h * 3
+        pix = (fill * (need // len(fill) + 1))[:need]
+        a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+        gray3 = a.astype(np.int64).sum(axis=2)
+        ys = (np.arange(h) * hash_size) // h
+        xs = (np.arange(w) * hash_size) // w
+        sums3 = np.zeros((hash_size, hash_size), dtype=np.int64)
+        cnts = np.zeros((hash_size, hash_size), dtype=np.int64)
+        np.add.at(sums3, (ys[:, None], xs[None, :]), gray3)
+        np.add.at(cnts, (ys[:, None], xs[None, :]), 1)
+        D = 1
+        for c in np.unique(cnts[cnts > 0]):
+            D *= int(c)
+        v = sums3 * (D // np.maximum(cnts, 1)) * (cnts > 0)
+        head_max = max(head_max, int(n_bits * np.abs(v).max()), int(abs(v.sum())))
+    assert head_max < AHASH_HEADROOM_CAP, (
+        f"{sf_dir}: ahash integer intermediate reached {head_max} "
+        f"(cap 2^40={AHASH_HEADROOM_CAP}) — payload growth is eating the "
+        "overflow headroom that keeps the NumPy kernel and the HUGEINT "
+        "DuckDB oracle equivalent"
     )

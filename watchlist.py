@@ -51,7 +51,8 @@ PINS: dict[str, float] = {
     "copurchase_k_core": 4.10,  # r6 notes §9c
     "supplier_pagerank": 5.55,  # r6 notes §9c
     "copurchase_triangles": 6.58,  # r6 notes §9c
-    "prefix_filter_pairs": 2.37,  # r6 notes §9c
+    "prefix_filter_pairs": 2.67,  # r7 isolated pin (was r6's 2.37 — the
+    #   RESOLVED note below cites the newer yardstick; keep them in sync)
     "part_association_rules": 2.51,  # r6 notes §9c
     "quality_token_budget": 2.22,  # r7 notes (the r6 1.46x riser: pin is
     #   1.25x its r5 shared-run reading and BELOW its r6 one — cleared)
@@ -96,12 +97,24 @@ def _load_queries(path: str) -> dict[str, float]:
 
 
 def _round_of(path: str) -> int:
-    m = re.search(r"r(\d+)\.json$", path)
+    # bench_full_r08_2.json (an immutability-preserving same-round re-run,
+    # bench.py._full_map_path) still attributes to round 8
+    m = re.search(r"r(\d+)(?:_\d+)?\.json$", os.path.basename(path))
     return int(m.group(1)) if m else -1
 
 
 def _pick_files(here: str) -> tuple[str, str | None]:
-    fulls = sorted(glob.glob(os.path.join(here, "bench_full_r*.json")), key=_round_of)
+    # auto-pick uses only the UNSUFFIXED artifact per round (the round's
+    # first full sweep — the builder's committed record); suffixed
+    # re-runs are reachable via explicit args
+    fulls = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(here, "bench_full_r*.json"))
+            if re.search(r"r\d+\.json$", p)
+        ),
+        key=_round_of,
+    )
     if not fulls:
         raise SystemExit("no bench_full_r*.json found — run bench.py first")
     cur = fulls[-1]

@@ -48,6 +48,7 @@ def total_order_ranks(
     order_cols: list[str],
     *,
     ntile: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Append ``global_rn`` (1-based), ``pct_rank``, ``cume`` — and
     ``decile``-style ``bucket`` when ``ntile`` is given — computed
@@ -68,8 +69,20 @@ def total_order_ranks(
     the OPTIMIZED PLAN for InMemoryRelation, not just the top-level
     storageLevel: a projection/filter OVER a persisted frame reports
     StorageLevel.NONE but still plans the cached scan underneath.
+
+    ``materialize_input``: ``repartitionByRange`` SAMPLES its child to
+    pick range boundaries, which executes the child's whole subtree one
+    extra time before the shuffle. When the input is a SMALL aggregate
+    of an expensive subtree (a vocabulary groupBy over a full-corpus
+    token explode: the r7→r8 vocab-family root-cause), that re-execution
+    doubles the dominant stage — at 100 TB, the corpus explode runs
+    twice for a vocabulary-sized result. Passing True localCheckpoints
+    the input first, so the expensive subtree runs ONCE and only the
+    small materialized frame is sampled + shuffled. Leave False (the
+    default) for data-sized inputs, where materializing costs more than
+    recomputing a cheap scan.
     """
-    if _reads_cached_data(df):
+    if materialize_input or _reads_cached_data(df):
         df = df.localCheckpoint(eager=True)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(

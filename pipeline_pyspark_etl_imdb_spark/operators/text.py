@@ -601,7 +601,11 @@ def vocab_zipf_fit(
         .agg(F.count("*").alias("cnt"))
     )
     ranked = total_order_ranks(
-        vocab.withColumn("__neg", -F.col("cnt")), ["__neg", "token"]
+        vocab.withColumn("__neg", -F.col("cnt")),
+        ["__neg", "token"],
+        # vocab is a small aggregate of a corpus-sized explode: materialize
+        # once so the range-boundary sampling pass cannot re-run the explode
+        materialize_input=True,
     ).select(
         F.log(F.col("global_rn").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),
@@ -895,7 +899,7 @@ def gini_token_concentration(
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    ranked = total_order_ranks(vocab, ["cnt", "token"])
+    ranked = total_order_ranks(vocab, ["cnt", "token"], materialize_input=True)
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n_types"),
         F.sum("cnt").cast("bigint").alias("n_tokens"),
@@ -1022,7 +1026,9 @@ def vocab_coverage_curve(
         .agg(F.count("*").alias("cnt"))
     )
     ranked = total_order_ranks(
-        vocab.withColumn("__neg", -F.col("cnt")), ["__neg", "token"]
+        vocab.withColumn("__neg", -F.col("cnt")),
+        ["__neg", "token"],
+        materialize_input=True,
     )
     aggs = [
         F.count("*").cast("bigint").alias("n_types"),

@@ -59,6 +59,19 @@ PINS: dict[str, float] = {
     "split_leakage_report": 2.61,  # r7 notes (new-in-r6, first pin)
     "status_price_quantile_sketch": 1.01,  # r7 notes (r7 flag, cleared)
     "tfidf_cosine_pairs": 1.92,  # r7 notes (r7 flag, cleared)
+    # r8: the vocab-family "risers" (VERDICT r7 item #3), pinned across
+    # FOUR isolated sessions (judge's r7 pins + three r8 sessions via
+    # pin.py). Best observed kept as the engine cost; the cross-session
+    # band (±20-45%: coverage 1.08-1.30, zipf 0.96-1.18, gini 0.93-1.35,
+    # pmi 0.89-1.08) is the noise on ~1 s stage-latency-bound shapes —
+    # code was byte-identical to r5 (git diff f2f8519..HEAD on
+    # text/ranks/session = one unrelated empty-input guard), so the r7
+    # flags were shared-vs-isolated measurement disagreement, not a
+    # regression. ROUND8_NOTES §pins has the full root-cause.
+    "vocab_coverage_curve": 1.08,
+    "vocab_zipf_fit": 0.96,
+    "token_gini_concentration": 0.93,
+    "token_pmi_pairs": 0.89,  # judge's r7 pin, the band floor
 }
 
 # Flags already followed up within a round: the query was pinned isolated
@@ -71,6 +84,12 @@ RESOLVED: dict[str, int] = {
     "status_price_quantile_sketch": 7,  # pin 1.01 = 1.16x prior shared
     "prefix_filter_pairs": 7,  # pin 2.67 = 1.13x its r6 pin
     "tfidf_cosine_pairs": 7,  # pin 1.92 = 1.33x prior shared
+    # r8: pinned 2-3x each via pin.py, root-caused as session noise on
+    # stage-latency-bound shapes (see PINS note above)
+    "vocab_coverage_curve": 8,
+    "vocab_zipf_fit": 8,
+    "token_gini_concentration": 8,
+    "token_pmi_pairs": 8,
 }
 
 

@@ -37,6 +37,11 @@ def _canon_value(v):
             return None
         return round(v, ROUND_DECIMALS)
     if isinstance(v, datetime):
+        # pandas NaT IS a datetime instance but .time() raises on it; it
+        # is the null timestamp, so canonicalize like None (found by the
+        # r8 NULL-parity scan: signed_daily_kpi_refresh's NULL o_orderdate)
+        if v != v:
+            return None
         # a DATE round-trips as midnight datetime through pandas; collapse
         # so date-typed and timestamp-typed calendars compare equal
         if v.time() == time(0, 0) and v.tzinfo is None:

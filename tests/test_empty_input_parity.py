@@ -206,19 +206,119 @@ def nulls_dir(tmp_path_factory):
     return str(d)
 
 
+# Queries whose NULL-input semantics are FULLY SPECIFIED and expressed
+# identically by their oracle: SQL aggregate/group/join NULL rules, the
+# skip-NULL payload/embedding conventions, and NULL-text-tokenizes-empty.
+# Discovered empirically (r8): the full 249-query sweep on this fixture
+# found 174 in exact driver-protocol agreement; the other 75 diverge in
+# DOCUMENTED relaxed-contract classes (sum-over-all-NULL 0-vs-NULL,
+# int-column-goes-float under pandas nulls, spine rows, probabilistic
+# candidate sets over NULL shingles) and stay crash-only below.
+_NULL_PARITY: frozenset[str] = frozenset({
+    "ab_experiment_report", "ann_lsh", "ann_recall_report", "benford_price_digits",
+    "bm25_docs", "bpe_doc_token_budget", "bpe_merge_table", "bpe_source_fertility",
+    "bpe_token_counts", "brand_entity_resolution", "brand_fuzzy_pairs", "cms_user_event_counts",
+    "cohort_weekly_retention", "column_profile_orders", "containment_df_profile",
+    "contrastive_doc_negatives", "copurchase_assortativity", "copurchase_bfs_hops",
+    "copurchase_clustering", "copurchase_communities", "copurchase_k_core",
+    "copurchase_link_prediction", "copurchase_triangles", "corpus_build_manifest",
+    "cuped_experiment_report", "custkey_tree_depth", "customer_bivariate_outliers",
+    "customer_order_profile_left", "customer_rfm_scores", "customer_snapshot_diff",
+    "customer_spend_deciles", "customers_without_orders_anti", "daily_orders_vs_events_full",
+    "dataset_split_assign", "decayed_user_engagement", "dedup_cascade_report",
+    "did_revenue_estimate", "distinct_segments", "doc_bigram_logprob", "doc_compaction_plan",
+    "doc_containment_pairs", "doc_segments_udtf", "doc_unigram_logprob",
+    "doclen_hill_tail", "domain_mix", "dsir_doc_weights", "dsir_importance_sample",
+    "embedding_int8_quantize", "embedding_neardup", "event_audience_overlap",
+    "event_counts_unpivot", "event_dow_seasonality", "event_key_skew_profile",
+    "event_value_bands", "event_value_bh_fdr", "event_value_mad_anomalies",
+    "event_value_stats", "events_gap_fill", "events_hourly_rollup", "events_json_kpi",
+    "events_props_struct", "events_sliding_counts", "events_tumbling_kpi",
+    "events_user_pivot", "events_variant_stats", "exact_dup_groups", "experiment_power_mde",
+    "experiment_srm_check", "forecast_revenue_change", "funnel_time_to_convert",
+    "funnel_view_click_purchase", "global_doc_sample", "group_doc_sample",
+    "heavy_hitter_users", "hybrid_rrf_retrieval", "incremental_daily_kpi",
+    "incremental_join_delta", "join_size_estimate_ol", "k_anonymity_customers",
+    "kcenter_diversity_picks", "kmv_user_sketch", "knn_bruteforce", "label_confusion_report",
+    "lang_id", "lang_id_confusion", "lang_id_kappa", "lang_ngram_diversity",
+    "lang_source_contingency", "lang_token_entropy", "lineitem_exact_median",
+    "lineitem_rollup", "lineitem_trimmed_mean", "lineitem_weighted_median",
+    "lsh_buckets", "matryoshka_recall16", "media_ahash_values", "media_frames",
+    "media_stats", "merge_upsert_customers", "nation_customer_roster", "nation_role_set_ops",
+    "neyman_order_sample", "ngram_stats", "null_marker_cast", "null_safe_bucket_join",
+    "order_calendar_profile", "order_grouping_sets", "order_price_bootstrap_ci",
+    "order_price_histogram", "order_status_priority_cube", "order_total_reconciliation",
+    "orders_above_global_avg", "orders_contract_report", "orders_with_lineitems_semi",
+    "orphan_keys_qa", "part_association_rules", "part_name_features", "part_string_battery",
+    "part_type_words", "part_word_bridge", "part_zorder_key", "parttype_supplier_hhi",
+    "pipe_priority_revenue", "price_permutation_test", "pricing_summary",
+    "priority_price_anova", "priority_price_bands", "purchases_near_errors",
+    "quality_brier_decomposition", "quality_funnel_report", "quality_isotonic_calibration",
+    "quality_psi_drift", "quality_token_budget", "rag_chunk_bm25", "region_revenue",
+    "repeated_spans", "repetition_score", "retrieval_ndcg_report", "return_share_by_year",
+    "revenue_attribution_ushape", "revenue_concentration", "segment_price_quantiles",
+    "segment_price_trend", "semdedup_lsh", "shard_assignment", "signed_join_refresh",
+    "simhash_pairs", "simhash_values", "skew_safe_flag_totals", "skew_safe_status_revenue",
+    "source_token_jsd", "sql_segment_leaders", "status_price_iqr", "status_price_ks_test",
+    "status_price_mad_anomalies", "status_price_quantile_sketch", "supplier_pagerank",
+    "supplier_top_orders_lateral", "tfidf_cosine_pairs", "tfidf_top_terms",
+    "token_feature_hash", "token_gini_concentration", "token_pmi_pairs",
+    "top_orders_per_segment_year", "trailing_week_spend", "user_burstiness",
+    "user_inter_arrival", "user_km_retention", "vocab_coverage_curve", "vocab_top_tokens",
+    "vocab_zipf_fit", "weighted_doc_sample", "winsorized_price_stats", "year_order_kpi",
+})
+
+
+def test_null_parity_allowlist(spark, nulls_dir):
+    """Full driver-protocol parity on NULL-sprinkled input for the
+    _NULL_PARITY queries (VERDICT r7 item #6: promote the battery from
+    crash-only where the convention is expressible on both sides). A
+    query leaving this set — an engine change that makes it diverge on
+    nullable inputs — fails HERE by name instead of surfacing as an
+    opaque future driver red."""
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    conn = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        conn.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{nulls_dir}/{name}.parquet')"
+        )
+    missing = _NULL_PARITY - set(oracles)
+    assert not missing, f"allowlisted queries without oracles: {sorted(missing)}"
+    failures: list[str] = []
+    for name in sorted(_NULL_PARITY):
+        try:
+            spark_pdf = queries[name](spark, nulls_dir).toPandas()
+            problems = compare_frames(
+                spark_pdf, conn.execute(oracles[name]).arrow().to_pandas()
+            )
+            if problems:
+                failures.append(f"{name}: " + " | ".join(p[:200] for p in problems[:3]))
+        except Exception as exc:  # noqa: BLE001 — collecting, not masking
+            failures.append(f"{name}: RAISED {type(exc).__name__}: {exc}")
+        release_tracked()
+        spark.catalog.clearCache()
+    assert not failures, (
+        f"{len(failures)} NULL-input parity divergences:\n"
+        + "\n".join(f[:350] for f in failures)
+    )
+
+
 def test_no_query_crashes_on_sprinkled_nulls(spark, nulls_dir):
-    """Crash-only (parity NOT asserted): most operators are SPECIFIED over
-    non-null corpus columns, and on this fixture the two engines
-    legitimately differ wherever that contract is relaxed (e.g. a NULL
-    shingle set matching everything vs nothing). What an engine must
-    never do is THROW — the r7 sweep found nine crashes here (bytes(None)
-    in every media kernel, np.stack of None embeddings, MLlib fit on
-    NULL labels, None in a driver-side sort). The fix contract: NULL
-    payloads/embeddings/labels never participate (skip), NULL text
-    tokenizes to the empty list."""
+    """Crash-only for the queries OUTSIDE _NULL_PARITY: their operators
+    are SPECIFIED over non-null corpus columns, and on this fixture the
+    two engines legitimately differ wherever that contract is relaxed
+    (e.g. a NULL shingle set matching everything vs nothing;
+    sum-over-all-NULL groups 0-vs-NULL; int columns going float under
+    pandas nulls). What an engine must never do is THROW — the r7 sweep
+    found nine crashes here (bytes(None) in every media kernel, np.stack
+    of None embeddings, MLlib fit on NULL labels, None in a driver-side
+    sort). The fix contract: NULL payloads/embeddings/labels never
+    participate (skip), NULL text tokenizes to the empty list."""
     queries = entry_mod.queries()
     failures: list[str] = []
-    for name in sorted(queries):
+    for name in sorted(set(queries) - _NULL_PARITY):
         try:
             queries[name](spark, nulls_dir).count()
         except Exception as exc:  # noqa: BLE001 — collecting, not masking

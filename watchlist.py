@@ -110,6 +110,19 @@ RESOLVED: dict[str, int] = {
 }
 
 
+# Absolute-cost tripwires that fire REGARDLESS of RESOLVED entries or
+# yardstick ratios (ADVICE r8: a comment-level "root-cause at ~9s" is not
+# an assertion). dedup_cascade_report drifted 5.95->7.25->7.99 across the
+# r6-r8 sweeps with neardup.py untouched; its r8 idle-box pin is 7.35.
+# ROUND9_NOTES §cascade carries the stage attribution: the drift is
+# measurement environment (all four stages inflate proportionally under a
+# shared sweep), not one growing stage — but a reading at or past 9 s is
+# outside every recorded band and must be named, not medianed away.
+HARD_TRIPWIRES: dict[str, float] = {
+    "dedup_cascade_report": 9.0,
+}
+
+
 def _load_queries(path: str) -> dict[str, float]:
     with open(path) as fh:
         raw = fh.read()
@@ -137,6 +150,33 @@ def _round_of(path: str) -> int:
     # bench.py._full_map_path) still attributes to round 8
     m = re.search(r"r(\d+)(?:_\d+)?\.json$", os.path.basename(path))
     return int(m.group(1)) if m else -1
+
+
+def _assert_record_contiguity(here: str) -> None:
+    """Fail LOUDLY when a referenced artifact is missing from the checkout
+    (VERDICT r8 missing#2: the tools read the driver records from disk, so
+    a clean clone that lost a round's files would silently compute against
+    a truncated history). Every round up to the newest recorded one must
+    have a timing record (the driver tail or a full map)."""
+    rounds = {
+        _round_of(p)
+        for pat in ("BENCH_r*.json", "bench_full_r*.json")
+        for p in glob.glob(os.path.join(here, pat))
+    }
+    rounds.discard(-1)
+    if not rounds:
+        return
+    missing = [
+        r
+        for r in range(1, max(rounds) + 1)
+        if r not in rounds
+    ]
+    if missing:
+        raise SystemExit(
+            f"watchlist: missing bench record(s) for round(s) {missing} — "
+            "the checkout has lost committed BENCH_r*/bench_full_r* "
+            "artifacts; restore them before trusting any diff"
+        )
 
 
 def _pick_files(here: str) -> tuple[str, str | None]:
@@ -167,6 +207,7 @@ def _pick_files(here: str) -> tuple[str, str | None]:
 
 def main() -> int:
     here = os.path.dirname(__file__) or "."
+    _assert_record_contiguity(here)
     if len(sys.argv) >= 3:
         cur_path, prior_path = sys.argv[1], sys.argv[2]
     else:
@@ -180,6 +221,10 @@ def main() -> int:
     flags: list[tuple[str, float, float, str]] = []
     for name, sec in sorted(cur.items()):
         if sec != sec or sec < MIN_SECONDS:
+            continue
+        limit = HARD_TRIPWIRES.get(name)
+        if limit is not None and sec >= limit:
+            flags.append((name, sec, limit, "HARD TRIPWIRE"))
             continue
         if RESOLVED.get(name) == cur_round:
             continue

@@ -1730,7 +1730,78 @@ ROWS_ONLY: tuple[str, ...] = (
 )
 
 
-# --- R8 DRIVER WINDOW ---------------------------------------------------
+# --- R9 DRIVER WINDOW -----------------------------------------------------
+# First CHANGE-AWARE rotation (VERDICT r8 item #1): staleness.propose_window
+# now promotes queries whose reachable call-graph nodes (function-level AST
+# diff between round-marker commits) changed since their last green driver
+# row — a green row certifies the code AS OF that round, so a later change
+# to any function on the query's plan path is unverified-code debt that
+# outranks plain staleness. This tuple IS the tool's emission, verbatim:
+#   slots 1-25  — changed-since-green, staleness-ordered: the three r8
+#                 materialize_input callers (vocab_coverage_curve,
+#                 token_gini_concentration, vocab_zipf_fit — the verdict's
+#                 named instance, promoted via ranks.total_order_ranks +
+#                 their text.py bodies), the total_order_ranks caller
+#                 family (deciles/rfm/concentration/lift), evalmetrics r7
+#                 edits (AUC/confusion/conformal), pagerank/kmeans/
+#                 kcenter/multimodal r6-r7 edits, triangles/hex_uniform
+#                 r4-r6 edits;
+#   slots 26-50 — unchanged-since-green by staleness: the 6 remaining
+#                 r3-green rows, then r4-green rows in registry order.
+_R9_WINDOW: tuple[str, ...] = (
+    "kmv_user_sketch",  # last green r3; CHANGED since
+    "dataset_split_assign",  # last green r3; CHANGED since
+    "copurchase_triangles",  # last green r3; CHANGED since
+    "quality_auc",  # last green r4; CHANGED since
+    "vocab_zipf_fit",  # last green r4; CHANGED since
+    "label_confusion_report",  # last green r4; CHANGED since
+    "quality_conformal_gate",  # last green r4; CHANGED since
+    "curriculum_stages",  # last green r5; CHANGED since
+    "media_ahash_values",  # last green r5; CHANGED since
+    "media_audio_fingerprints",  # last green r5; CHANGED since
+    "revenue_concentration",  # last green r5; CHANGED since
+    "customer_spend_deciles",  # last green r5; CHANGED since
+    "embedding_jl_projection",  # last green r5; CHANGED since
+    "customer_rfm_scores",  # last green r5; CHANGED since
+    "doc_char_concentration",  # last green r5; CHANGED since
+    "token_gini_concentration",  # last green r5; CHANGED since
+    "doclen_hill_tail",  # last green r5; CHANGED since
+    "theilsen_revenue_trend",  # last green r5; CHANGED since
+    "vocab_coverage_curve",  # last green r5; CHANGED since
+    "quality_decile_lift",  # last green r5; CHANGED since
+    "supplier_pagerank",  # last green r6; CHANGED since
+    "embedding_kmeans",  # last green r6; CHANGED since
+    "semdedup_kmeans",  # last green r6; CHANGED since
+    "kcenter_diversity_picks",  # last green r6; CHANGED since
+    "quality_quantile_normalized",  # last green r6; CHANGED since
+    "doc_bigram_logprob",  # last green r3
+    "semdedup_lsh",  # last green r3
+    "embedding_neardup",  # last green r3
+    "region_revenue",  # last green r3
+    "skew_safe_flag_totals",  # last green r3
+    "skew_safe_status_revenue",  # last green r3
+    "k_anonymity_customers",  # last green r4
+    "bm25_docs",  # last green r4
+    "l_diversity_customers",  # last green r4
+    "rag_chunk_bm25",  # last green r4
+    "matryoshka_recall16",  # last green r4
+    "segment_price_trend",  # last green r4
+    "quality_calibration",  # last green r4
+    "quality_psi_drift",  # last green r4
+    "quality_threshold_metrics",  # last green r4
+    "embedding_prototype_scores",  # last green r4
+    "copurchase_link_prediction",  # last green r4
+    "event_cusum_changepoints",  # last green r4
+    "revenue_attribution_ushape",  # last green r4
+    "part_association_rules",  # last green r4
+    "minhash_jaccard_estimates",  # last green r4
+    "tfidf_cosine_pairs",  # last green r4
+    "hybrid_rrf_retrieval",  # last green r4
+    "ab_experiment_report",  # last green r4
+    "funnel_time_to_convert",  # last green r4
+)
+
+# --- retired R8 window (kept for the rotation record) ---------------------
 # The driver hash-checks the FIRST 50 entries of QUERIES at sf0.01 each
 # round. Pure staleness-ordered rotation, continued from r7 (VERDICT r7
 # item #2: "staleness.py already emits the correct r8 rotation — just
@@ -2427,12 +2498,12 @@ def _weak_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["weak_label_report"] = _weak_label_report
 
 
-# --- apply the R8 driver-window reorder (see _R8_WINDOW above) -----------
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
-assert len(set(_R8_WINDOW)) == len(_R8_WINDOW)
-assert all(name in QUERIES for name in _R8_WINDOW), sorted(
-    set(_R8_WINDOW) - set(QUERIES)
+# --- apply the R9 driver-window reorder (see _R9_WINDOW above) -----------
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+assert len(set(_R9_WINDOW)) == len(_R9_WINDOW)
+assert all(name in QUERIES for name in _R9_WINDOW), sorted(
+    set(_R9_WINDOW) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R8_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R9_WINDOW)
 }

@@ -38,17 +38,32 @@ def _pin_one(name: str) -> None:
 
     fn = entry_mod.queries()[name]
     spark = get_spark(f"pin-{name}")
+
+    def cool_down() -> None:
+        # bench.py's cool_down verbatim: without the forced DRIVER GC the
+        # ContextCleaner reclaims shuffle/broadcast/checkpoint state
+        # whenever a full GC happens to strike — which is MID-RUN for
+        # multi-job iterative shapes (measured: dedup_cascade_report
+        # 5.4-78 s per run without this, 6.3-9.2 s with it; the r6-r8
+        # "pin drift" was exactly these pauses sampled by best-of-3)
+        import gc
+
+        release_tracked()
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     fn(spark, WARM_DIR if os.path.isdir(WARM_DIR) else sf_dir).count()
-    release_tracked()
-    spark.catalog.clearCache()
+    cool_down()
     best = float("inf")
+    runs = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
-        best = min(best, time.perf_counter() - t0)
-        release_tracked()
-        spark.catalog.clearCache()
-    print(json.dumps({"query": name, "pin": round(best, 3), "runs": n_runs}))
+        runs.append(round(time.perf_counter() - t0, 3))
+        best = min(best, runs[-1])
+        cool_down()
+    print(json.dumps({"query": name, "pin": round(best, 3), "runs": n_runs, "all": runs}))
     spark.stop()
 
 

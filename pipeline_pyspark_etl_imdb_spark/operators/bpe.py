@@ -36,7 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pipeline_pyspark_etl_imdb_spark.operators.util import fan_out
+from pipeline_pyspark_etl_imdb_spark.operators.util import defer_checkpoint_release, fan_out
 
 
 def word_counts(
@@ -252,7 +252,9 @@ def bpe_token_counts(
         .orderBy(F.desc("n_total"), F.asc("token"))
     )
     # materialize before releasing the segmentation cache the plan reads
-    out = out.localCheckpoint(eager=True)
+    # checkpoint backs the returned frame; freed at the harness's next
+    # release_tracked() (RDD-level blocks leak per call otherwise)
+    out = defer_checkpoint_release(out.localCheckpoint(eager=True))
     model.segmented.unpersist()
     return out
 
@@ -306,7 +308,9 @@ def bpe_encode_docs(
             ),
         )
     )
-    out = out.localCheckpoint(eager=True)
+    # checkpoint backs the returned frame; freed at the harness's next
+    # release_tracked() (RDD-level blocks leak per call otherwise)
+    out = defer_checkpoint_release(out.localCheckpoint(eager=True))
     model.segmented.unpersist()
     return out
 
@@ -367,6 +371,8 @@ def bpe_source_fertility(
         )
         .orderBy(group_col)
     )
-    out = out.localCheckpoint(eager=True)
+    # checkpoint backs the returned frame; freed at the harness's next
+    # release_tracked() (RDD-level blocks leak per call otherwise)
+    out = defer_checkpoint_release(out.localCheckpoint(eager=True))
     model.segmented.unpersist()
     return out

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.util import (
+    defer_checkpoint_release,
     release_local_checkpoint,
 )
 
@@ -114,7 +115,14 @@ def connected_components(
             prev_stepped = stepped
             labels = new_labels
             if changed == 0:
+                # the FINAL round's checkpoint backs the returned frame —
+                # release it at the harness's next release_tracked(), not
+                # here (before this, every call leaked one node-sized
+                # block set into the session for good)
+                defer_checkpoint_release(stepped)
                 return labels.select("node", F.col("label").alias("component"))
+        if prev_stepped is not None:
+            defer_checkpoint_release(prev_stepped)
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iterations")
     finally:
         sym.unpersist()
@@ -210,10 +218,12 @@ def label_propagation(
     labels.count()
     adj_p.unpersist()
     # checkpoint blocks are RDD-level (DataFrame.unpersist is a no-op on
-    # them); free every round's blocks except the returned frame's
+    # them); free every round's blocks except the returned frame's, which
+    # the harness frees at its next release_tracked()
     for inter in intermediates:
         if inter is not labels:
             release_local_checkpoint(inter)
+    defer_checkpoint_release(labels)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -280,7 +290,7 @@ def bfs_hops(
     # self-join), and the final action on the returned union would
     # otherwise rebuild that subtree after adj.unpersist() below just to
     # recompute this one frame
-    frontier = (
+    frontier = defer_checkpoint_release(
         seeds.select("node", F.lit(0).cast("int").alias("hops"))
         .localCheckpoint(eager=False)
     )
@@ -293,7 +303,7 @@ def bfs_hops(
         seen = dist.select("node")
         if bcast:
             seen = F.broadcast(seen)
-        frontier = (
+        frontier = defer_checkpoint_release(
             nbrs.join(seen, "node", "left_anti")
             .select("node", F.lit(h).cast("int").alias("hops"))
             .localCheckpoint(eager=False)
@@ -301,7 +311,8 @@ def bfs_hops(
         dist = dist.unionByName(frontier)
     dist.count()
     adj.unpersist()
-    # frontier checkpoints feed the RETURNED union — release nothing here;
-    # blocks free when the caller's reference drops (unlike pagerank/LPA,
-    # every round's frame IS part of the result)
+    # every frontier checkpoint feeds the RETURNED union, so none can be
+    # released here — all are registered for the harness's next
+    # release_tracked() (the reference-drop story was wrong: checkpoint
+    # blocks are pinned at the RDD level and NEVER free on their own)
     return dist.select("node", "hops")

@@ -96,6 +96,7 @@ def k_core(
     np_deg = max(1, min(shuffle_n, n_nodes // 100_000 + 1))
     deg = deg.coalesce(np_deg)
     from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        defer_checkpoint_release,
         release_local_checkpoint,
     )
 
@@ -105,6 +106,9 @@ def k_core(
             peeled = deg.where(F.col("degree") < k).select("node")
             n_peeled = peeled.count()
             if n_peeled == 0:
+                # the final degree checkpoint backs the returned frame;
+                # the harness frees it at its next release_tracked()
+                defer_checkpoint_release(deg)
                 return keep.orderBy(F.desc("degree"), F.asc("node"))
             prev_deg = deg
             peeled_b = (
@@ -133,6 +137,7 @@ def k_core(
             # them); release so the peel holds ONE degree frame, not one
             # per round
             release_local_checkpoint(prev_deg)
+        defer_checkpoint_release(deg)
         raise RuntimeError(f"k_core: no fixpoint in {max_iter} iterations")
     finally:
         sym.unpersist()

@@ -216,12 +216,16 @@ def pagerank(
     # shared-JVM session (239-query bench) doesn't accumulate n_iter
     # node-sized block sets per call
     from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        defer_checkpoint_release,
         release_local_checkpoint,
     )
 
     for inter in intermediates:
         if inter is not ranks:
             release_local_checkpoint(inter)
+    # the final round's checkpoint backs the returned frame — registered
+    # for the harness's next release_tracked(), else it leaks per call
+    defer_checkpoint_release(ranks)
     return ranks.select("node", "rank")
 
 

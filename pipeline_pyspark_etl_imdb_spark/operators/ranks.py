@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline_pyspark_etl_imdb_spark.operators.util import defer_checkpoint_release
+
 
 def _reads_cached_data(df: DataFrame) -> bool:
     """True when the frame's plan scans ANY persisted data — either the
@@ -83,7 +85,9 @@ def total_order_ranks(
     recomputing a cheap scan.
     """
     if materialize_input or _reads_cached_data(df):
-        df = df.localCheckpoint(eager=True)
+        # the checkpoint backs the returned plan; the harness frees its
+        # blocks at the next release_tracked()
+        df = defer_checkpoint_release(df.localCheckpoint(eager=True))
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -153,7 +157,7 @@ def total_order_prefix_sums(
     frames whose plans read any cached data are pinned via
     localCheckpoint first (same derived-frame-aware guard)."""
     if _reads_cached_data(df):
-        df = df.localCheckpoint(eager=True)
+        df = defer_checkpoint_release(df.localCheckpoint(eager=True))
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
         "__pid", F.spark_partition_id()

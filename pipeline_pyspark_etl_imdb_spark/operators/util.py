@@ -11,10 +11,34 @@ from pyspark.sql import DataFrame
 # cached index state never leaks into the next query's memory budget.
 _TRACKED: list[DataFrame] = []
 
+# Returned-frame local checkpoints registered for DEFERRED release. An
+# iterative operator's final checkpoint backs the frame it RETURNS, so the
+# operator can't free it in-function — and DataFrame.unpersist / CacheManager
+# clearCache never free RDD-level checkpoint blocks. Before this registry
+# every connected_components / k_core / pagerank / bpe / total_order_ranks
+# call leaked one node-sized block set into the session FOREVER, which is
+# exactly the dedup_cascade_report "drift": repeated cascade runs in one JVM
+# read 5.4 s -> 24 s as leaked blocks ratcheted GC pressure (ROUND9_NOTES
+# §cascade). Harnesses call release_tracked() AFTER materializing a query's
+# result; at that point the blocks are garbage — on a real long-lived
+# session (streaming, notebook, 100 TB batch driver) this is the difference
+# between flat and unbounded executor-storage growth.
+_TRACKED_CKPTS: list[DataFrame] = []
+
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register for deterministic release via release_tracked()."""
     _TRACKED.append(df.persist())
+    return df
+
+
+def defer_checkpoint_release(df: DataFrame) -> DataFrame:
+    """Register a localCheckpoint'ed frame whose blocks must outlive the
+    operator (they back its RETURNED frame) for release at the next
+    release_tracked(). The frame is UNUSABLE after that release (its
+    lineage was truncated) — callers of release_tracked() already promise
+    they materialized everything they need."""
+    _TRACKED_CKPTS.append(df)
     return df
 
 
@@ -33,6 +57,8 @@ def release_tracked() -> None:
             df.unpersist(True)
         except Exception:
             pass
+    while _TRACKED_CKPTS:
+        release_local_checkpoint(_TRACKED_CKPTS.pop())
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -47,11 +47,21 @@ PINS: dict[str, float] = {
     "top_orders_per_segment_year": 1.40,  # r6 notes §5
     "order_price_bootstrap_ci": 2.68,  # r6 notes §8
     "bpe_source_fertility": 2.75,  # r6 notes §7
-    "dedup_cascade_report": 7.35,  # r8 proactive idle-box pin (below the
-    #   flag at 1.24x its r6 pin 5.95, but the heaviest query drifted up
-    #   two rounds running — sweep 5.95->7.25->7.99 — with neardup.py
-    #   untouched since r6; carrying the current pin keeps the 1.5x gate
-    #   anchored to the latest trusted cost. If r9 pins >= ~9 s, root-cause.
+    "dedup_cascade_report": 8.39,  # r9 pin under the corrected protocol
+    #   (GC cool-down between runs). The r6-r9 "drift" (5.95->7.35->9.10
+    #   raw pins) is ROOT-CAUSED, not a regression: (a) zero reachable
+    #   code changed since r6 (staleness.changed_nodes closure check);
+    #   (b) control pins (pagerank/triangles/k_core/ks_test) flat vs r6;
+    #   (c) per-run spread within ONE session is 5.4-78 s without a
+    #   forced driver GC between runs, 6.3-9.2 s with it — driver
+    #   full-GC/ContextCleaner pauses land mid-run on this multi-job
+    #   iterative shape, and best-of-3 samples that band; (d) a REAL leak
+    #   amplified it: iterative operators' final localCheckpoint blocks
+    #   were unreleasable and accumulated per call (fixed r9 via
+    #   util.defer_checkpoint_release — storage now returns to 0 blocks
+    #   after release_tracked). Stage attribution (profile_cascade.py):
+    #   components 3.7 + jaccard 3.5 + containment 1.7 dominate; no stage
+    #   grew. ROUND9_NOTES §cascade.
     "copurchase_k_core": 4.10,  # r6 notes §9c
     "supplier_pagerank": 5.55,  # r6 notes §9c
     "copurchase_triangles": 6.58,  # r6 notes §9c
@@ -85,7 +95,8 @@ PINS: dict[str, float] = {
     # isolated pin 1.56 — the lockstep exact-median narrowing shape
     # (multi-job, latency-bound, operators/selection.py untouched this
     # round), the same warm-sweep-vs-cold-pin class as the vocab family
-    "event_value_mad_anomalies": 1.56,
+    "event_value_mad_anomalies": 1.543,  # r9 second-session pin confirms
+    #   the r8 first pin (1.56) within 1% — band established, stable
 }
 
 # Flags already followed up within a round: the query was pinned isolated
@@ -107,6 +118,9 @@ RESOLVED: dict[str, int] = {
     "unigram_lm_vocab": 8,  # pin 2.09 ~= its r7 pin 2.22 — cleared
     "theilsen_revenue_trend": 8,  # pin 2.98 ~= its r7 pin 3.11 — cleared
     "event_value_mad_anomalies": 8,  # first pin 1.56 (see PINS note)
+    # r9: second-session pin 1.543 vs first pin 1.56 (VERDICT r8 item #5
+    # follow-up) — stable, cleared
+    "dedup_cascade_report": 9,  # root-caused (PINS note); pin 8.39
 }
 
 
@@ -119,7 +133,10 @@ RESOLVED: dict[str, int] = {
 # shared sweep), not one growing stage — but a reading at or past 9 s is
 # outside every recorded band and must be named, not medianed away.
 HARD_TRIPWIRES: dict[str, float] = {
-    "dedup_cascade_report": 9.0,
+    # post-root-cause bound: the measured within-session band under the
+    # corrected (GC-cooled) protocol is 6.3-9.2 s, so 9.0 would re-fire
+    # on known noise; 12.0 = ~1.3x the band top, catches a real change
+    "dedup_cascade_report": 12.0,
 }
 
 

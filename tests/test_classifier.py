@@ -50,3 +50,55 @@ def test_scoring_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan  # no shuffle: scoring fuses into the scan
+
+
+# --- r9: bit-exact coefficient pins (VERDICT r8 item #6) -------------------
+# doc_classifier_scores is rows-only because iterative float optimization
+# is ENGINE-specific (no DuckDB oracle can exist) — but on THIS engine the
+# L-BFGS fit is bit-reproducible: same fixture, same partitioning, same
+# JVM build => identical gradient fold order => identical coefficients
+# (verified across fresh processes, 2x per fixture). Pinning the md5 of
+# the raw coefficient doubles upgrades the query's local gate from
+# 98.9%-score-agreement to exact model identity: any silent change to
+# tokenization, hashing, seed selection, label expression, or the MLlib
+# fit surfaces here by name. A Spark-version bump legitimately re-pins
+# (the hash is an engine-reproducibility pin, not a cross-engine oracle).
+
+import hashlib
+import struct
+
+import pytest
+
+_COEF_PINS = {
+    "/root/testdata/sf0.001": "d75bc496640113edce2a404e7faf2439",
+    "/root/testdata/sf0.01": "4d54ec1d9a9447781ea9e362388d5e7d",
+}
+_COEF_PIN_SF01 = ("/root/testdata/sf0.1", "80d86060d0002c1c7053b4e3c41a1f09")
+
+
+def _registry_model_hash(spark, sf_dir):
+    # mirrors registry._doc_classifier_scores' training call exactly
+    from pipeline_pyspark_etl_imdb_spark.operators.text import quality_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seed = docs.where(F.col("doc_id") < 500)
+    model = train_doc_classifier(
+        seed, quality_expr(F.col("text")) >= 0.5, max_iter=10
+    )
+    co = list(model.coefficients.toArray()) + [model.intercept]
+    return hashlib.md5(struct.pack(f"<{len(co)}d", *co)).hexdigest()
+
+
+@pytest.mark.parametrize("sf_dir", sorted(_COEF_PINS))
+def test_doc_classifier_coefficients_are_pinned(spark, sf_dir):
+    assert _registry_model_hash(spark, sf_dir) == _COEF_PINS[sf_dir], (
+        f"{sf_dir}: trained coefficients changed — either the model path "
+        "(tokenize/hash/seed/label/fit) changed semantically, or the "
+        "engine build changed; re-verify scores then re-pin"
+    )
+
+
+@pytest.mark.sf01
+def test_doc_classifier_coefficients_are_pinned_sf01(spark):
+    sf_dir, want = _COEF_PIN_SF01
+    assert _registry_model_hash(spark, sf_dir) == want

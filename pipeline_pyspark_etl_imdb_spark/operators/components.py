@@ -316,3 +316,107 @@ def bfs_hops(
     # release_tracked() (the reference-drop story was wrong: checkpoint
     # blocks are pinned at the RDD level and NEVER free on their own)
     return dist.select("node", "hops")
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    weight_col: str = "w",
+    n_rounds: int = 6,
+    seeds: DataFrame | None = None,
+    broadcast_max_nodes: int = 2_000_000,
+) -> DataFrame:
+    """Bounded-hop weighted shortest distances: (node, dist) where dist =
+    the minimum total weight over paths of at most ``n_rounds`` edges
+    from the seed set, over the UNDIRECTED weighted graph. Nodes not
+    reachable within ``n_rounds`` edges are absent — the weighted
+    generalization of bfs_hops (set every weight to 1 and dist == hops).
+
+    FIXED round count by design, not a convergence loop: "min path
+    weight over <= R edges" is a well-defined quantity both engines
+    compute identically, so the oracle unrolls the same R Bellman-Ford
+    rounds (oracles._sssp_sql) and rounds past convergence are no-ops —
+    the BFS/LPA discipline. Integer weights make every distance and
+    comparison integer-exact: no float path-sum margins exist.
+
+    Physical shape per round (frontier-restricted relaxation — provably
+    equal to full relaxation per round, since an unimproved node's
+    contribution was already applied with the same distance in an
+    earlier round):
+    - the frontier (nodes improved last round, never the full dist set)
+      joins the STATIC symmetrized adjacency — broadcast while the node
+      frame fits the budget, so edge partitions never move;
+    - candidate distances partial-aggregate (min) to node domain;
+    - a node-keyed outer merge against the accumulated dist frame keeps
+      the row-minimum and emits the improved set as the next frontier.
+    localCheckpoint truncates each round's lineage (lazy — no per-round
+    action; ONE count materializes the chain before the adjacency cache
+    releases). Per-round bytes: (node, dist) pairs, never edges, never
+    payloads. At 100 TB: adjacency stays partitioned in place; the dist
+    frame is node-domain-sized.
+    """
+    w = F.col(weight_col).cast("long")
+    adj0 = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), w.alias("w"))
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr"), w.alias("w")
+            )
+        )
+        .persist()
+    )
+    n = adj0.select("node").distinct().count()
+    bcast = n <= broadcast_max_nodes
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    np_edges = max(4, min(shuffle_n, adj0.count() // 200_000 + 1))
+    adj = adj0.repartition(np_edges, "node").persist()
+    adj.count()
+    adj0.unpersist()
+
+    if seeds is None:
+        # empty graph -> the 1-row min aggregate is (NULL) -> zero rows,
+        # not a phantom (NULL, 0) row (the bfs_hops discipline)
+        seeds = adj.agg(F.min("node").alias("node")).where(
+            F.col("node").isNotNull()
+        )
+    else:
+        seeds = seeds.select("node").distinct()
+    dist = defer_checkpoint_release(
+        seeds.select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for _ in range(n_rounds):
+        f_side = frontier
+        if bcast:
+            f_side = F.broadcast(f_side)
+        cand = (
+            adj.join(f_side, "node")
+            .select(F.col("nbr").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+        )
+        # merge = UNION ALL + one partial-aggregated min (the oracle's
+        # exact shape): a full-outer join can't broadcast in Spark, so
+        # this keeps the per-round merge to ONE node-domain shuffle with
+        # map-side combine — no join at all
+        merged = defer_checkpoint_release(
+            dist.select("node", F.col("dist").alias("d"), F.lit(True).alias("__old"))
+            .unionByName(cand.select("node", "d", F.lit(False).alias("__old")))
+            .groupBy("node")
+            .agg(
+                F.min("d").alias("dist"),
+                F.min(F.when(F.col("__old"), F.col("d"))).alias("__od"),
+            )
+            .select(
+                "node",
+                "dist",
+                (
+                    F.col("__od").isNull() | (F.col("dist") < F.col("__od"))
+                ).alias("__improved"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        frontier = merged.where("__improved").select("node", "dist")
+        dist = merged.select("node", "dist")
+    dist.count()
+    adj.unpersist()
+    return dist.select("node", "dist")

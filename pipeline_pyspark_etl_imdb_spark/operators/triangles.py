@@ -347,3 +347,32 @@ def degree_assortativity(
         "n_dir_edges",
         (cov / F.sqrt(vj * vk)).alias("assortativity"),
     )
+
+
+def cooccurrence_weighted_edges(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    node_col: str = "l_partkey",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(src, dst, co_count) with src < dst: distinct node pairs sharing an
+    order, weighted by HOW MANY orders they share — the multiplicity that
+    cooccurrence_edges' distinct throws away. Same skew posture: pair
+    fan-out is deg(order)^2 bounded by lines-per-order, ``max_degree``
+    drops hyper-connected nodes before pair generation, and the groupBy
+    partial-aggregates map-side (integer counts, engine-exact)."""
+    nodes = lineitem.select(
+        F.col(order_col).alias("o"), F.col(node_col).alias("n")
+    ).dropDuplicates(["o", "n"])
+    if max_degree is not None:
+        deg = nodes.groupBy("n").agg(F.count("*").alias("__d"))
+        keep = deg.where(F.col("__d") <= max_degree).select("n")
+        nodes = nodes.join(keep, "n")
+    a = nodes.select("o", F.col("n").alias("src"))
+    b = nodes.select("o", F.col("n").alias("dst"))
+    return (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("co_count"))
+    )

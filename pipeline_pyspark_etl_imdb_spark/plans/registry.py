@@ -1737,7 +1737,9 @@ ROWS_ONLY: tuple[str, ...] = (
 # row — a green row certifies the code AS OF that round, so a later change
 # to any function on the query's plan path is unverified-code debt that
 # outranks plain staleness. This tuple IS the tool's emission, verbatim:
-#   slots 1-25  — changed-since-green, staleness-ordered: the three r8
+#   slot  1     — copurchase_sssp, NEW this round (never-green rows
+#                 enter at the head — zero-visibility-debt);
+#   slots 2-26  — changed-since-green, staleness-ordered: the three r8
 #                 materialize_input callers (vocab_coverage_curve,
 #                 token_gini_concentration, vocab_zipf_fit — the verdict's
 #                 named instance, promoted via ranks.total_order_ranks +
@@ -1746,9 +1748,10 @@ ROWS_ONLY: tuple[str, ...] = (
 #                 edits (AUC/confusion/conformal), pagerank/kmeans/
 #                 kcenter/multimodal r6-r7 edits, triangles/hex_uniform
 #                 r4-r6 edits;
-#   slots 26-50 — unchanged-since-green by staleness: the 6 remaining
+#   slots 27-50 — unchanged-since-green by staleness: the 6 remaining
 #                 r3-green rows, then r4-green rows in registry order.
 _R9_WINDOW: tuple[str, ...] = (
+    "copurchase_sssp",  # last green never
     "kmv_user_sketch",  # last green r3; CHANGED since
     "dataset_split_assign",  # last green r3; CHANGED since
     "copurchase_triangles",  # last green r3; CHANGED since
@@ -1798,7 +1801,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "tfidf_cosine_pairs",  # last green r4
     "hybrid_rrf_retrieval",  # last green r4
     "ab_experiment_report",  # last green r4
-    "funnel_time_to_convert",  # last green r4
 )
 
 # --- retired R8 window (kept for the rotation record) ---------------------
@@ -2290,6 +2292,32 @@ def _copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["copurchase_bfs_hops"] = _copurchase_bfs_hops
+
+
+def _copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest distances from the minimum part id
+    over the co-purchase graph — the weighted generalization of
+    copurchase_bfs_hops (VERDICT r8 item #7: graph-path beyond plain
+    hops). Edge weight = greatest(1, 5 - co_count): an integer "affinity
+    distance" where frequently co-purchased pairs are closer, so optimal
+    paths trade hop count against tie strength. dist = min path weight
+    over <= 6 edges — a fixed-round Bellman-Ford quantity, integer-exact,
+    6 unrolled relaxation rounds in the oracle (the BFS discipline)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.components import sssp_bounded
+
+    ed = triangles.cooccurrence_weighted_edges(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+            F.col("l_partkey") % 4 == 0
+        )
+    ).select(
+        "src",
+        "dst",
+        F.greatest(F.lit(1), F.lit(5) - F.col("co_count")).cast("long").alias("w"),
+    )
+    return sssp_bounded(ed, n_rounds=6).orderBy("node")
+
+
+QUERIES["copurchase_sssp"] = _copurchase_sssp
 
 
 def _quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:

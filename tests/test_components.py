@@ -168,3 +168,124 @@ def test_bfs_hops_matches_python_on_cooccurrence(spark):
         frontier = nxt
     got = {r.node: r.hops for r in bfs_hops(edges, max_hops=4).collect()}
     assert got == dist
+
+
+# --- sssp_bounded: bounded-hop weighted shortest distances -----------------
+
+
+def _py_sssp(edges, n_rounds, seeds=None):
+    """Reference bounded-hop Bellman-Ford: dist after <= n_rounds edges.
+
+    edges: [(u, v, w)] undirected."""
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    if seeds is None:
+        if not adj:
+            return {}
+        seeds = [min(adj)]
+    dist = {s: 0 for s in seeds}
+    for _ in range(n_rounds):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, ()):
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    return dist
+
+
+def _run_sssp(spark, edges, n_rounds, seeds=None):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import sssp_bounded
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    sf = (
+        spark.createDataFrame([(s,) for s in seeds], "node long")
+        if seeds is not None
+        else None
+    )
+    return {
+        r.node: r.dist
+        for r in sssp_bounded(df, n_rounds=n_rounds, seeds=sf).collect()
+    }
+
+
+def test_sssp_prefers_heavier_path_with_lower_weight(spark):
+    # seed=1. Direct edge 1-4 costs 9; the 3-hop path 1-2-3-4 costs 3.
+    # A hop-count BFS would report 4 at hop 1 — the weighted answer must
+    # take the longer-but-lighter path (this is the test that separates
+    # sssp_bounded from bfs_hops).
+    edges = [(1, 4, 9), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    got = _run_sssp(spark, edges, n_rounds=6)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    assert got == _py_sssp(edges, 6)
+
+
+def test_sssp_round_bound_is_the_contract(spark):
+    # with only 2 rounds the 3-hop light path is out of reach: dist(4)
+    # must be the direct edge's 9 — "min over paths of <= R edges" is the
+    # deterministic fixed-round quantity the oracle unrolls
+    edges = [(1, 4, 9), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    got = _run_sssp(spark, edges, n_rounds=2)
+    assert got[4] == 9
+    assert got == _py_sssp(edges, 2)
+
+
+def test_sssp_unit_weights_match_bfs_hops(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (1, 7)]
+    edges = [(u, v, 1) for u, v in pairs]
+    got = _run_sssp(spark, edges, n_rounds=4)
+    bdf = spark.createDataFrame(pairs, "src long, dst long")
+    hops = {r.node: r.hops for r in bfs_hops(bdf, max_hops=4).collect()}
+    assert got == hops == _py_sssp(edges, 4)
+
+
+def test_sssp_rounds_past_convergence_are_noops(spark):
+    edges = [(1, 2, 3), (2, 3, 2), (10, 11, 1)]
+    assert _run_sssp(spark, edges, n_rounds=3) == _run_sssp(
+        spark, edges, n_rounds=8
+    )
+
+
+def test_sssp_custom_seeds_and_disconnected(spark):
+    # two components; seeding both sides reaches both, min-node seeding
+    # reaches only the seed's component
+    edges = [(1, 2, 2), (10, 11, 5)]
+    assert _run_sssp(spark, edges, n_rounds=3) == {1: 0, 2: 2}
+    got = _run_sssp(spark, edges, n_rounds=3, seeds=[1, 10])
+    assert got == {1: 0, 2: 2, 10: 0, 11: 5}
+    assert got == _py_sssp(edges, 3, seeds=[1, 10])
+
+
+def test_sssp_empty_graph_is_zero_rows(spark):
+    assert _run_sssp(spark, [], n_rounds=3) == {}
+
+
+def test_sssp_random_graphs_match_python_replay(spark):
+    # deterministic pseudo-random battery (the LPA replay discipline):
+    # several seeds x sizes, integer weights 1..7
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = rng.randint(6, 14)
+        edges = []
+        seen = set()
+        for _ in range(n * 2):
+            u, v = rng.randint(0, n), rng.randint(0, n)
+            if u == v:
+                continue
+            u, v = min(u, v), max(u, v)
+            if (u, v) in seen:
+                continue
+            seen.add((u, v))
+            edges.append((u, v, rng.randint(1, 7)))
+        if not edges:
+            continue
+        rounds = rng.randint(1, 5)
+        assert _run_sssp(spark, edges, n_rounds=rounds) == _py_sssp(
+            edges, rounds
+        ), f"seed={seed} rounds={rounds} edges={edges}"

@@ -97,6 +97,9 @@ PINS: dict[str, float] = {
     # round), the same warm-sweep-vs-cold-pin class as the vocab family
     "event_value_mad_anomalies": 1.543,  # r9 second-session pin confirms
     #   the r8 first pin (1.56) within 1% — band established, stable
+    "copurchase_sssp": 3.53,  # r9 birth pin (new query, GC-cooled
+    #   protocol): 6-round weighted Bellman-Ford, in family with
+    #   copurchase_bfs_hops (2.28 in-sweep) + 2 extra rounds
 }
 
 # Flags already followed up within a round: the query was pinned isolated

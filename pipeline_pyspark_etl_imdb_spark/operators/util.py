@@ -93,7 +93,16 @@ def release_local_checkpoint(df: DataFrame) -> None:
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith("LogicalRDD"):
-            plan.rdd().unpersist(False)
+        # walk to the LEAVES, not just the root: a checkpoint wrapped in a
+        # later coalesce()/select() presents Repartition/Project at the
+        # top and the LogicalRDD underneath (k_core's initial degree frame
+        # leaked exactly this way — found r9 by the zero-blocks-after-
+        # release audit). Every LogicalRDD under a provably-dead frame is
+        # dead with it; unpersist on a non-persisted RDD is a no-op.
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
     except Exception:  # pragma: no cover - best-effort cleanup
         pass

@@ -100,6 +100,12 @@ PINS: dict[str, float] = {
     "copurchase_sssp": 3.53,  # r9 birth pin (new query, GC-cooled
     #   protocol): 6-round weighted Bellman-Ford, in family with
     #   copurchase_bfs_hops (2.28 in-sweep) + 2 extra rounds
+    # r9 sweep flags, both pinned same-day: the isolated cost matches or
+    # beats the sweep reading, so the r8 prior-round numbers (0.56/0.89)
+    # were warm-shared low reads, not a baseline — the standard
+    # warm-sweep-vs-cold-pin class, sub-1.5-second absolutes
+    "kmv_user_sketch": 0.87,
+    "ann_recall_report": 1.10,
 }
 
 # Flags already followed up within a round: the query was pinned isolated
@@ -124,6 +130,9 @@ RESOLVED: dict[str, int] = {
     # r9: second-session pin 1.543 vs first pin 1.56 (VERDICT r8 item #5
     # follow-up) — stable, cleared
     "dedup_cascade_report": 9,  # root-caused (PINS note); pin 8.39
+    "kmv_user_sketch": 9,  # pin 0.87 ~= its 0.85 sweep read — the r8
+    #   0.56 was a warm-shared low, not a regression baseline
+    "ann_recall_report": 9,  # pin 1.10, BELOW the 1.34 sweep read
 }
 
 

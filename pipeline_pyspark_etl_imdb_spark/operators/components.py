@@ -420,3 +420,104 @@ def sssp_bounded(
     dist.count()
     adj.unpersist()
     return dist.select("node", "dist")
+
+
+def bfs_label_budget(
+    edges: DataFrame,
+    weak_col: str = "is_weak",
+    max_weak: int = 1,
+    max_hops: int = 4,
+    seeds: DataFrame | None = None,
+    broadcast_max_nodes: int = 2_000_000,
+) -> DataFrame:
+    """Label-constrained reachability: (node, hops, weak_used) for every
+    node reachable from the seed set within ``max_hops`` edges using AT
+    MOST ``max_weak`` weak edges (``weak_col`` is 0/1 per edge) — the
+    budgeted-label path primitive (the property-path class: "reach v via
+    strong ties, spending at most K weak hops"). hops = minimum hop
+    count under the budget; weak_used = minimum weak count among those
+    hop-minimal paths (lexicographic (hops, weak) argmin — integer-
+    deterministic).
+
+    This is BFS over the PRODUCT graph of (node, weak-spent) automaton
+    states: a strong edge maps (v, w) -> (nbr, w), a weak edge maps
+    (v, w) -> (nbr, w+1) while w+1 <= max_weak. State domain is
+    (max_weak+1) x nodes — node-domain bounded, so the 100 TB posture is
+    bfs_hops' unchanged: the frontier STATE set (never the full seen
+    set) joins the static pinned adjacency under the broadcast budget,
+    an anti-join on (node, w) admits unseen states, every frontier
+    localCheckpoints (lazy) with deferred release, and ONE action
+    materializes the chain. Integer-exact end to end, so the
+    fixed-round result is engine-portable and the oracle unrolls the
+    same rounds over state pairs (oracles._label_bfs_sql)."""
+    wcol = F.col(weak_col).cast("int")
+    adj0 = (
+        edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr"), wcol.alias("wk")
+        )
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr"), wcol.alias("wk")
+            )
+        )
+        .persist()
+    )
+    n = adj0.select("node").distinct().count()
+    bcast = n * (max_weak + 1) <= broadcast_max_nodes
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    np_edges = max(4, min(shuffle_n, adj0.count() // 200_000 + 1))
+    adj = adj0.repartition(np_edges, "node").persist()
+    adj.count()
+    adj0.unpersist()
+
+    if seeds is None:
+        seeds = adj.agg(F.min("node").alias("node")).where(
+            F.col("node").isNotNull()
+        )
+    else:
+        seeds = seeds.select("node").distinct()
+    # automaton start state: (seed, w=0) at hop 0
+    frontier = defer_checkpoint_release(
+        seeds.select(
+            "node",
+            F.lit(0).cast("int").alias("w"),
+            F.lit(0).cast("int").alias("hops"),
+        ).localCheckpoint(eager=False)
+    )
+    seen = frontier
+    for h in range(1, max_hops + 1):
+        f_side = frontier.select("node", "w")
+        if bcast:
+            f_side = F.broadcast(f_side)
+        cand = (
+            adj.join(f_side, "node")
+            .select(
+                F.col("nbr").alias("node"), (F.col("w") + F.col("wk")).alias("w")
+            )
+            .where(F.col("w") <= max_weak)
+            .distinct()
+        )
+        s_side = seen.select("node", "w")
+        if bcast:
+            s_side = F.broadcast(s_side)
+        frontier = defer_checkpoint_release(
+            cand.join(s_side, ["node", "w"], "left_anti")
+            .select("node", "w", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        seen = seen.unionByName(frontier)
+    seen.count()
+    adj.unpersist()
+    # collapse automaton states to the node answer: lexicographic
+    # (hops, weak) min — first-reached hop, thriftiest budget at that hop
+    best = F.min(F.struct(F.col("hops"), F.col("w"))).alias("__b")
+    return (
+        seen.groupBy("node")
+        .agg(best)
+        .select(
+            "node",
+            F.col("__b.hops").alias("hops"),
+            F.col("__b.w").alias("weak_used"),
+        )
+    )

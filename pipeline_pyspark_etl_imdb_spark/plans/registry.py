@@ -1737,9 +1737,10 @@ ROWS_ONLY: tuple[str, ...] = (
 # row — a green row certifies the code AS OF that round, so a later change
 # to any function on the query's plan path is unverified-code debt that
 # outranks plain staleness. This tuple IS the tool's emission, verbatim:
-#   slot  1     — copurchase_sssp, NEW this round (never-green rows
-#                 enter at the head — zero-visibility-debt);
-#   slots 2-26  — changed-since-green, staleness-ordered: the three r8
+#   slots 1-2   — copurchase_sssp + copurchase_label_reachability,
+#                 NEW this round (never-green rows enter at the head
+#                 — zero-visibility-debt);
+#   slots 3-27  — changed-since-green, staleness-ordered: the three r8
 #                 materialize_input callers (vocab_coverage_curve,
 #                 token_gini_concentration, vocab_zipf_fit — the verdict's
 #                 named instance, promoted via ranks.total_order_ranks +
@@ -1748,10 +1749,11 @@ ROWS_ONLY: tuple[str, ...] = (
 #                 edits (AUC/confusion/conformal), pagerank/kmeans/
 #                 kcenter/multimodal r6-r7 edits, triangles/hex_uniform
 #                 r4-r6 edits;
-#   slots 27-50 — unchanged-since-green by staleness: the 6 remaining
+#   slots 28-50 — unchanged-since-green by staleness: the 6 remaining
 #                 r3-green rows, then r4-green rows in registry order.
 _R9_WINDOW: tuple[str, ...] = (
     "copurchase_sssp",  # last green never
+    "copurchase_label_reachability",  # last green never
     "kmv_user_sketch",  # last green r3; CHANGED since
     "dataset_split_assign",  # last green r3; CHANGED since
     "copurchase_triangles",  # last green r3; CHANGED since
@@ -1800,7 +1802,6 @@ _R9_WINDOW: tuple[str, ...] = (
     "minhash_jaccard_estimates",  # last green r4
     "tfidf_cosine_pairs",  # last green r4
     "hybrid_rrf_retrieval",  # last green r4
-    "ab_experiment_report",  # last green r4
 )
 
 # --- retired R8 window (kept for the rotation record) ---------------------
@@ -2318,6 +2319,31 @@ def _copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["copurchase_sssp"] = _copurchase_sssp
+
+
+def _copurchase_label_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-constrained reachability from the minimum part id: nodes
+    within 4 hops spending AT MOST ONE weak edge (weak = the pair shares
+    only one order; strong = co_count >= 2) — the property-path
+    primitive (SPARQL/Cypher path-label class) as BFS over the product
+    automaton states (node, weak-spent). (node, hops, weak_used) with
+    the lexicographic (hops, weak) minimum per node; integer-exact, 4
+    unrolled state rounds in the oracle (the BFS discipline)."""
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        bfs_label_budget,
+    )
+
+    ed = triangles.cooccurrence_weighted_edges(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+            F.col("l_partkey") % 4 == 0
+        )
+    ).select(
+        "src", "dst", (F.col("co_count") < 2).cast("int").alias("is_weak")
+    )
+    return bfs_label_budget(ed, max_weak=1, max_hops=4).orderBy("node")
+
+
+QUERIES["copurchase_label_reachability"] = _copurchase_label_reachability
 
 
 def _quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:

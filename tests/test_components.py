@@ -289,3 +289,109 @@ def test_sssp_random_graphs_match_python_replay(spark):
         assert _run_sssp(spark, edges, n_rounds=rounds) == _py_sssp(
             edges, rounds
         ), f"seed={seed} rounds={rounds} edges={edges}"
+
+
+# --- bfs_label_budget: label-constrained (weak-budget) reachability --------
+
+
+def _py_label_bfs(edges, max_weak, max_hops, seed=None):
+    """Reference product-automaton BFS. edges: [(u, v, is_weak)]."""
+    adj = {}
+    for u, v, wk in edges:
+        adj.setdefault(u, []).append((v, wk))
+        adj.setdefault(v, []).append((u, wk))
+    if seed is None:
+        if not adj:
+            return {}
+        seed = min(adj)
+    seen = {(seed, 0): 0}
+    frontier = [(seed, 0)]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u, w in frontier:
+            for v, wk in adj.get(u, ()):
+                s = (v, w + wk)
+                if s[1] <= max_weak and s not in seen:
+                    seen[s] = h
+                    nxt.append(s)
+        frontier = nxt
+    best = {}
+    for (node, w), h in seen.items():
+        cur = best.get(node)
+        if cur is None or (h, w) < cur:
+            best[node] = (h, w)
+    return best
+
+
+def _run_label_bfs(spark, edges, max_weak, max_hops):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        bfs_label_budget,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long, is_weak int")
+    return {
+        r.node: (r.hops, r.weak_used)
+        for r in bfs_label_budget(
+            df, max_weak=max_weak, max_hops=max_hops
+        ).collect()
+    }
+
+
+def test_label_bfs_budget_blocks_weak_only_paths(spark):
+    # seed=1. Node 4 is reachable only through two weak edges (1-3-4);
+    # with budget 1 it must be ABSENT, with budget 2 present. Node 2 is
+    # strong-adjacent — always hop 1, zero weak.
+    edges = [(1, 2, 0), (1, 3, 1), (3, 4, 1)]
+    got1 = _run_label_bfs(spark, edges, max_weak=1, max_hops=4)
+    assert got1 == {1: (0, 0), 2: (1, 0), 3: (1, 1)}
+    got2 = _run_label_bfs(spark, edges, max_weak=2, max_hops=4)
+    assert got2[4] == (2, 2)
+    assert got1 == _py_label_bfs(edges, 1, 4)
+    assert got2 == _py_label_bfs(edges, 2, 4)
+
+
+def test_label_bfs_prefers_min_hops_then_min_weak(spark):
+    # node 3: hop-2 path via weak (1-2w-3s... ) vs hop-3 all-strong —
+    # min hops wins even though it spends weak; among equal-hop paths
+    # the thriftier weak count wins
+    edges = [
+        (1, 2, 1), (2, 3, 0),          # 2 hops, 1 weak
+        (1, 4, 0), (4, 5, 0), (5, 3, 0),  # 3 hops, 0 weak
+        (1, 6, 1), (6, 3, 1),          # 2 hops, 2 weak (worse at same... needs budget 2)
+    ]
+    got = _run_label_bfs(spark, edges, max_weak=2, max_hops=5)
+    assert got[3] == (2, 1)  # 2 hops beats 3; 1 weak beats 2 at 2 hops
+    assert got == _py_label_bfs(edges, 2, 5)
+
+
+def test_label_bfs_unlimited_budget_matches_bfs_hops(spark):
+    from pipeline_pyspark_etl_imdb_spark.operators.components import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 4), (2, 5), (1, 6)]
+    edges = [(u, v, (u + v) % 2) for u, v in pairs]
+    got = _run_label_bfs(spark, edges, max_weak=10, max_hops=4)
+    bdf = spark.createDataFrame(pairs, "src long, dst long")
+    hops = {r.node: r.hops for r in bfs_hops(bdf, max_hops=4).collect()}
+    assert {n: h for n, (h, _w) in got.items()} == hops
+
+
+def test_label_bfs_empty_graph_and_replay_battery(spark):
+    assert _run_label_bfs(spark, [], max_weak=1, max_hops=3) == {}
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        n = rng.randint(5, 12)
+        edges, seen = [], set()
+        for _ in range(n * 2):
+            u, v = rng.randint(0, n), rng.randint(0, n)
+            if u == v or (min(u, v), max(u, v)) in seen:
+                continue
+            seen.add((min(u, v), max(u, v)))
+            edges.append((min(u, v), max(u, v), rng.randint(0, 1)))
+        if not edges:
+            continue
+        k, h = rng.randint(0, 2), rng.randint(1, 4)
+        assert _run_label_bfs(spark, edges, k, h) == _py_label_bfs(
+            edges, k, h
+        ), f"seed={seed} k={k} h={h} edges={edges}"

@@ -106,6 +106,8 @@ PINS: dict[str, float] = {
     # warm-sweep-vs-cold-pin class, sub-1.5-second absolutes
     "kmv_user_sketch": 0.87,
     "ann_recall_report": 1.10,
+    "copurchase_label_reachability": 3.47,  # r9 birth pin: 4-round
+    #   product-automaton BFS over (node, weak-budget) states
 }
 
 # Flags already followed up within a round: the query was pinned isolated

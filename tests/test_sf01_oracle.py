@@ -305,7 +305,25 @@ SENSITIVE = [
     "kcenter_diversity_picks",
     # r6 continuation addition: weak-supervision LF diagnostics
     "weak_label_report",
+    # r9: the graph-path family extensions (bounded-hop weighted SSSP,
+    # label-budget product-automaton reachability)
+    "copurchase_sssp",
+    "copurchase_label_reachability",
 ]
+
+
+def test_sf01_list_covers_every_oracle_backed_query():
+    """Completeness meta-gate (the margin-floor-gate discipline): this
+    hand-maintained list long ago drifted from 'numerically sensitive
+    subset' into 'everything oracle-backed' — which is the right
+    coverage, so pin it. A new oracle-backed registry query that is not
+    added here would silently skip the sf0.1 gate (copurchase_sssp did,
+    for one round-half, found r9)."""
+    oracle_backed = set(entry_mod.oracle_sql())
+    missing = oracle_backed - set(SENSITIVE)
+    stale = set(SENSITIVE) - oracle_backed
+    assert not missing, f"oracle-backed queries missing from the sf0.1 gate: {sorted(missing)}"
+    assert not stale, f"sf0.1 entries without an oracle/registry row: {sorted(stale)}"
 
 
 @pytest.fixture(scope="module")

@@ -221,7 +221,8 @@ _NULL_PARITY: frozenset[str] = frozenset({
     "cohort_weekly_retention", "column_profile_orders", "containment_df_profile",
     "contrastive_doc_negatives", "copurchase_assortativity", "copurchase_bfs_hops",
     "copurchase_clustering", "copurchase_communities", "copurchase_k_core",
-    "copurchase_link_prediction", "copurchase_triangles", "corpus_build_manifest",
+    "copurchase_link_prediction", "copurchase_sssp", "copurchase_label_reachability",
+    "copurchase_triangles", "corpus_build_manifest",
     "cuped_experiment_report", "custkey_tree_depth", "customer_bivariate_outliers",
     "customer_order_profile_left", "customer_rfm_scores", "customer_snapshot_diff",
     "customer_spend_deciles", "customers_without_orders_anti", "daily_orders_vs_events_full",

@@ -186,3 +186,140 @@ def test_bfs_hops_matches_python(spark, edges, max_hops, n_seeds):
     finally:
         release_tracked()
     assert got == _py_bfs(es, seeds, max_hops)
+
+
+# --- r9: the graph-path family (weighted SSSP, label-budget BFS) ----------
+
+
+from pipeline_pyspark_etl_imdb_spark.operators.components import (  # noqa: E402
+    bfs_label_budget,
+    sssp_bounded,
+)
+
+wedge_st = st.tuples(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=1, max_value=9),
+)
+
+
+def _canon_w(edges):
+    # canonical undirected weighted edges; on duplicates keep the MIN
+    # weight (mirrors what a groupBy-min edge build would produce)
+    out: dict = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        out[k] = min(out.get(k, w), w)
+    return [(a, b, w) for (a, b), w in sorted(out.items())]
+
+
+def _py_sssp_rounds(edges, n_rounds):
+    adj: dict = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    if not adj:
+        return {}
+    dist = {min(adj): 0}
+    for _ in range(n_rounds):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, ()):
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    return dist
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(wedge_st, min_size=1, max_size=16),
+    n_rounds=st.integers(min_value=1, max_value=4),
+)
+def test_sssp_bounded_matches_python(spark, edges, n_rounds):
+    es = _canon_w(edges)
+    if not es:
+        return
+    df = spark.createDataFrame(es, "src int, dst int, w int")
+    try:
+        got = {
+            r.node: r.dist
+            for r in sssp_bounded(df, n_rounds=n_rounds).collect()
+        }
+    finally:
+        release_tracked()
+    assert got == _py_sssp_rounds(es, n_rounds)
+
+
+def _py_label_rounds(edges, max_weak, max_hops):
+    adj: dict = {}
+    for u, v, wk in edges:
+        adj.setdefault(u, []).append((v, wk))
+        adj.setdefault(v, []).append((u, wk))
+    if not adj:
+        return {}
+    seed = min(adj)
+    seen = {(seed, 0): 0}
+    frontier = [(seed, 0)]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u, w in frontier:
+            for v, wk in adj.get(u, ()):
+                s = (v, w + wk)
+                if s[1] <= max_weak and s not in seen:
+                    seen[s] = h
+                    nxt.append(s)
+        frontier = nxt
+    best: dict = {}
+    for (node, w), h in seen.items():
+        if node not in best or (h, w) < best[node]:
+            best[node] = (h, w)
+    return best
+
+
+labeled_edge = st.tuples(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=1),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(labeled_edge, min_size=1, max_size=16),
+    max_weak=st.integers(min_value=0, max_value=2),
+    max_hops=st.integers(min_value=1, max_value=4),
+)
+def test_bfs_label_budget_matches_python(spark, edges, max_weak, max_hops):
+    # canonical: on duplicate pairs keep the STRONG label (min is_weak),
+    # matching a groupBy-min edge build
+    canon: dict = {}
+    for a, b, wk in edges:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        canon[k] = min(canon.get(k, wk), wk)
+    es = [(a, b, wk) for (a, b), wk in sorted(canon.items())]
+    if not es:
+        return
+    df = spark.createDataFrame(es, "src int, dst int, is_weak int")
+    try:
+        got = {
+            r.node: (r.hops, r.weak_used)
+            for r in bfs_label_budget(
+                df, max_weak=max_weak, max_hops=max_hops
+            ).collect()
+        }
+    finally:
+        release_tracked()
+    assert got == _py_label_rounds(es, max_weak, max_hops)

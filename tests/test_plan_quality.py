@@ -948,3 +948,26 @@ def test_all_driver_facing_output_schemas_atomic(spark):
         "queries shipping non-atomic columns to the driver (explode to "
         f"scalar rows — media_features precedent): {offenders}"
     )
+
+
+def test_weighted_edge_build_partial_aggregates_and_prunes(spark):
+    """The graph-path family's shared edge build (r9,
+    triangles.cooccurrence_weighted_edges): the co_count groupBy must
+    partial-aggregate (map-side combine — the pair stream is deg(order)^2
+    rows, the aggregate is pair-domain), and the lineitem scan must read
+    only the two graph columns."""
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        cooccurrence_weighted_edges,
+    )
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").where(
+        F.col("l_partkey") % 4 == 0
+    )
+    df = cooccurrence_weighted_edges(li)
+    plan = _plan(df)
+    assert "partial_count" in plan or "partial_" in plan  # map-side combine
+    fplan = _formatted(df)
+    read_schema = fplan.split("ReadSchema:")[-1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_partkey" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched columns pruned
+    assert "l_comment" not in read_schema

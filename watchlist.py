@@ -97,8 +97,8 @@ PINS: dict[str, float] = {
     # round), the same warm-sweep-vs-cold-pin class as the vocab family
     "event_value_mad_anomalies": 1.543,  # r9 second-session pin confirms
     #   the r8 first pin (1.56) within 1% — band established, stable
-    "copurchase_sssp": 3.53,  # r9 birth pin (new query, GC-cooled
-    #   protocol): 6-round weighted Bellman-Ford, in family with
+    "copurchase_sssp": 3.40,  # r9 pins 3.53 / 3.40 (two sessions):
+    #   6-round weighted Bellman-Ford, in family with
     #   copurchase_bfs_hops (2.28 in-sweep) + 2 extra rounds
     # r9 sweep flags, both pinned same-day: the isolated cost matches or
     # beats the sweep reading, so the r8 prior-round numbers (0.56/0.89)
@@ -106,8 +106,8 @@ PINS: dict[str, float] = {
     # warm-sweep-vs-cold-pin class, sub-1.5-second absolutes
     "kmv_user_sketch": 0.87,
     "ann_recall_report": 1.10,
-    "copurchase_label_reachability": 3.47,  # r9 birth pin: 4-round
-    #   product-automaton BFS over (node, weak-budget) states
+    "copurchase_label_reachability": 3.42,  # r9 pins 3.47 / 3.42 (two
+    #   sessions): 4-round product-automaton BFS over (node, w) states
 }
 
 # Flags already followed up within a round: the query was pinned isolated

@@ -105,23 +105,35 @@ class _RevIndex:
     """Per-revision static index: module -> {node -> ast dump}, the alias
     maps, and per-node name references."""
 
-    def __init__(self, rev: str) -> None:
+    def __init__(
+        self, rev: str, sources: dict[str, str] | None = None
+    ) -> None:
+        """``sources`` (tests only): {"<PKG-relative path>": source} used
+        instead of git — keeps the resolution mechanics unit-testable
+        without fabricating history."""
         self.rev = rev
         # module dotted path (relative to PKG) -> parsed pieces
         self.dumps: dict[str, dict[str, str]] = {}
         self.refs: dict[str, dict[str, set[tuple[str | None, str]]]] = {}
         self.aliases: dict[str, dict[str, tuple[str, str | None]]] = {}
         self.toplevel_names: dict[str, set[str]] = {}
-        files = [
-            f
-            for f in _git("ls-tree", "-r", "--name-only", rev, "--", PKG).splitlines()
-            if f.endswith(".py")
-        ]
-        mods = {self._mod_of(f): f for f in files}
+        if sources is None:
+            files = [
+                f
+                for f in _git(
+                    "ls-tree", "-r", "--name-only", rev, "--", PKG
+                ).splitlines()
+                if f.endswith(".py")
+            ]
+            mods = {self._mod_of(f): f for f in files}
+            read = lambda path: _git("show", f"{rev}:{path}")  # noqa: E731
+        else:
+            mods = {self._mod_of(f"{PKG}/{p}"): p for p in sources}
+            read = sources.__getitem__
         self.modules = set(mods)
         for mod, path in mods.items():
             try:
-                tree = ast.parse(_git("show", f"{rev}:{path}"))
+                tree = ast.parse(read(path))
             except SyntaxError:
                 continue
             self._index_module(mod, tree)

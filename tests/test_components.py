@@ -395,3 +395,31 @@ def test_label_bfs_empty_graph_and_replay_battery(spark):
         assert _run_label_bfs(spark, edges, k, h) == _py_label_bfs(
             edges, k, h
         ), f"seed={seed} k={k} h={h} edges={edges}"
+
+
+def test_sssp_and_label_bfs_shuffle_fallback_paths(spark):
+    """broadcast_max_nodes=0 forces the past-the-budget regime (shuffle
+    joins for frontier/seen sides) — the path a 100 TB graph takes. Must
+    agree exactly with the broadcast regime / python replay."""
+    from pipeline_pyspark_etl_imdb_spark.operators.components import (
+        bfs_label_budget,
+        sssp_bounded,
+    )
+
+    wedges = [(1, 4, 9), (1, 2, 1), (2, 3, 1), (3, 4, 1), (10, 11, 2)]
+    wdf = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r.node: r.dist
+        for r in sssp_bounded(wdf, n_rounds=6, broadcast_max_nodes=0).collect()
+    }
+    assert got == _py_sssp(wedges, 6)
+
+    ledges = [(1, 2, 0), (1, 3, 1), (3, 4, 1), (2, 4, 0)]
+    ldf = spark.createDataFrame(ledges, "src long, dst long, is_weak int")
+    got_l = {
+        r.node: (r.hops, r.weak_used)
+        for r in bfs_label_budget(
+            ldf, max_weak=1, max_hops=4, broadcast_max_nodes=0
+        ).collect()
+    }
+    assert got_l == _py_label_bfs(ledges, 1, 4)

@@ -110,34 +110,62 @@ def _degree_frame(edges: DataFrame) -> DataFrame:
 
 
 def _closed_triangles(
-    edges: DataFrame, broadcast_max_edges: int, degree_ordered: bool = False
+    edges: DataFrame,
+    broadcast_max_edges: int,
+    degree_ordered: bool = False,
+    wedge_max_edges: int = 400_000,
 ) -> tuple[DataFrame, DataFrame, bool]:
     """(tri, deg, small): each triangle exactly once as an (a, b, c) row.
 
-    Orientation is the skew lever. Default (id order, canonical
-    src < dst): zero extra joins; wedge stream = sum over b of
-    lo(b)*hi(b). ``degree_ordered=True`` re-directs every edge from the
-    lower-(deg, id) endpoint to the higher (Chiba-Nishizeki / Latapy
-    node-iterator orientation), bounding out-degrees by O(sqrt m) and
-    the wedge stream by m*sqrt(m) — the right call on POWER-LAW graphs
-    where a hub in the middle position pays its full in x out product.
-    MEASURED on the sf0.1 co-purchase fixture (1.2M edges, near-uniform
-    degrees, max 222): id 49.28M wedges vs degree-ordered 49.19M — a
-    1.00 ratio, so the two degree joins + directed-frame persist are
-    pure overhead there and the default stays id order; a web-graph or
-    citation-graph caller flips the flag. Either orientation surfaces
-    each triangle exactly once, so results (and the oracle's naive SQL)
-    are identical.
+    TWO closure shapes, chosen by measured edge count (r9 optimization;
+    both produce the identical triangle set, so results and the oracle's
+    naive SQL are unchanged):
 
-    Size-guarded broadcast contract: the edge list (and, when used, the
-    node-domain degree frame) broadcast while they fit, so the wedge
-    stream never crosses the wire; past the budget all joins fall back
-    to shuffles. The edge subtree is persisted so its consumers read one
-    cached evaluation (release via util.release_tracked())."""
+    - ``m <= wedge_max_edges`` — WEDGE JOIN: (a-b)x(b-c) equi-join closed
+      against the canonical edge list. Fewest jobs (two projection-only
+      broadcasts of the cached edges, no extra aggregate), which is what
+      dominates when the graph is small.
+    - ``m > wedge_max_edges`` — EDGE-ITERATOR: per directed edge (a, b)
+      the closing corners are exactly array_intersect(N+(a), N+(b)),
+      computed in-place over per-node adjacency arrays. The arithmetic
+      is the same O(sum deg^2) hash-probe work, but nothing wedge-sized
+      ever crosses an operator boundary: the wedge shape pushed 49.3M
+      wedge rows through BroadcastHashJoin+projection at sf0.1, the
+      intersection does the identical probes inside one codegen stage
+      over 1.2M edge rows.
+
+    MEASURED (strict interleaved A/B, GC cool-downs, best-of-N, sf0.1):
+    full co-purchase graph (1.2M edges) 8.88 s -> 3.48 s with the
+    intersection; the 1/4-node subgraph (75k edges) 2.38 s -> 4.50 s —
+    the intersection's extra jobs (adjacency aggregate under two
+    broadcasts) dominate small graphs, hence the switch. The crossover
+    sits mid-10^5 edges on this hardware; at cluster scale the
+    intersection side always wins (job latency amortizes, the wedge
+    stream does not), so the default threshold is deliberately static
+    and conservative.
+
+    Orientation is the skew lever, unchanged and honored by BOTH shapes.
+    Default (id order, canonical src < dst): for an edge a < b every
+    common out-neighbor c satisfies a < b < c, so each triangle surfaces
+    exactly once. ``degree_ordered=True`` re-directs every edge from the
+    lower-(deg, id) endpoint to the higher (Chiba-Nishizeki / Latapy
+    orientation), bounding out-degrees — and therefore the per-row
+    adjacency arrays and the intersection work — by O(sqrt m); the right
+    call on POWER-LAW graphs. MEASURED on the sf0.1 co-purchase fixture
+    (near-uniform degrees, max 222) the orientations do the same work
+    (49.28M vs 49.19M probe pairs), so the default stays id order.
+
+    Size-guarded broadcast contract: the broadcast side is O(m) entries
+    in either shape (edge projections / adjacency arrays), so it
+    broadcasts while ``edges.count() <= broadcast_max_edges``; past the
+    budget the joins fall back to shuffles (still never wedge-sized).
+    The edge subtree is persisted so its consumers read one cached
+    evaluation (release via util.release_tracked())."""
     from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
 
     edges = tracked_persist(edges)
-    small = edges.count() <= broadcast_max_edges
+    n_edges = edges.count()
+    small = n_edges <= broadcast_max_edges
     deg = _degree_frame(edges)
     if degree_ordered:
         ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("__ds"))
@@ -163,19 +191,45 @@ def _closed_triangles(
         directed = edges.select(
             F.col("src").alias("u"), F.col("dst").alias("v")
         )
-    # spread the STREAM side of the wedge join: the cached edge frame is
+    # spread the STREAM side in both shapes: the cached edge frame is
     # small and AQE-coalesces to few partitions, which would run the
-    # wedge fan-out on as few cores (same fix as common_neighbor_links;
-    # round-robin so hot nodes don't pin a core)
+    # per-edge closure work on as few cores (round-robin so hot nodes
+    # don't pin a core; at real scale the scan provides the width and
+    # this is the only shuffle of the stream)
     shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e1 = directed.select(F.col("u").alias("a"), F.col("v").alias("b")).repartition(
-        shuffle_n
+    if n_edges <= wedge_max_edges:
+        e1 = directed.select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        ).repartition(shuffle_n)
+        e2 = directed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = directed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        if small:
+            e2, e3 = F.broadcast(e2), F.broadcast(e3)
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        return tri, deg, small
+    # per-node out-adjacency arrays: O(m) total entries, one row per
+    # non-sink node; rows are bounded by max out-degree (O(sqrt m) under
+    # the degree-ordered orientation — the hub lever). Persisted: BOTH
+    # attachment sides broadcast this frame, and two BroadcastExchanges
+    # over differently-aliased projections don't share a ReusedExchange,
+    # so without the persist the groupBy would run twice
+    adj = tracked_persist(
+        directed.groupBy("u").agg(F.collect_list("v").alias("__nbrs"))
     )
-    e2 = directed.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = directed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    a_u = adj.select(F.col("u").alias("a"), F.col("__nbrs").alias("__nu"))
+    a_v = adj.select(F.col("u").alias("b"), F.col("__nbrs").alias("__nv"))
     if small:
-        e2, e3 = F.broadcast(e2), F.broadcast(e3)
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
+    stream = directed.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).repartition(shuffle_n)
+    tri = (
+        stream.join(a_u, "a")
+        .join(a_v, "b")
+        .select(
+            "a", "b", F.explode(F.array_intersect("__nu", "__nv")).alias("c")
+        )
+    )
     return tri, deg, small
 
 

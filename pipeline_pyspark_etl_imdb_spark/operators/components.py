@@ -22,7 +22,7 @@ label propagation shuffles only (node, label) pairs, so each round moves
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.util import (
@@ -55,13 +55,17 @@ def connected_components(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .distinct()
         # pin the persisted partitioning to the per-round join key: every
         # iteration joins on sym.a, and a persisted hash partitioning on
         # `a` (matching the session's shuffle-partition count) lets
         # EnsureRequirements skip re-shuffling the edge list each round —
-        # only the small (node, label) side moves
+        # only the small (node, label) side moves.
+        # repartition BEFORE distinct (r9): HashPartitioning(a) satisfies
+        # the dedup aggregate's ClusteredDistribution((a, b)) — rows
+        # equal on (a, b) share a, so one exchange serves both, where
+        # distinct-then-repartition paid two
         .repartition(F.col("a"))
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     # round 1 fused into initialization: with label(u) = u, the first
@@ -85,12 +89,15 @@ def connected_components(
             # lineage, so the logical plan stays O(1) per round instead of
             # nesting every previous iteration (re-planning an N-round tree
             # is quadratic driver time, and worse at real scale). The
-            # changed flag rides along in the checkpointed frame, so the
-            # convergence check below is a scan of already-materialized
-            # blocks — not a second join+shuffle job per round
+            # changed COUNT rides along as an observed metric (r9):
+            # CollectMetricsExec accumulates it during the checkpoint's own
+            # materialization, so the convergence check costs ZERO extra
+            # jobs per round (it was previously a second scan job over the
+            # materialized blocks — pure dispatch latency at any scale)
             new_label = F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             )
+            obs = Observation()
             stepped = (
                 labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
                 .select(
@@ -98,10 +105,11 @@ def connected_components(
                     new_label.alias("new_label"),
                     (new_label != F.col("label")).alias("changed"),
                 )
+                .observe(obs, F.count_if(F.col("changed")).alias("n_changed"))
                 .localCheckpoint(eager=True)
             )
             new_labels = stepped.select("node", F.col("new_label").alias("label"))
-            changed = stepped.where("changed").count()
+            changed = int(obs.get["n_changed"])
             # release the previous round's blocks DETERMINISTICALLY: the
             # initial frame is persisted (unpersist works); later rounds
             # are local checkpoints, whose RDD-level blocks

@@ -23,7 +23,7 @@ operator against a pure-Python peel on the same fixture graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -78,9 +78,16 @@ def k_core(
     # pathological peel front larger than broadcast_max_nodes falls back
     # to a shuffle join — still linear in touched edges.
     broadcast_max_nodes = 10_000_000
+    # the below-k count rides along as an observed metric on every degree
+    # checkpoint (r9): CollectMetricsExec accumulates it during the
+    # checkpoint's own materialization, so the per-round "how many peel"
+    # check costs ZERO extra jobs (it was previously a count() job per
+    # round — pure dispatch latency at any scale)
+    obs = Observation()
     deg = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").alias("degree"))
+        .observe(obs, F.count_if(F.col("degree") < k).alias("n_below"))
         .localCheckpoint(eager=True)
     )
     # frame-proportional partitioning (the pagerank discipline): the
@@ -104,7 +111,7 @@ def k_core(
         for _ in range(max_iter):
             keep = deg.where(F.col("degree") >= k)
             peeled = deg.where(F.col("degree") < k).select("node")
-            n_peeled = peeled.count()
+            n_peeled = int(obs.get["n_below"])
             if n_peeled == 0:
                 # the final degree checkpoint backs the returned frame;
                 # the harness frees it at its next release_tracked()
@@ -121,6 +128,7 @@ def k_core(
                 .groupBy(F.col("b").alias("node"))
                 .agg(F.count("*").alias("__d"))
             )
+            obs = Observation()
             deg = (
                 keep.join(delta, "node", "left")
                 .select(
@@ -129,6 +137,7 @@ def k_core(
                         F.col("degree") - F.coalesce(F.col("__d"), F.lit(0))
                     ).alias("degree"),
                 )
+                .observe(obs, F.count_if(F.col("degree") < k).alias("n_below"))
                 .coalesce(np_deg)
                 .localCheckpoint(eager=True)
             )

@@ -704,14 +704,18 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "__spend",
     )
-    r = total_order_ranks(base, ["recency_days", "o_custkey"], ntile=5).select(
+    r = total_order_ranks(
+        base, ["recency_days", "o_custkey"], ntile=5, materialize_input=True
+    ).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "__spend",
         (6 - F.col("bucket")).alias("r_score"),
     )
-    f = total_order_ranks(r, ["frequency", "o_custkey"], ntile=5).select(
+    f = total_order_ranks(
+        r, ["frequency", "o_custkey"], ntile=5, materialize_input=True
+    ).select(
         "o_custkey",
         "recency_days",
         "frequency",
@@ -719,7 +723,9 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_score",
         F.col("bucket").alias("f_score"),
     )
-    m = total_order_ranks(f, ["__spend", "o_custkey"], ntile=5).select(
+    m = total_order_ranks(
+        f, ["__spend", "o_custkey"], ntile=5, materialize_input=True
+    ).select(
         "o_custkey",
         "recency_days",
         "frequency",
@@ -849,16 +855,22 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ((m+1)//2 and m//2+1 coincide for odd m), identical to
     # quantile_cont at 0.5.
     #
-    # DETERMINISM, not cache: total_order_ranks' offsets join depends on
-    # AQE reusing one range exchange across its two subtrees; feeding it
-    # an InMemoryRelation (persist) BLOCKS that runtime stage reuse, the
-    # two shuffles sample different boundaries, and global_rn comes back
-    # with gaps and duplicates (observed at sf0.1). So the pair subtree
-    # stays an uncached deterministic plan (keyed repartition above) and
-    # the count is one cheap extra evaluation of the calendar²-bounded
-    # generator.
+    # Materialize the pair frame ONCE (r9): without it the generator runs
+    # three times — the count below, repartitionByRange's boundary
+    # sampling, and the range shuffle itself. localCheckpoint (unlike
+    # persist) is SAFE in front of total_order_ranks — its LogicalRDD is
+    # a pinned materialization, not an InMemoryRelation, so the AQE
+    # range-exchange reuse the offsets join depends on is unaffected
+    # (total_order_ranks itself checkpoints cached inputs for exactly
+    # this reason). The frame is calendar²-bounded (~2.9M rows at
+    # sf0.1), so the checkpoint is cheap at any data scale; blocks are
+    # freed at the harness's next release_tracked().
     from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        defer_checkpoint_release,
+    )
 
+    pairs = defer_checkpoint_release(pairs.localCheckpoint(eager=True))
     m = pairs.count()
     r1, r2 = (m + 1) // 2, m // 2 + 1
     med = (

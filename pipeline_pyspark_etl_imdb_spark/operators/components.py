@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from pipeline_pyspark_etl_imdb_spark.operators.util import (
     defer_checkpoint_release,
+    iterative_loop_conf,
     release_local_checkpoint,
 )
 
@@ -199,31 +200,36 @@ def label_propagation(
     adj_p.count()
     adj.unpersist()
 
-    labels = adj_p.select("node").distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    intermediates = []
-    for _ in range(n_iter):
-        l_side = labels.select(F.col("node").alias("nbr"), "label")
-        if bcast:
-            l_side = F.broadcast(l_side)
-        votes = (
-            adj_p.join(l_side, "nbr")
-            .groupBy("node", "label")
-            .agg(F.count("*").alias("c"))
+    # loop-state conf window (r9): per-round frames are node-domain rows
+    # (see util.iterative_loop_conf; no-op past the broadcast budget)
+    with iterative_loop_conf(spark, n, bcast=bcast):
+        labels = adj_p.select("node").distinct().select(
+            "node", F.col("node").alias("label")
         )
-        new_labels = (
-            votes.groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(F.col("c").alias("c"), (-F.col("label")).alias("neg"))
-                ).alias("__m")
+        intermediates = []
+        for _ in range(n_iter):
+            l_side = labels.select(F.col("node").alias("nbr"), "label")
+            if bcast:
+                l_side = F.broadcast(l_side)
+            votes = (
+                adj_p.join(l_side, "nbr")
+                .groupBy("node", "label")
+                .agg(F.count("*").alias("c"))
             )
-            .select("node", (-F.col("__m.neg")).alias("label"))
-        )
-        labels = new_labels.localCheckpoint(eager=False)
-        intermediates.append(labels)
-    labels.count()
+            new_labels = (
+                votes.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("c").alias("c"), (-F.col("label")).alias("neg")
+                        )
+                    ).alias("__m")
+                )
+                .select("node", (-F.col("__m.neg")).alias("label"))
+            )
+            labels = new_labels.localCheckpoint(eager=False)
+            intermediates.append(labels)
+        labels.count()
     adj_p.unpersist()
     # checkpoint blocks are RDD-level (DataFrame.unpersist is a no-op on
     # them); free every round's blocks except the returned frame's, which
@@ -297,27 +303,34 @@ def bfs_hops(
     # through adj into the CALLER'S edge subtree (often an expensive
     # self-join), and the final action on the returned union would
     # otherwise rebuild that subtree after adj.unpersist() below just to
-    # recompute this one frame
-    frontier = defer_checkpoint_release(
-        seeds.select("node", F.lit(0).cast("int").alias("hops"))
-        .localCheckpoint(eager=False)
-    )
-    dist = frontier
-    for h in range(1, max_hops + 1):
-        f_side = frontier.select("node")
-        if bcast:
-            f_side = F.broadcast(f_side)
-        nbrs = adj.join(f_side, "node").select(F.col("nbr").alias("node")).distinct()
-        seen = dist.select("node")
-        if bcast:
-            seen = F.broadcast(seen)
+    # recompute this one frame.
+    # loop-state conf window (r9): per-round frames are node-domain rows
+    # (see util.iterative_loop_conf; no-op past the broadcast budget)
+    with iterative_loop_conf(spark, n, bcast=bcast):
         frontier = defer_checkpoint_release(
-            nbrs.join(seen, "node", "left_anti")
-            .select("node", F.lit(h).cast("int").alias("hops"))
+            seeds.select("node", F.lit(0).cast("int").alias("hops"))
             .localCheckpoint(eager=False)
         )
-        dist = dist.unionByName(frontier)
-    dist.count()
+        dist = frontier
+        for h in range(1, max_hops + 1):
+            f_side = frontier.select("node")
+            if bcast:
+                f_side = F.broadcast(f_side)
+            nbrs = (
+                adj.join(f_side, "node")
+                .select(F.col("nbr").alias("node"))
+                .distinct()
+            )
+            seen = dist.select("node")
+            if bcast:
+                seen = F.broadcast(seen)
+            frontier = defer_checkpoint_release(
+                nbrs.join(seen, "node", "left_anti")
+                .select("node", F.lit(h).cast("int").alias("hops"))
+                .localCheckpoint(eager=False)
+            )
+            dist = dist.unionByName(frontier)
+        dist.count()
     adj.unpersist()
     # every frontier checkpoint feeds the RETURNED union, so none can be
     # released here — all are registered for the harness's next
@@ -389,43 +402,53 @@ def sssp_bounded(
         )
     else:
         seeds = seeds.select("node").distinct()
-    dist = defer_checkpoint_release(
-        seeds.select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=False)
-    )
-    frontier = dist
-    for _ in range(n_rounds):
-        f_side = frontier
-        if bcast:
-            f_side = F.broadcast(f_side)
-        cand = (
-            adj.join(f_side, "node")
-            .select(F.col("nbr").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
-        )
-        # merge = UNION ALL + one partial-aggregated min (the oracle's
-        # exact shape): a full-outer join can't broadcast in Spark, so
-        # this keeps the per-round merge to ONE node-domain shuffle with
-        # map-side combine — no join at all
-        merged = defer_checkpoint_release(
-            dist.select("node", F.col("dist").alias("d"), F.lit(True).alias("__old"))
-            .unionByName(cand.select("node", "d", F.lit(False).alias("__old")))
-            .groupBy("node")
-            .agg(
-                F.min("d").alias("dist"),
-                F.min(F.when(F.col("__old"), F.col("d"))).alias("__od"),
-            )
-            .select(
-                "node",
-                "dist",
-                (
-                    F.col("__od").isNull() | (F.col("dist") < F.col("__od"))
-                ).alias("__improved"),
-            )
+    # loop-state conf window (r9): the per-round frames are node-domain
+    # rows, so the merge exchange runs at the frame-proportional width
+    # and without AQE's per-exchange stage jobs; no-op past the
+    # broadcast budget (see util.iterative_loop_conf)
+    with iterative_loop_conf(spark, n, bcast=bcast):
+        dist = defer_checkpoint_release(
+            seeds.select("node", F.lit(0).cast("long").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        frontier = merged.where("__improved").select("node", "dist")
-        dist = merged.select("node", "dist")
-    dist.count()
+        frontier = dist
+        for _ in range(n_rounds):
+            f_side = frontier
+            if bcast:
+                f_side = F.broadcast(f_side)
+            cand = (
+                adj.join(f_side, "node")
+                .select(
+                    F.col("nbr").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("d"),
+                )
+            )
+            # merge = UNION ALL + one partial-aggregated min (the oracle's
+            # exact shape): a full-outer join can't broadcast in Spark, so
+            # this keeps the per-round merge to ONE node-domain shuffle with
+            # map-side combine — no join at all
+            merged = defer_checkpoint_release(
+                dist.select(
+                    "node", F.col("dist").alias("d"), F.lit(True).alias("__old")
+                )
+                .unionByName(cand.select("node", "d", F.lit(False).alias("__old")))
+                .groupBy("node")
+                .agg(
+                    F.min("d").alias("dist"),
+                    F.min(F.when(F.col("__old"), F.col("d"))).alias("__od"),
+                )
+                .select(
+                    "node",
+                    "dist",
+                    (
+                        F.col("__od").isNull() | (F.col("dist") < F.col("__od"))
+                    ).alias("__improved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            frontier = merged.where("__improved").select("node", "dist")
+            dist = merged.select("node", "dist")
+        dist.count()
     adj.unpersist()
     return dist.select("node", "dist")
 
@@ -485,37 +508,42 @@ def bfs_label_budget(
         )
     else:
         seeds = seeds.select("node").distinct()
-    # automaton start state: (seed, w=0) at hop 0
-    frontier = defer_checkpoint_release(
-        seeds.select(
-            "node",
-            F.lit(0).cast("int").alias("w"),
-            F.lit(0).cast("int").alias("hops"),
-        ).localCheckpoint(eager=False)
-    )
-    seen = frontier
-    for h in range(1, max_hops + 1):
-        f_side = frontier.select("node", "w")
-        if bcast:
-            f_side = F.broadcast(f_side)
-        cand = (
-            adj.join(f_side, "node")
-            .select(
-                F.col("nbr").alias("node"), (F.col("w") + F.col("wk")).alias("w")
-            )
-            .where(F.col("w") <= max_weak)
-            .distinct()
-        )
-        s_side = seen.select("node", "w")
-        if bcast:
-            s_side = F.broadcast(s_side)
+    # automaton start state: (seed, w=0) at hop 0.
+    # loop-state conf window (r9): per-round frames are state-domain rows
+    # ((max_weak+1) x nodes — the bcast predicate's own bound; see
+    # util.iterative_loop_conf; no-op past the broadcast budget)
+    with iterative_loop_conf(spark, n * (max_weak + 1), bcast=bcast):
         frontier = defer_checkpoint_release(
-            cand.join(s_side, ["node", "w"], "left_anti")
-            .select("node", "w", F.lit(h).cast("int").alias("hops"))
-            .localCheckpoint(eager=False)
+            seeds.select(
+                "node",
+                F.lit(0).cast("int").alias("w"),
+                F.lit(0).cast("int").alias("hops"),
+            ).localCheckpoint(eager=False)
         )
-        seen = seen.unionByName(frontier)
-    seen.count()
+        seen = frontier
+        for h in range(1, max_hops + 1):
+            f_side = frontier.select("node", "w")
+            if bcast:
+                f_side = F.broadcast(f_side)
+            cand = (
+                adj.join(f_side, "node")
+                .select(
+                    F.col("nbr").alias("node"),
+                    (F.col("w") + F.col("wk")).alias("w"),
+                )
+                .where(F.col("w") <= max_weak)
+                .distinct()
+            )
+            s_side = seen.select("node", "w")
+            if bcast:
+                s_side = F.broadcast(s_side)
+            frontier = defer_checkpoint_release(
+                cand.join(s_side, ["node", "w"], "left_anti")
+                .select("node", "w", F.lit(h).cast("int").alias("hops"))
+                .localCheckpoint(eager=False)
+            )
+            seen = seen.unionByName(frontier)
+        seen.count()
     adj.unpersist()
     # collapse automaton states to the node answer: lexicographic
     # (hops, weak) min — first-reached hop, thriftiest budget at that hop

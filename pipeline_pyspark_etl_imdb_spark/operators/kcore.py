@@ -104,9 +104,19 @@ def k_core(
     deg = deg.coalesce(np_deg)
     from pipeline_pyspark_etl_imdb_spark.operators.util import (
         defer_checkpoint_release,
+        iterative_loop_conf,
         release_local_checkpoint,
     )
 
+    # loop-state conf window (r9): the peel's per-round frames are
+    # node-domain rows (see util.iterative_loop_conf; no-op past the
+    # broadcast budget). The window stays open across the whole peel —
+    # every returned frame is an eager checkpoint, so nothing outside
+    # compiles against the narrowed conf.
+    loop_window = iterative_loop_conf(
+        edges.sparkSession, n_nodes, bcast=n_nodes <= broadcast_max_nodes
+    )
+    loop_window.__enter__()
     try:
         for _ in range(max_iter):
             keep = deg.where(F.col("degree") >= k)
@@ -149,4 +159,5 @@ def k_core(
         defer_checkpoint_release(deg)
         raise RuntimeError(f"k_core: no fixpoint in {max_iter} iterations")
     finally:
+        loop_window.__exit__(None, None, None)
         sym.unpersist()

@@ -176,38 +176,45 @@ def pagerank(
             )
         )
 
+    # loop-state conf window (r9): per-round frames are node-domain rows
+    # (see util.iterative_loop_conf; no-op past the broadcast budget)
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        iterative_loop_conf,
+    )
+
     intermediates: list[DataFrame] = []
-    for _ in range(n_iter):
-        old = ranks
-        # LAZY checkpoint: no per-round action in the fixed-count regime —
-        # the chain materializes when the caller's action (or the tol
-        # delta below) runs; each checkpoint truncates lineage so round
-        # N's Catalyst plan stays O(1)
-        ranks = _step(ranks).localCheckpoint(eager=False)
-        intermediates.append(ranks)
-        last_n_rounds += 1
-        converged = False
-        if tol is not None:
-            # both frames are checkpointed node-keyed rows (n small vs
-            # edges); one broadcast-able join + scalar max per round —
-            # the tol regime keeps the per-round action by necessity
-            o_side = old.select("node", F.col("rank").alias("__old"))
-            if bcast:
-                o_side = F.broadcast(o_side)
-            delta = (
-                ranks.join(o_side, "node")
-                .agg(F.max(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
-                .first()
-                .d
-            )
-            converged = delta is not None and delta < tol
-        if converged:
-            break
-    # ONE action materializes the whole lazy checkpoint chain (every
-    # round's stages inside one job) — and it must run BEFORE the edge
-    # and node caches are released, or the chain would rebuild the edge
-    # subtree from the caller's plan once per round
-    ranks.count()
+    with iterative_loop_conf(spark, n, bcast=bcast):
+        for _ in range(n_iter):
+            old = ranks
+            # LAZY checkpoint: no per-round action in the fixed-count
+            # regime — the chain materializes when the caller's action
+            # (or the tol delta below) runs; each checkpoint truncates
+            # lineage so round N's Catalyst plan stays O(1)
+            ranks = _step(ranks).localCheckpoint(eager=False)
+            intermediates.append(ranks)
+            last_n_rounds += 1
+            converged = False
+            if tol is not None:
+                # both frames are checkpointed node-keyed rows (n small vs
+                # edges); one broadcast-able join + scalar max per round —
+                # the tol regime keeps the per-round action by necessity
+                o_side = old.select("node", F.col("rank").alias("__old"))
+                if bcast:
+                    o_side = F.broadcast(o_side)
+                delta = (
+                    ranks.join(o_side, "node")
+                    .agg(F.max(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
+                    .first()
+                    .d
+                )
+                converged = delta is not None and delta < tol
+            if converged:
+                break
+        # ONE action materializes the whole lazy checkpoint chain (every
+        # round's stages inside one job) — and it must run BEFORE the edge
+        # and node caches are released, or the chain would rebuild the edge
+        # subtree from the caller's plan once per round
+        ranks.count()
     edges_deg.unpersist()
     nodes0.unpersist()
     # every intermediate round's checkpoint blocks are still cached

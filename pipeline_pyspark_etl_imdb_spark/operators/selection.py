@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_pyspark_etl_imdb_spark.operators.util import iterative_loop_conf
+
 # 4096-ary narrowing: a cents-scaled price range (~5e9) resolves in 3
 # rounds instead of 5 at 256-ary, and the per-round driver collect is
 # still only groups x 4096 rows — job-scheduling latency, not histogram
@@ -97,6 +99,24 @@ def _exact_kth_full(
     if lo is None or hi is None:
         row = values.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
         lo, hi = int(row["lo"]), int(row["hi"])
+    # narrowing-walk conf window (r9): every round's shuffle carries at
+    # most N_BUCKETS (or FINISH_ROWS) aggregate rows — a data-INDEPENDENT
+    # bound, so the window always engages; AQE's per-round query-stage
+    # jobs and the session-width exchange were pure scheduling latency
+    # (see util.iterative_loop_conf)
+    with iterative_loop_conf(values.sparkSession, N_BUCKETS, bcast=True):
+        return _exact_kth_walk(values, k, col, lo, hi, n_range)
+
+
+def _exact_kth_walk(
+    values: DataFrame,
+    k: int,
+    col: str,
+    lo: int,
+    hi: int,
+    n_range: int | None,
+) -> tuple[int, list[tuple[int, int]] | None, int]:
+    global last_n_rounds
     while lo < hi:
         last_n_rounds += 1
         if n_range is not None and n_range <= FINISH_ROWS:
@@ -264,6 +284,15 @@ def grouped_multi_kth_full(
     }
     fin: dict[tuple[str, str], tuple[list[tuple[int, int]], int]] = {}
     active = {gt for gt, s in state.items() if s["lo"] < s["hi"]}
+    # narrowing-walk conf window (r9): per-round shuffles are bounded by
+    # groups x tags x N_BUCKETS aggregate rows — data-independent, so the
+    # window always engages (see util.iterative_loop_conf / _exact_kth_full)
+    with iterative_loop_conf(spark, len(state) * N_BUCKETS, bcast=True):
+        _grouped_walk(vals, spark, state, fin, active)
+    return {gt: s["lo"] for gt, s in state.items()}, fin
+
+
+def _grouped_walk(vals, spark, state, fin, active) -> None:
     while active:
         finish = {
             gt
@@ -347,7 +376,6 @@ def grouped_multi_kth_full(
             if w == 1 or s["lo"] >= s["hi"]:
                 s["hi"] = s["lo"]
                 active.discard(gt)
-    return {gt: s["lo"] for gt, s in state.items()}, fin
 
 
 def grouped_kth(

@@ -82,10 +82,17 @@ def kcenter_select(
     center)."""
     spark = embeddings.sparkSession
     # NULL embeddings never participate (the semdedup_flags contract):
-    # the NumPy distance kernel would throw on a None row
-    base = embeddings.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    # the NumPy distance kernel would throw on a None row.
+    # Persisted (r9): the greedy loop below scans this frame k times
+    # (one TakeOrdered job per pick); without the persist every round
+    # re-ran the scan + cast subtree
+    from pipeline_pyspark_etl_imdb_spark.operators.util import tracked_persist
+
+    base = tracked_persist(
+        embeddings.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
     )
 
     seed = (

@@ -241,19 +241,28 @@ def lloyd_kmeans(
             {"cluster": [key[0]], "centroid": [(S / n).tolist()]}
         )
 
-    for _ in range(n_iter):
-        partials = emb.select("v").mapInPandas(
-            _round_partials_udf(_matrix(cents)),
-            schema="cluster int, n long, s array<double>",
-        )
-        stats = (
-            partials.groupBy("cluster")
-            .applyInPandas(_merge, schema="cluster int, centroid array<double>")
-            .collect()
-        )
-        # clusters that lost every member keep their previous centroid
-        for r in stats:
-            cents[r.cluster] = [float(x) for x in r.centroid]
+    # loop conf window (r9): each round's shuffle carries <= k rows per
+    # input partition — model-sized, data-independent — so the narrow
+    # width + paused AQE remove per-round stage-job latency (see
+    # util.iterative_loop_conf)
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        iterative_loop_conf,
+    )
+
+    with iterative_loop_conf(spark, k, bcast=True):
+        for _ in range(n_iter):
+            partials = emb.select("v").mapInPandas(
+                _round_partials_udf(_matrix(cents)),
+                schema="cluster int, n long, s array<double>",
+            )
+            stats = (
+                partials.groupBy("cluster")
+                .applyInPandas(_merge, schema="cluster int, centroid array<double>")
+                .collect()
+            )
+            # clusters that lost every member keep their previous centroid
+            for r in stats:
+                cents[r.cluster] = [float(x) for x in r.centroid]
 
     best = _assign_udf(_matrix(cents))(F.col("v"))
     out = emb.select(

@@ -192,10 +192,15 @@ def label_propagation(
         )
         .persist()
     )
-    n = adj.select("node").distinct().count()
+    # ONE aggregate job yields both setup statistics (r9; was a distinct
+    # count + a count = two passes over the cached adjacency)
+    row = adj.agg(
+        F.countDistinct("node").alias("n"), F.count("*").alias("m")
+    ).collect()[0]
+    n, m = int(row["n"]), int(row["m"])
     bcast = n <= broadcast_max_nodes
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    np_edges = max(4, min(shuffle_n, adj.count() // 200_000 + 1))
+    np_edges = max(4, min(shuffle_n, m // 200_000 + 1))
     adj_p = adj.repartition(np_edges, "nbr").persist()
     adj_p.count()
     adj.unpersist()
@@ -275,11 +280,14 @@ def bfs_hops(
         )
         .persist()
     )
-    n = adj0.select("node").distinct().count()
+    row = adj0.agg(
+        F.countDistinct("node").alias("n"), F.count("*").alias("m")
+    ).collect()[0]
+    n, m = int(row["n"]), int(row["m"])
     bcast = n <= broadcast_max_nodes
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    np_edges = max(4, min(shuffle_n, adj0.count() // 200_000 + 1))
+    np_edges = max(4, min(shuffle_n, m // 200_000 + 1))
     adj = adj0.repartition(np_edges, "node").persist()
     adj.count()
     adj0.unpersist()
@@ -385,11 +393,14 @@ def sssp_bounded(
         )
         .persist()
     )
-    n = adj0.select("node").distinct().count()
+    row = adj0.agg(
+        F.countDistinct("node").alias("n"), F.count("*").alias("m")
+    ).collect()[0]
+    n, m = int(row["n"]), int(row["m"])
     bcast = n <= broadcast_max_nodes
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    np_edges = max(4, min(shuffle_n, adj0.count() // 200_000 + 1))
+    np_edges = max(4, min(shuffle_n, m // 200_000 + 1))
     adj = adj0.repartition(np_edges, "node").persist()
     adj.count()
     adj0.unpersist()
@@ -493,11 +504,14 @@ def bfs_label_budget(
         )
         .persist()
     )
-    n = adj0.select("node").distinct().count()
+    row = adj0.agg(
+        F.countDistinct("node").alias("n"), F.count("*").alias("m")
+    ).collect()[0]
+    n, m = int(row["n"]), int(row["m"])
     bcast = n * (max_weak + 1) <= broadcast_max_nodes
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    np_edges = max(4, min(shuffle_n, adj0.count() // 200_000 + 1))
+    np_edges = max(4, min(shuffle_n, m // 200_000 + 1))
     adj = adj0.repartition(np_edges, "node").persist()
     adj.count()
     adj0.unpersist()

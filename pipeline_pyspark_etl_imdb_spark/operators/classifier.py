@@ -79,7 +79,31 @@ def train_doc_classifier(
         maxIter=max_iter,
         regParam=reg_param,
     )
-    return lr.fit(prepared)
+    model = lr.fit(prepared)
+    # STRIP the training summary before the model leaves this function
+    # (r9). `fit` attaches a TrainingSummary that holds the live
+    # SparkSession; `model.transform`'s task closure captures the model
+    # WITH that summary, so the session rides into every scoring task's
+    # serialized closure. That serializes fine only while the session's
+    # lazy `observationManager` field is still uninitialized — the first
+    # `Dataset.observe()` anywhere in the session (the iterative
+    # operators' fused convergence counts) initializes it, and
+    # ObservationManager is not java-Serializable, so scoring then dies
+    # with NotSerializableException in any long shared session
+    # (reproduced: tests/test_checkpoint_release.py before
+    # tests/test_classifier.py). A save/load roundtrip returns an
+    # identical model (same uid, coefficients, params — byte-equal
+    # coefficient pins in tests/test_classifier.py still pass) with NO
+    # summary; the write is a few KB of model metadata.
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_lr_")
+    try:
+        model.write().overwrite().save(path)
+        return LogisticRegressionModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def score_documents(

@@ -102,3 +102,23 @@ def test_doc_classifier_coefficients_are_pinned(spark, sf_dir):
 def test_doc_classifier_coefficients_are_pinned_sf01(spark):
     sf_dir, want = _COEF_PIN_SF01
     assert _registry_model_hash(spark, sf_dir) == want
+
+
+def test_scoring_survives_session_observations(spark):
+    """Regression (r9): the first Dataset.observe() in a session
+    initializes SparkSession's lazy, non-serializable ObservationManager;
+    a model whose training summary still holds the session then fails
+    closure serialization inside model.transform. train_doc_classifier
+    strips the summary (save/load roundtrip), so scoring must work in a
+    session where observations have already run — the shared-JVM bench /
+    driver-window condition."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    spark.range(10).observe(obs, F.count_if(F.col("id") > 3).alias("c")).count()
+    assert obs.get["c"] == 6  # observationManager is now initialized
+
+    corpus = _corpus(spark)
+    model = train_doc_classifier(corpus, "label")
+    rows = score_documents(model, corpus).collect()
+    assert len(rows) == 120

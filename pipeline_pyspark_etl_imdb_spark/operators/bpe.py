@@ -36,7 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pipeline_pyspark_etl_imdb_spark.operators.util import defer_checkpoint_release, fan_out
+from pipeline_pyspark_etl_imdb_spark.operators.util import eager_checkpoint, fan_out
 
 
 def word_counts(
@@ -254,7 +254,7 @@ def bpe_token_counts(
     # materialize before releasing the segmentation cache the plan reads
     # checkpoint backs the returned frame; freed at the harness's next
     # release_tracked() (RDD-level blocks leak per call otherwise)
-    out = defer_checkpoint_release(out.localCheckpoint(eager=True))
+    out = eager_checkpoint(out)
     model.segmented.unpersist()
     return out
 
@@ -310,7 +310,7 @@ def bpe_encode_docs(
     )
     # checkpoint backs the returned frame; freed at the harness's next
     # release_tracked() (RDD-level blocks leak per call otherwise)
-    out = defer_checkpoint_release(out.localCheckpoint(eager=True))
+    out = eager_checkpoint(out)
     model.segmented.unpersist()
     return out
 
@@ -373,6 +373,6 @@ def bpe_source_fertility(
     )
     # checkpoint backs the returned frame; freed at the harness's next
     # release_tracked() (RDD-level blocks leak per call otherwise)
-    out = defer_checkpoint_release(out.localCheckpoint(eager=True))
+    out = eager_checkpoint(out)
     model.segmented.unpersist()
     return out

@@ -95,6 +95,14 @@ def train_doc_classifier(
     # identical model (same uid, coefficients, params — byte-equal
     # coefficient pins in tests/test_classifier.py still pass) with NO
     # summary; the write is a few KB of model metadata.
+    # DEPLOYMENT NOTE (ADVICE r9): the roundtrip path goes through
+    # Spark's ML writer, which resolves it against the session's Hadoop
+    # DEFAULT filesystem. On local[*] (this engine's declared deployment,
+    # where driver FS == default FS) the mkdtemp dir is correct and
+    # rmtree cleans it. On a cluster whose default FS is HDFS/S3 the
+    # same relative path would land on that FS (and rmtree would leak
+    # it) — a cluster port must point this at an engine-managed scratch
+    # dir on the shared FS and clean up through that FS's API.
     import shutil
     import tempfile
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pipeline_pyspark_etl_imdb_spark.operators.util import (
     defer_checkpoint_release,
     iterative_loop_conf,
+    record_prechk,
     release_local_checkpoint,
 )
 
@@ -46,6 +47,14 @@ def connected_components(
     # usually an expensive candidate-pair computation (LSH/shingle self-
     # join), and union(edges, edges.swapped) would execute that subtree
     # twice — explode emits both orientations from a single pass
+    # REVERTED r10 experiment (kept for the record, see OPTIMIZATION_r10.md):
+    # the bfs/sssp-style restructure — stats job before pinning, sym pinned
+    # at a narrow loop-conf width, SHUFFLE_HASH co-partitioned rounds —
+    # measured SLOWER on the cascade graph (components stage 4.02 -> 4.86 s;
+    # the setup countDistinct pass and the narrow-width round probes cost
+    # more than the removed AQE stage jobs), and hints-only was a wash
+    # (3.4-4.0 old vs 3.6-3.7 hinted across four interleaved JVMs). The r9
+    # shape below stays: session-width pinned sym, AQE on, SMJ rounds.
     sym = (
         edges.select(
             F.explode(
@@ -69,17 +78,20 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .persist()
     )
-    # round 1 fused into initialization: with label(u) = u, the first
-    # propagation is just min(node, min neighbor) — one aggregation, no
-    # join, one fewer full round below
-    labels = (
-        sym.groupBy(F.col("a").alias("node"))
-        .agg(F.min("b").alias("__nbr"))
-        .select("node", F.least(F.col("node"), F.col("__nbr")).alias("label"))
-        .persist()
-    )
     prev_stepped = None
     try:
+        # round 1 fused into initialization: with label(u) = u, the first
+        # propagation is just min(node, min neighbor) — one aggregation,
+        # no join, one fewer full round below. Map-side complete over
+        # sym's pinned hash(a) layout — no exchange.
+        labels = (
+            sym.groupBy(F.col("a").alias("node"))
+            .agg(F.min("b").alias("__nbr"))
+            .select(
+                "node", F.least(F.col("node"), F.col("__nbr")).alias("label")
+            )
+            .persist()
+        )
         for _ in range(max_iter):
             neighbor_min = (
                 sym.join(labels, sym.a == labels.node)
@@ -99,7 +111,7 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             )
             obs = Observation()
-            stepped = (
+            stepped = record_prechk(
                 labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
                 .select(
                     "node",
@@ -107,8 +119,7 @@ def connected_components(
                     (new_label != F.col("label")).alias("changed"),
                 )
                 .observe(obs, F.count_if(F.col("changed")).alias("n_changed"))
-                .localCheckpoint(eager=True)
-            )
+            ).localCheckpoint(eager=True)
             new_labels = stepped.select("node", F.col("new_label").alias("label"))
             changed = int(obs.get["n_changed"])
             # release the previous round's blocks DETERMINISTICALLY: the
@@ -232,7 +243,7 @@ def label_propagation(
                 )
                 .select("node", (-F.col("__m.neg")).alias("label"))
             )
-            labels = new_labels.localCheckpoint(eager=False)
+            labels = record_prechk(new_labels).localCheckpoint(eager=False)
             intermediates.append(labels)
         labels.count()
     adj_p.unpersist()
@@ -316,7 +327,7 @@ def bfs_hops(
     # (see util.iterative_loop_conf; no-op past the broadcast budget)
     with iterative_loop_conf(spark, n, bcast=bcast):
         frontier = defer_checkpoint_release(
-            seeds.select("node", F.lit(0).cast("int").alias("hops"))
+            record_prechk(seeds.select("node", F.lit(0).cast("int").alias("hops")))
             .localCheckpoint(eager=False)
         )
         dist = frontier
@@ -333,9 +344,10 @@ def bfs_hops(
             if bcast:
                 seen = F.broadcast(seen)
             frontier = defer_checkpoint_release(
-                nbrs.join(seen, "node", "left_anti")
-                .select("node", F.lit(h).cast("int").alias("hops"))
-                .localCheckpoint(eager=False)
+                record_prechk(
+                    nbrs.join(seen, "node", "left_anti")
+                    .select("node", F.lit(h).cast("int").alias("hops"))
+                ).localCheckpoint(eager=False)
             )
             dist = dist.unionByName(frontier)
         dist.count()
@@ -419,7 +431,7 @@ def sssp_bounded(
     # broadcast budget (see util.iterative_loop_conf)
     with iterative_loop_conf(spark, n, bcast=bcast):
         dist = defer_checkpoint_release(
-            seeds.select("node", F.lit(0).cast("long").alias("dist"))
+            record_prechk(seeds.select("node", F.lit(0).cast("long").alias("dist")))
             .localCheckpoint(eager=False)
         )
         frontier = dist
@@ -455,6 +467,7 @@ def sssp_bounded(
                         F.col("__od").isNull() | (F.col("dist") < F.col("__od"))
                     ).alias("__improved"),
                 )
+                .transform(record_prechk)
                 .localCheckpoint(eager=False)
             )
             frontier = merged.where("__improved").select("node", "dist")
@@ -528,10 +541,12 @@ def bfs_label_budget(
     # util.iterative_loop_conf; no-op past the broadcast budget)
     with iterative_loop_conf(spark, n * (max_weak + 1), bcast=bcast):
         frontier = defer_checkpoint_release(
-            seeds.select(
-                "node",
-                F.lit(0).cast("int").alias("w"),
-                F.lit(0).cast("int").alias("hops"),
+            record_prechk(
+                seeds.select(
+                    "node",
+                    F.lit(0).cast("int").alias("w"),
+                    F.lit(0).cast("int").alias("hops"),
+                )
             ).localCheckpoint(eager=False)
         )
         seen = frontier
@@ -552,9 +567,10 @@ def bfs_label_budget(
             if bcast:
                 s_side = F.broadcast(s_side)
             frontier = defer_checkpoint_release(
-                cand.join(s_side, ["node", "w"], "left_anti")
-                .select("node", "w", F.lit(h).cast("int").alias("hops"))
-                .localCheckpoint(eager=False)
+                record_prechk(
+                    cand.join(s_side, ["node", "w"], "left_anti")
+                    .select("node", "w", F.lit(h).cast("int").alias("hops"))
+                ).localCheckpoint(eager=False)
             )
             seen = seen.unionByName(frontier)
         seen.count()

@@ -84,12 +84,13 @@ def k_core(
     # check costs ZERO extra jobs (it was previously a count() job per
     # round — pure dispatch latency at any scale)
     obs = Observation()
-    deg = (
+    from pipeline_pyspark_etl_imdb_spark.operators.util import record_prechk
+
+    deg = record_prechk(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count("*").alias("degree"))
         .observe(obs, F.count_if(F.col("degree") < k).alias("n_below"))
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     # frame-proportional partitioning (the pagerank discipline): the
     # degree frame is node-domain-sized (8-16 B rows); coalescing its
     # per-round checkpoints by row volume keeps the peel's many small
@@ -139,7 +140,7 @@ def k_core(
                 .agg(F.count("*").alias("__d"))
             )
             obs = Observation()
-            deg = (
+            deg = record_prechk(
                 keep.join(delta, "node", "left")
                 .select(
                     "node",
@@ -149,8 +150,7 @@ def k_core(
                 )
                 .observe(obs, F.count_if(F.col("degree") < k).alias("n_below"))
                 .coalesce(np_deg)
-                .localCheckpoint(eager=True)
-            )
+            ).localCheckpoint(eager=True)
             # the new eager checkpoint no longer depends on the previous
             # round's blocks (RDD-level — DataFrame.unpersist can't free
             # them); release so the peel holds ONE degree frame, not one

@@ -210,7 +210,18 @@ def lloyd_kmeans(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
-    seed_rows = seed_centroids(embeddings, k, id_col, vec_col).collect()
+    # Seed from the CACHED frame, not the caller's plan (r10): the seed
+    # pick's TakeOrdered is the call's first action, so it materializes
+    # the persisted emb — OUTSIDE the narrowed loop-conf window below
+    # (ADVICE r9: emb's first materialization used to happen at round 1,
+    # compiling any caller-side upstream exchanges at width ~2 with AQE
+    # off) — and the caller's subtree now evaluates ONCE instead of
+    # twice (seed pass + round-1 pass). The pick itself is unchanged:
+    # it orders by md5(id), never by vector values, and emb's
+    # double-cast is the cast seed_centroids applied anyway.
+    seed_rows = seed_centroids(
+        emb.select(F.col(id_col), F.col("v").alias(vec_col)), k, id_col, vec_col
+    ).collect()
     cents: dict[int, list[float]] = {
         r.cluster: [float(x) for x in r.centroid] for r in seed_rows
     }

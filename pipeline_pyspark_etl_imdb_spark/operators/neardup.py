@@ -368,6 +368,7 @@ def verify_pairs_exact(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for a (doc_a, doc_b) candidate list — the
     shared verification stage behind every candidate generator (LSH
@@ -380,13 +381,22 @@ def verify_pairs_exact(
     never shuffles — measured 10.9 s -> ~3.3 s at sf0.1 vs the
     exploded-row join cascade. word_shingles is already distinct, so
     |intersect| / (|a| + |b| - |intersect|) is exact set Jaccard —
-    identical arithmetic to the oracle's row-join formulation."""
-    arr = (
-        fan_out(docs)
-        .select(id_col, F.col(text_col).alias("__t"))
-        .withColumn("__tok", tokens("__t"))
-        .select(id_col, word_shingles("__tok", k).alias("sh"))
-    )
+    identical arithmetic to the oracle's row-join formulation.
+
+    ``shingle_arrays`` (r10): a caller that already materialized the
+    (id_col, sh) shingle-array frame (prefix_filter_pairs persists it
+    for its candidate stage) passes it here, saving a SECOND full
+    tokenize+shingle pass over the corpus — at 100 TB that is one fewer
+    full-corpus map stage; the frame must hold the same distinct
+    k-shingles word_shingles produces."""
+    arr = shingle_arrays
+    if arr is None:
+        arr = (
+            fan_out(docs)
+            .select(id_col, F.col(text_col).alias("__t"))
+            .withColumn("__tok", tokens("__t"))
+            .select(id_col, word_shingles("__tok", k).alias("sh"))
+        )
     pa = arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     # candidate count is bounded by the generator's collision volume;
@@ -437,26 +447,38 @@ def prefix_filter_pairs(
     the oracle replicates the naive formulation.
 
     Shuffles: one df groupBy (vocabulary-sized), one join back on the
-    shingle, one per-doc rank window (WindowGroupLimit cuts at L), the
-    prefix equi-join, then verification. Each moves prefix-sized rows,
-    never the f^2 hot-shingle blowup."""
-    sh = (
+    shingle, one per-doc rank window, the prefix equi-join, then
+    verification (which reuses this operator's cached shingle arrays —
+    no second corpus tokenize). Each moves prefix-sized rows, never the
+    f^2 hot-shingle blowup."""
+    # Persist the shingle ARRAY frame, not exploded rows (r10): the
+    # tokenize+k-shingle transform — the dominant per-row cost — runs
+    # ONCE; the exploded views below re-derive from the cached arrays
+    # (explode of a stored column, no recompute), n_sh is size(array)
+    # (word_shingles is array_distinct by construction, so size ==
+    # exploded per-doc row count) instead of the second window pass the
+    # old shape paid (count(*) OVER (PARTITION BY doc) — a full extra
+    # sort+scan of the shingle rows after the df join), and the SAME
+    # cached arrays feed verification, dropping verify_pairs_exact's own
+    # second full-corpus tokenize pass (guide §1.2/§2.4: one evaluation,
+    # shared). NOTE the size/explode projections must read a MATERIALIZED
+    # array column: projecting size(expr)+explode(expr) straight off the
+    # transform lets CollapseProject inline the shingle expression into
+    # both consumers and the corpus pays it twice (measured 0.45 -> 2.8 s
+    # on the explode stage before this persist boundary was added).
+    arr = tracked_persist(
         fan_out(docs)
         .select(id_col, F.col(text_col).alias("__t"))
         .withColumn("__tok", tokens("__t"))
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_shingles("__tok", k)).alias("shingle"),
-        )
+        .select(F.col(id_col).alias("doc"), word_shingles("__tok", k).alias("sh"))
     )
-    sh = tracked_persist(sh)
+    sh = arr.select(
+        "doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sized = sh.join(dfreq, "shingle")
     w = Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("shingle"))
-    wn = Window.partitionBy("doc")
-    ranked = sized.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n_sh", F.count("*").over(wn)
-    )
+    ranked = sized.withColumn("rn", F.row_number().over(w))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = ranked.where(F.col("rn") <= prefix_len).select(
         "doc", "shingle", "n_sh"
@@ -482,7 +504,15 @@ def prefix_filter_pairs(
         .distinct()
     )
     cand = tracked_persist(cand)
-    return verify_pairs_exact(docs, cand, k, threshold, text_col, id_col)
+    return verify_pairs_exact(
+        docs,
+        cand,
+        k,
+        threshold,
+        text_col,
+        id_col,
+        shingle_arrays=arr.select(F.col("doc").alias(id_col), "sh"),
+    )
 
 
 def simhash32(

@@ -128,6 +128,20 @@ def pagerank(
     edges_deg = e_deg0.repartition(ep_edges, "dst" if bcast else "src").persist()
     edges_deg.count()  # materialize once, outside the loop
     e_deg0.unpersist()
+    if bcast:
+        # pin the node frame on hash(node) at the EDGE layout's width
+        # (r10): the per-round contribution aggregate inherits
+        # HashPartitioning(dst, ep_edges) from the pinned edge layout
+        # (its groupBy is map-side complete), and after the dst->node
+        # alias that is exactly this layout — so the per-round
+        # nodes x contribs join runs as a ZERO-exchange co-partitioned
+        # shuffled-hash join instead of building a fresh broadcast of
+        # the contribution frame every round (one fewer broadcast-build
+        # job per round; the r9 co-partition attempt lost to SMJ's
+        # per-round sorts, which the SHUFFLE_HASH hint removes). One
+        # extra setup shuffle of the node-domain frame pays for it.
+        nodes = nodes0.repartition(ep_edges, "node").persist()
+        nodes.count()
 
     global last_n_rounds
     last_n_rounds = 0
@@ -161,7 +175,12 @@ def pagerank(
         )
         c_side = contribs.select(F.col("dst").alias("node"), "contrib")
         if bcast:
-            c_side = F.broadcast(c_side)
+            # co-partitioned with the pinned node frame (both are
+            # hash(node) x ep_edges): the hint picks ShuffledHashJoin,
+            # which with matching child partitioning plans NO exchange
+            # and NO sort — replacing the old per-round broadcast build
+            # of the contribution frame (r10; see the nodes pin above)
+            c_side = c_side.hint("shuffle_hash")
         return (
             nodes.join(c_side, "node", "left")
             .crossJoin(F.broadcast(dmf))
@@ -180,6 +199,7 @@ def pagerank(
     # (see util.iterative_loop_conf; no-op past the broadcast budget)
     from pipeline_pyspark_etl_imdb_spark.operators.util import (
         iterative_loop_conf,
+        record_prechk,
     )
 
     intermediates: list[DataFrame] = []
@@ -190,7 +210,7 @@ def pagerank(
             # regime — the chain materializes when the caller's action
             # (or the tol delta below) runs; each checkpoint truncates
             # lineage so round N's Catalyst plan stays O(1)
-            ranks = _step(ranks).localCheckpoint(eager=False)
+            ranks = record_prechk(_step(ranks)).localCheckpoint(eager=False)
             intermediates.append(ranks)
             last_n_rounds += 1
             converged = False
@@ -216,6 +236,8 @@ def pagerank(
         # subtree from the caller's plan once per round
         ranks.count()
     edges_deg.unpersist()
+    if bcast:
+        nodes.unpersist()
     nodes0.unpersist()
     # every intermediate round's checkpoint blocks are still cached
     # (DataFrame.unpersist is a no-op for local checkpoints — the blocks

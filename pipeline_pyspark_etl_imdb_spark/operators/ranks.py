@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline_pyspark_etl_imdb_spark.operators.util import defer_checkpoint_release
+from pipeline_pyspark_etl_imdb_spark.operators.util import eager_checkpoint
 
 
 def _reads_cached_data(df: DataFrame) -> bool:
@@ -87,7 +87,7 @@ def total_order_ranks(
     if materialize_input or _reads_cached_data(df):
         # the checkpoint backs the returned plan; the harness frees its
         # blocks at the next release_tracked()
-        df = defer_checkpoint_release(df.localCheckpoint(eager=True))
+        df = eager_checkpoint(df)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -157,7 +157,7 @@ def total_order_prefix_sums(
     frames whose plans read any cached data are pinned via
     localCheckpoint first (same derived-frame-aware guard)."""
     if _reads_cached_data(df):
-        df = defer_checkpoint_release(df.localCheckpoint(eager=True))
+        df = eager_checkpoint(df)
     cols = [F.col(c) for c in order_cols]
     part = df.repartitionByRange(*cols).withColumn(
         "__pid", F.spark_partition_id()

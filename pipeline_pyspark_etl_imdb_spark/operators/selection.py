@@ -34,7 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pipeline_pyspark_etl_imdb_spark.operators.util import iterative_loop_conf
+from pipeline_pyspark_etl_imdb_spark.operators.util import (
+    eager_checkpoint,
+    iterative_loop_conf,
+)
 
 # 4096-ary narrowing: a cents-scaled price range (~5e9) resolves in 3
 # rounds instead of 5 at 256-ary, and the per-round driver collect is
@@ -55,6 +58,25 @@ FINISH_ROWS = 4096
 
 
 _I64_MAX = 2**63 - 1
+
+
+def _pin_if_shuffle_upstream(df: DataFrame) -> DataFrame:
+    """The narrowing walk re-executes ``df``'s plan every round INSIDE
+    the narrowed conf window (width ~2, AQE paused). For the registry's
+    callers ``df`` is a scan-level projection, and re-scanning is the
+    DESIGN — each round's BETWEEN pushes down so the parquet scan itself
+    shrinks. But a ``df`` whose own plan contains a shuffle Exchange
+    (an upstream join or aggregation) would re-run that exchange at the
+    window's narrow width with AQE's skew handling off, every round — the
+    scale hazard ADVICE r9 flagged. Pin exactly those plans with ONE
+    eager checkpoint, outside the window; broadcast-only joins stream
+    map-side and need no pin."""
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:  # pragma: no cover - defensive: pin on doubt
+        return eager_checkpoint(df)
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+    return eager_checkpoint(df) if shuffles > 0 else df
 
 
 def _bucket_expr(col: str, lo: int, width: int, hi: int):
@@ -96,6 +118,7 @@ def _exact_kth_full(
     finish_counts is None when the walk resolved by width-1 narrowing."""
     global last_n_rounds
     last_n_rounds = 0
+    values = _pin_if_shuffle_upstream(values)
     if lo is None or hi is None:
         row = values.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
         lo, hi = int(row["lo"]), int(row["hi"])
@@ -278,6 +301,7 @@ def grouped_multi_kth_full(
     letting callers answer adjacent-rank questions (the grouped
     even-median probe) without another job."""
     spark = vals.sparkSession
+    vals = _pin_if_shuffle_upstream(vals)
     state = {
         gt: {"lo": t[1], "hi": t[2], "k": t[0], "nr": t[3] if len(t) > 3 else None}
         for gt, t in targets.items()

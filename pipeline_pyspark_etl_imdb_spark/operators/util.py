@@ -44,6 +44,53 @@ def defer_checkpoint_release(df: DataFrame) -> DataFrame:
     return df
 
 
+# Pre-checkpoint plan capture (test-time seam). localCheckpoint replaces a
+# frame's plan with a LogicalRDD, which BLINDS every registry-wide plan
+# gate (cartesian/BNLJ audit, partitionless-window audit) to the subtree
+# the checkpoint materialized — the r9 materialize_input adoption silently
+# shrank gate coverage exactly this way (VERDICT r9 wrong#1). When capture
+# is on (plan-quality tests only; off in production/bench — a no-op flag
+# check), every checkpoint site records the PRE-checkpoint frame so the
+# gates can walk the hidden subtree too. Recording holds a DataFrame
+# reference only; no extra planning or execution happens until a test
+# asks for the frame's plan.
+_PRECHK_PLANS: list[DataFrame] = []
+_CAPTURE_PRECHK: bool = False
+
+
+def capture_prechk_plans(on: bool) -> None:
+    """Toggle pre-checkpoint plan capture (plan-gate tests only)."""
+    global _CAPTURE_PRECHK
+    _CAPTURE_PRECHK = on
+    if not on:
+        _PRECHK_PLANS.clear()
+
+
+def record_prechk(df: DataFrame) -> DataFrame:
+    """Record a frame that is ABOUT to be checkpointed, when capture is on."""
+    if _CAPTURE_PRECHK:
+        _PRECHK_PLANS.append(df)
+    return df
+
+
+def drain_prechk_plans() -> list[DataFrame]:
+    """Return and clear the frames captured since the last drain."""
+    out = list(_PRECHK_PLANS)
+    _PRECHK_PLANS.clear()
+    return out
+
+
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """The engine's standard build-time materialization: eager
+    localCheckpoint with deferred block release, recording the
+    pre-checkpoint plan for the registry-wide plan gates (see
+    capture_prechk_plans). Every non-loop checkpoint site must go through
+    here (or call record_prechk itself) so checkpoint adoption can never
+    silently shrink gate coverage again."""
+    record_prechk(df)
+    return defer_checkpoint_release(df.localCheckpoint(eager=True))
+
+
 def release_tracked() -> None:
     """Unpersist every tracked frame (idempotent, exception-safe).
 
@@ -80,7 +127,9 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 @contextmanager
-def iterative_loop_conf(spark: SparkSession, n_rows: int, *, bcast: bool):
+def iterative_loop_conf(
+    spark: SparkSession, n_rows: int, *, bcast: bool, width: int | None = None
+):
     """Size the shuffle width to the LOOP-STATE frame (and pause AQE)
     while a driver-controlled iterative loop builds and materializes its
     round plans — restore on exit.
@@ -124,7 +173,12 @@ def iterative_loop_conf(spark: SparkSession, n_rows: int, *, bcast: bool):
         yield
         return
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    width = max(2, min(shuffle_n, n_rows // 100_000 + 1))
+    if width is None:
+        width = max(2, min(shuffle_n, n_rows // 100_000 + 1))
+    # ``width``: a caller that pins a persisted frame consumed by every
+    # round (CC's symmetrized edge list) passes the SAME width it pinned
+    # at, so in-loop exchanges land on the pinned layout instead of
+    # re-exchanging it each round (the r9 CC attempt's failure mode)
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))

